@@ -1,0 +1,147 @@
+"""Batch-mode equivalents of the reference's query surface, expressed
+on the driver's ``events`` table (schema: event_id BIGINT, ts
+TIMESTAMP, user_id BIGINT, event_type VARCHAR, value DOUBLE, props
+JSON-VARCHAR).
+
+Mapping to the reference (events.ts = utc, events.event_type = ticker,
+events.value = price):
+
+- ``candlestick_tumbling``   — flink/tumbling_window.py:179-198
+  (TUMBLE + FIRST/LAST/MIN/MAX + TUMBLE_START/END).
+- ``sliding_window_min``     — flink/sliding_window.py:154-183
+  (Slide.over.every + min + window-end rename).
+- ``projection_rename``      — flink/sliding_window.py:176-181
+  (Table-API select with aliases).
+- ``select_star``            — flink/tumbling_window.py:286-291
+  (INSERT INTO ... SELECT *).
+- ``json_ingest_projection`` — the JSON source format + implicit
+  column pruning (flink/tumbling_window.py:129-130; producer emits 8
+  fields, table declares 3 — datagen/stock.py:24-33).
+
+The same operators run in true streaming mode via
+``kinesis_analytics_demo_spark.streaming`` — tested for
+streaming/batch equivalence in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as tbl
+from kinesis_analytics_demo_spark.streaming.windows import (
+    sliding_window_agg,
+    tumbling_candlestick,
+)
+
+
+_CANDLE_ORACLE = """
+SELECT
+    event_type,
+    date_trunc('minute', ts) AS window_start,
+    date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+    (min({'ts': ts, 'id': event_id, 'v': value})).v AS first_value,
+    (max({'ts': ts, 'id': event_id, 'v': value})).v AS last_value,
+    min(value) AS min_value,
+    max(value) AS max_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "candlestick_tumbling",
+    oracle=_CANDLE_ORACLE,
+    doc="Tumbling-window candlestick (reference flink/tumbling_window.py:179-198): "
+    "per event_type, 1-minute tumble, open/close/low/high of value.",
+)
+def candlestick_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    return tumbling_candlestick(
+        events,
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        window_duration="1 minute",
+        tiebreak_cols=["event_id"],
+    )
+
+
+_SLIDING_ORACLE = """
+SELECT event_type, min(value) AS p, window_start + INTERVAL 2 MINUTE AS t
+FROM (
+    SELECT date_trunc('minute', ts) AS window_start, event_type, value FROM events
+    UNION ALL
+    SELECT date_trunc('minute', ts) - INTERVAL 1 MINUTE AS window_start, event_type, value
+    FROM events
+)
+GROUP BY event_type, window_start
+"""
+
+
+@register(
+    "sliding_window_min",
+    oracle=_SLIDING_ORACLE,
+    doc="Sliding(hopping)-window min (reference flink/sliding_window.py:154-183): "
+    "per event_type, 2min-over/1min-every (README.md:122-123 run values), "
+    "projected as (key, p, t=window.end).",
+)
+def sliding_window_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    return sliding_window_agg(
+        events,
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        over="2 minutes",
+        every="1 minute",
+        agg="min",
+    )
+
+
+@register(
+    "projection_rename",
+    oracle="SELECT event_type AS ticker, value AS p, ts AS t FROM events",
+    doc="Projection + rename via expression DSL (reference "
+    "flink/sliding_window.py:176-181).",
+)
+def projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    return events.select(
+        F.col("event_type").alias("ticker"),
+        F.col("value").alias("p"),
+        F.col("ts").alias("t"),
+    )
+
+
+@register(
+    "select_star",
+    oracle="SELECT * FROM events",
+    doc="Full-width SELECT * passthrough (reference "
+    "flink/tumbling_window.py:286-291).",
+)
+def select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "events").select("*")
+
+
+@register(
+    "json_ingest_projection",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    doc="JSON deserialization with schema-driven column pruning "
+    "(reference flink/tumbling_window.py:129-130 'format'='json'; the "
+    "producer emits more fields than the table declares, "
+    "datagen/stock.py:24-33 — undeclared fields are dropped).",
+)
+def json_ingest_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    # Narrow schema: any JSON keys beyond 'k' would be silently pruned,
+    # matching the reference's implicit source-side projection.
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return events.select(
+        "event_id", F.from_json(F.col("props"), schema).getField("k").alias("k")
+    )

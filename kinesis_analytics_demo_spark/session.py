@@ -1,0 +1,168 @@
+"""SparkSession factory and table loading.
+
+Mirrors the reference's environment construction
+(reference flink/tumbling_window.py:40-60: streaming-mode env, Blink
+planner, parallelism) but Spark-first: one session powers both the
+batch SQL surface and Structured Streaming, Catalyst/Tungsten replace
+the Blink planner, and parallelism is expressed as shuffle-partition /
+AQE settings rather than a fixed operator parallelism.
+
+Scale notes (100 TB design, local[32] testing):
+- AQE is always on: runtime partition coalescing and skew-join
+  splitting replace hand-tuned shuffle partition counts per query.
+- ``spark.sql.shuffle.partitions`` is a *ceiling* under AQE, so it is
+  set generously and coalesced at runtime; on a real cluster this
+  should be ~2-3x total executor cores.
+- Arrow is enabled for every pandas-UDF boundary (the dedup /
+  similarity slow paths).
+- Session timezone is pinned to UTC so event-time semantics match the
+  reference's millisecond UTC timestamps (reference
+  flink/tumbling_window.py:118-119) and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-provided test tables (TPC-H-ish star schema + events +
+#: documents/embeddings for the LLM-data operators). See TESTDATA.md.
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "kinesis-analytics-demo-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Equivalent role to the reference's
+    ``EnvironmentSettings.new_instance().in_streaming_mode()
+    .use_blink_planner().build()`` + ``StreamTableEnvironment.create``
+    (reference flink/tumbling_window.py:40-46), with cluster-scale
+    defaults instead of ``parallelism.default=1``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable conf to an externally-created
+    session (e.g. the driver's). Only touches settings that are safe to
+    change mid-session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # The driver test data stores events.ts as TIMESTAMP(NANOS), which
+    # Spark's parquet reader rejects; read as INT64 nanos and convert
+    # (see read_table).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) (footer-only
+    metadata read — cheap even when `path` is 100 TB of files, as only
+    one footer is consulted)."""
+    if path in _NANOS_CACHE:
+        return _NANOS_CACHE[path]
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                target = os.path.join(path, f)
+                break
+    schema = pq.read_schema(target)
+    cols = [
+        f.name
+        for f in schema
+        if str(f.type) == "timestamp[ns]"
+    ]
+    _NANOS_CACHE[path] = cols
+    return cols
+
+
+_NANOS_CACHE: dict[str, list[str]] = {}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver parquet table, normalizing TIMESTAMP(NANOS)
+    columns (unsupported by Spark's vectorized parquet reader) to
+    microsecond TimestampType by truncation — bit-identical to DuckDB's
+    own nanos->micros read-time truncation, so oracle comparisons on
+    raw timestamp values are exact."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Preserve original column order
+    return df
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    names: tuple[str, ...] = TABLE_NAMES,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the driver parquet tables and (optionally) register each as
+    a temp view so both the DataFrame and ``spark.sql`` front-ends see
+    them — the Spark analog of the reference's catalog registration via
+    ``CREATE TABLE`` DDL + ``create_temporary_view``
+    (reference flink/tumbling_window.py:228-236,281)."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = read_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

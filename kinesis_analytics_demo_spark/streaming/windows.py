@@ -1,0 +1,128 @@
+"""Event-time window aggregations — the reference's core query surface.
+
+Two operators, each usable on BOTH a batch DataFrame and a streaming
+DataFrame (same Catalyst plan; streaming adds a watermark and emits in
+append mode):
+
+- ``tumbling_candlestick`` — the reference's tumbling job
+  (flink/tumbling_window.py:179-198): per-key, per-tumbling-window
+  ``FIRST_VALUE/LAST_VALUE/MIN/MAX`` of a price column, with window
+  start/end projected (``TUMBLE_START``/``TUMBLE_END``,
+  flink/tumbling_window.py:182-183).
+
+- ``sliding_window_agg`` — the reference's sliding job
+  (flink/sliding_window.py:154-183): per-key min over a hopping window
+  (``Slide.over(...).every(...)``), window end projected and renamed
+  (``'ticker, price.min as p, w.end as t'``).
+
+Determinism note (deliberate tightening vs the reference): Flink's
+``FIRST_VALUE``/``LAST_VALUE`` in a streaming group-agg are
+arrival-order "first/last"; Spark's ``first()/last()`` are likewise
+non-deterministic. We define open/close by *event time* with an
+explicit tie-break column, computed as ``min(struct(ts, tiebreak,
+value))`` — lexicographic struct ordering makes the result a pure
+function of the data. This is fully deterministic, parallelizable
+(partial aggregation / map-side combine still applies), and stays in
+whole-stage codegen — no UDFs.
+
+Scale notes:
+- The aggregation shuffles once on (window, key) — unavoidable and
+  optimal; partial aggregates are computed map-side before the
+  exchange, so shuffle volume is O(keys x windows), not O(rows).
+- Sliding windows multiply state by over/every (the reference's
+  configured 8h/1m ratio = 480 panes per event —
+  application_properties.json.replace:14-15). Spark's ``window()``
+  explodes panes *before* the partial aggregate, so the map-side
+  combine still collapses them; state is keys x windows-in-flight.
+  Keep the ratio configurable and prefer coarse hops at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _event_ordered(value_col: str, ts_col: str, tiebreak_cols: list[str]):
+    """Struct whose lexicographic min/max is the event-time first/last
+    value (deterministic replacement for FIRST_VALUE/LAST_VALUE,
+    reference flink/tumbling_window.py:184-185)."""
+    return F.struct(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols], F.col(value_col).alias("__v")
+    )
+
+
+def tumbling_candlestick(
+    df: DataFrame,
+    ts_col: str = "utc",
+    key_col: str = "ticker",
+    value_col: str = "price",
+    window_duration: str = "1 minute",
+    watermark: str | None = None,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-(key, tumbling window) candlestick: open/close/low/high.
+
+    Batch or streaming. Output columns (aliases fixed):
+    ``(key_col, window_start, window_end, first_<v>, last_<v>,
+    min_<v>, max_<v>)`` — matching the reference sink schema
+    (flink/tumbling_window.py:151-159).
+
+    When ``watermark`` is given (e.g. ``"20 seconds"``, the reference's
+    tumbling delay, flink/tumbling_window.py:119) and ``df`` is
+    streaming, late rows beyond the watermark are dropped and windows
+    emit once finalized (append mode) — the Spark analog of Flink's
+    on-watermark window firing.
+    """
+    tiebreaks = tiebreak_cols or []
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    ordered = _event_ordered(value_col, ts_col, tiebreaks)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration), F.col(key_col))
+        .agg(
+            F.min(ordered).getField("__v").alias(f"first_{value_col}"),
+            F.max(ordered).getField("__v").alias(f"last_{value_col}"),
+            F.min(value_col).alias(f"min_{value_col}"),
+            F.max(value_col).alias(f"max_{value_col}"),
+        )
+        .select(
+            key_col,
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            f"first_{value_col}",
+            f"last_{value_col}",
+            f"min_{value_col}",
+            f"max_{value_col}",
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "utc",
+    key_col: str = "ticker",
+    value_col: str = "price",
+    over: str = "2 minutes",
+    every: str = "1 minute",
+    watermark: str | None = None,
+    agg: str = "min",
+) -> DataFrame:
+    """Per-key sliding(hopping)-window aggregate — the reference's
+    sliding job (flink/sliding_window.py:154-183).
+
+    Output columns mirror the reference's projection
+    ``'ticker, price.min as p, eight_hour_window.end as t'``
+    (flink/sliding_window.py:176-179): ``(key_col, p, t)`` where ``p``
+    is the aggregate and ``t`` the window end. Default over/every is
+    the README run-log configuration (2 minutes / 1 minute,
+    reference README.md:122-123).
+    """
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    agg_fn = getattr(F, agg)
+    return (
+        df.groupBy(F.window(F.col(ts_col), over, every), F.col(key_col))
+        .agg(agg_fn(value_col).alias("p"))
+        .select(key_col, "p", F.col("window.end").alias("t"))
+    )

@@ -1,0 +1,114 @@
+"""Shared test fixtures: one local SparkSession per test run and a
+DuckDB oracle comparison helper that mimics the driver's gate
+(row-count + schema-width + order-insensitive value comparison)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kinesis_analytics_demo_spark.session import TABLE_NAMES, get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="kads-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def oracle_con():
+    """DuckDB connection with the driver's table views registered for
+    both scale factors (schema-qualified: sf001.events / sf01.events);
+    default (unqualified) views point at sf0.01 like the driver's."""
+    con = duckdb.connect()
+    for schema, sf_dir in (("sf001", SF_SMALL), ("sf01", SF_MEDIUM)):
+        con.sql(f"CREATE SCHEMA {schema}")
+        for t in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.sql(
+                    f"CREATE VIEW {schema}.{t} AS SELECT * FROM read_parquet('{path}')"
+                )
+    for t in TABLE_NAMES:
+        path = os.path.join(SF_MEDIUM, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def rows_to_comparable(columns, rows):
+    """Sort columns by name, then rows — order-insensitive multiset of
+    tuples, the shape the driver value-hashes."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return [columns[i] for i in order], out
+
+
+def assert_matches_oracle(spark_df, oracle_con, oracle_query, exact=True, rel_tol=1e-9):
+    """Driver-gate emulation: same row count, same column names, same
+    values (exact by default — the registry's determinism discipline
+    should make exact equality hold)."""
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = oracle_con.sql(oracle_query)
+    o_cols = rel.columns
+    o_rows = rel.fetchall()
+
+    assert sorted(s_cols) == sorted(o_cols), (
+        f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    )
+    assert len(s_rows) == len(o_rows), (
+        f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
+    )
+    _, s_cmp = rows_to_comparable(s_cols, s_rows)
+    _, o_cmp = rows_to_comparable(o_cols, o_rows)
+    mismatches = []
+    for i, (a, b) in enumerate(zip(s_cmp, o_cmp)):
+        if a == b:
+            continue
+        if not exact and len(a) == len(b):
+            ok = all(
+                (
+                    x == y
+                    or (
+                        isinstance(x, float)
+                        and isinstance(y, float)
+                        and math.isclose(x, y, rel_tol=rel_tol, abs_tol=1e-12)
+                    )
+                )
+                for x, y in zip(a, b)
+            )
+            if ok:
+                continue
+        mismatches.append((i, a, b))
+        if len(mismatches) >= 5:
+            break
+    assert not mismatches, f"value mismatches (first 5): {mismatches}"
