@@ -1,0 +1,237 @@
+"""Streaming-path tests: streaming/batch equivalence for both
+reference jobs, late-data (watermark) semantics, JSON ingest
+tolerance, and the kinesis sink's batching — SURVEY.md §5 strategy 2/3.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import uuid
+from datetime import datetime
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from datagen.stock import generate_to_dir, get_data
+from kinesis_analytics_demo_spark.sinks.factory import KinesisBatchWriter, write_stream
+from kinesis_analytics_demo_spark.sources.factory import (
+    create_stream_source,
+    parse_stock_json,
+)
+from kinesis_analytics_demo_spark.streaming.jobs import (
+    sliding_window_job,
+    tumbling_window_job,
+)
+
+BASE = datetime(2024, 6, 1, 12, 0, 0)
+
+
+def _run_available_now(result_df, name, tmp_path):
+    q = write_stream(
+        result_df,
+        "memory",
+        query_name=name,
+        checkpoint=str(tmp_path / f"ckpt-{name}-{uuid.uuid4().hex[:8]}"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_tumbling_streaming_equals_batch(spark, tmp_path):
+    """Replay datagen files as micro-batches; the streaming candlestick
+    (append mode, 20s watermark) must equal the batch candlestick on
+    the same rows, for every window the watermark closed."""
+    src_dir = tmp_path / "ticks"
+    # 5 files x 60 records x 2s step = 10 minutes of event time.
+    generate_to_dir(
+        str(src_dir), n_files=5, records_per_file=60, seed=7, base_time=BASE, step_s=2.0
+    )
+    stream = create_stream_source(spark, "file-json", path=str(src_dir))
+    result = tumbling_window_job(spark, stream, view_name="ticks_stream")
+    _run_available_now(result, "tumbling_stream", tmp_path)
+    got = {
+        tuple(r)
+        for r in spark.table("tumbling_stream").collect()
+    }
+
+    batch_raw = spark.read.text(str(src_dir))
+    batch = parse_stock_json(batch_raw, "value")
+    expected_all = tumbling_window_job(spark, batch, view_name="ticks_batch")
+    # append mode only emits windows closed by the final watermark
+    # (max event time - 20s); the trailing window(s) stay in state.
+    final_wm = max(r[0] for r in batch.select("utc").collect())
+    expected = {
+        tuple(r)
+        for r in expected_all.collect()
+        if (final_wm - r[2]).total_seconds() >= 20  # window_end <= wm-20s
+    }
+    assert got == expected
+    assert len(got) >= 8 * 4 * 0.5  # sanity: several windows x tickers
+
+
+def test_sliding_streaming_equals_batch(spark, tmp_path):
+    src_dir = tmp_path / "sticks"
+    generate_to_dir(
+        str(src_dir), n_files=4, records_per_file=60, seed=11, base_time=BASE, step_s=2.0
+    )
+    stream = create_stream_source(spark, "file-json", path=str(src_dir))
+    result = sliding_window_job(spark, stream, over="2 minutes", every="1 minute")
+    _run_available_now(result, "sliding_stream", tmp_path)
+    got = {tuple(r) for r in spark.table("sliding_stream").collect()}
+
+    batch = parse_stock_json(spark.read.text(str(src_dir)), "value")
+    expected_all = sliding_window_job(spark, batch, over="2 minutes", every="1 minute")
+    final_wm = max(r[0] for r in batch.select("utc").collect())
+    expected = {
+        tuple(r)
+        for r in expected_all.collect()
+        if (final_wm - r[2]).total_seconds() >= 5  # t (=window end) <= wm-5s
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_late_rows_dropped(spark, tmp_path):
+    """A row later than the watermark must be dropped (reference
+    WATERMARK ... - INTERVAL '20' SECOND, flink/tumbling_window.py:119)."""
+    src_dir = tmp_path / "late"
+    src_dir.mkdir()
+
+    def write_file(name, records):
+        p = src_dir / name
+        tmp = str(p) + ".tmp"
+        with open(tmp, "w") as fh:
+            for r in records:
+                fh.write(json.dumps(r) + "\n")
+        import os
+
+        os.rename(tmp, str(p))
+
+    def tick(ts, price):
+        return {"utc": ts.isoformat(), "ticker": "AAPL", "price": price}
+
+    from datetime import timedelta
+
+    t0 = BASE
+    # file 1: window [t0, t0+1m) with prices 10, 20; then event time
+    # advances to t0+5m -> watermark t0+5m-20s passes that window's end.
+    write_file(
+        "f1.json",
+        [tick(t0, 10.0), tick(t0 + timedelta(seconds=30), 20.0),
+         tick(t0 + timedelta(minutes=5), 99.0)],
+    )
+    # file 2: innocent row — its micro-batch runs with the advanced
+    # watermark, EMITTING and EVICTING window [t0, t0+1m). (Spark
+    # finalizes a window at the end of the batch *after* the watermark
+    # passes it; a late row arriving in that same batch could still
+    # merge — Spark only guarantees drops for rows later than the
+    # delay, eviction timing is best-effort. The reference's Flink
+    # semantics are the same one-way guarantee.)
+    write_file("f2.json", [tick(t0 + timedelta(minutes=5, seconds=30), 60.0)])
+    # file 3: LATE row for the now-evicted window — must be dropped.
+    write_file("f3.json", [tick(t0 + timedelta(seconds=45), 1000.0)])
+    # file 4: flush — advance watermark far so everything else emits.
+    write_file("f4.json", [tick(t0 + timedelta(hours=2), 50.0)])
+
+    stream = create_stream_source(spark, "file-json", path=str(src_dir))
+    result = tumbling_window_job(spark, stream, view_name="late_stream")
+    _run_available_now(result, "late_test", tmp_path)
+    rows = {r["window_start"]: r for r in spark.table("late_test").collect()}
+    w0 = rows[t0]
+    assert w0["first_price"] == 10.0
+    assert w0["last_price"] == 20.0
+    assert w0["max_price"] == 20.0  # 1000.0 arrived late: dropped
+
+
+def test_json_extra_fields_pruned_and_both_timestamp_standards(spark):
+    """The producer emits 8 fields, the table declares 3 — extra fields
+    are silently pruned (SURVEY.md §2 P4); both 'SQL' and 'ISO-8601'
+    timestamp standards parse (§2 S2)."""
+    rec = get_data(__import__("random").Random(3), now=BASE)
+    assert len(rec) == 8
+    rows = [
+        (json.dumps(rec),),  # ISO-8601 'T' form
+        (json.dumps({**rec, "utc": "2024-06-01 12:00:05.123456"}),),  # SQL form
+        ('{"not": "a tick"}',),  # malformed/foreign: null columns, no failure
+    ]
+    df = parse_stock_json(spark.createDataFrame(rows, ["value"]), "value")
+    out = df.collect()
+    assert df.columns == ["ticker", "price", "utc"]
+    assert out[0]["utc"] == BASE
+    assert out[1]["utc"] == datetime(2024, 6, 1, 12, 0, 5, 123456)
+    assert out[2]["ticker"] is None and out[2]["price"] is None
+
+
+def test_rate_source_shapes(spark, tmp_path):
+    """The rate source emulates the producer loop fully inside Spark."""
+    stream = create_stream_source(spark, "rate", rows_per_second=500)
+    assert stream.isStreaming
+    assert stream.columns == ["ticker", "price", "utc"]
+    q = write_stream(
+        stream,
+        "memory",
+        query_name="rate_probe",
+        checkpoint=str(tmp_path / "ckpt-rate"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("rate_probe").collect()
+    if rows:  # rate source may emit 0 rows in a very short run
+        tickers = {r["ticker"] for r in rows}
+        assert tickers <= {"AAPL", "AMZN", "MSFT", "TSLA"}
+        assert all(0 <= r["price"] < 100 for r in rows)
+
+
+def test_kinesis_sink_batching(spark, tmp_path):
+    """foreachBatch kinesis writer: 100-record batching (reference
+    sink.producer.collection-max-count, flink/tumbling_window.py:128)
+    and ticker partition keys (:121). The writer runs executor-side
+    (separate python processes in local mode), so the fake client
+    records its calls through the shared filesystem; the fake class is
+    defined locally so cloudpickle ships it by value."""
+    capture = tmp_path / "puts.jsonl"
+
+    class FakeKinesisClient:
+        def __init__(self, path):
+            self.path = path
+
+        def put_records(self, StreamName, Records):
+            with open(self.path, "a") as fh:
+                fh.write(json.dumps({"stream": StreamName, "records": Records}) + "\n")
+
+    cap_path = str(capture)
+    df = spark.range(250).selectExpr(
+        "concat('T', cast(id % 4 as string)) AS ticker", "cast(id as double) AS price"
+    ).coalesce(1)
+    writer = KinesisBatchWriter(
+        "out-stream",
+        collection_max_count=100,
+        client_factory=lambda: FakeKinesisClient(cap_path),
+    )
+    writer(df, batch_id=0)
+    calls = [json.loads(line) for line in capture.read_text().splitlines()]
+    assert sorted(len(c["records"]) for c in calls) == [50, 100, 100]
+    rec = calls[0]["records"][0]
+    assert calls[0]["stream"] == "out-stream"
+    body = json.loads(rec["Data"])
+    assert rec["PartitionKey"] == body["ticker"]
+
+
+def test_noop_and_console_sinks(spark, tmp_path):
+    """Blackhole (S5) and print (S4) sink analogs start and finish."""
+    stream = create_stream_source(spark, "rate", rows_per_second=10)
+    for kind in ("noop", "console"):
+        q = write_stream(
+            stream,
+            kind,
+            query_name=f"{kind}_probe",
+            checkpoint=str(tmp_path / f"ckpt-{kind}"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(60)
+        assert not q.isActive
