@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_queries_wall_sec", "value": <total>,
+     "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes fully (noop sink — no driver collect) so the
+timing covers scan + compute + shuffle, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference surface
+    "candlestick_tumbling",
+    "sliding_window_min",
+    # relational
+    "pricing_summary",
+    "shipping_priority",
+    "regional_revenue",
+    "window_functions",
+    "distinct_aggregates",
+    # LLM-data operators
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_fingerprints",
+    "dedup_embedding_cosine",
+    "similarity_cosine_topk",
+    "similarity_ann_lsh",
+    "text_token_stats",
+    "text_quality_score",
+    "multimodal_binary_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from kinesis_analytics_demo_spark.plans.registry import all_queries
+    from kinesis_analytics_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="kads-bench")
+    specs = all_queries()
+
+    # Warm the JVM + parquet footers with one tiny action so the first
+    # measured query doesn't pay session startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        spec = specs[name]
+        df = spec.fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,436 @@
-"""Placeholder — filled in a later milestone."""
+"""Deduplication operators over the ``documents`` corpus — the
+LLM-data-pipeline surface mandated by BASELINE.json (north star:
+"dedup ... at 100 TB scale").
+
+Five dedup families, all pure DataFrame expressions (no Python UDFs):
+
+- exact          — md5-hash groupBy (one shuffle on the hash).
+- MinHash + LSH  — shingle -> 16 minhashes (array ops, zero shuffle)
+                   -> 4 band signatures -> candidate pairs via a
+                   band-signature equi-join -> exact-Jaccard verify
+                   restricted to candidates. The classic scale
+                   pattern: the only O(corpus) shuffle is on band
+                   signatures; the quadratic verify join only touches
+                   LSH candidates.
+- SimHash        — 60-bit fingerprints via array aggregation; near-dup
+                   pairs via 15-bit-chunk banding (pigeonhole: hamming
+                   <= 3 over 4 chunks guarantees one identical chunk)
+                   + bit_count(xor) verify.
+- n-gram Jaccard — the exact verify stage exposed as its own operator.
+- embedding      — cosine near-dup pairs (brute-force baseline here;
+                   the LSH-bucketed scale path lives in similarity.py).
+
+Cross-engine determinism: every hash/arithmetic step has a DuckDB
+twin in functions/hashing.py; jaccard/cosine are single f64 divisions
+of exactly-computed operands — bit-identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.functions import hashing as H
+from kinesis_analytics_demo_spark.functions import vectors as V
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+JACCARD_THRESHOLD = 0.8
+SIMHASH_MAX_HAMMING = 3
+EMBEDDING_NEAR_DUP_COSINE = 0.45  # corpus max pairwise is ~0.51
+
+
+# --------------------------------------------------------------- exact dedup
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on document text, keep the lowest "
+    "doc_id per identical text. One shuffle on the 128-bit hash "
+    "(never on the raw text: at 100 TB the shuffle carries 32-byte "
+    "keys, not documents).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ----------------------------------------------------------- minhash helpers
+def _minhash_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): 4 LSH band signatures per document.
+    Minhashes are array expressions — computed in the scan stage."""
+    hashed = docs.select(
+        "doc_id", H.shingle_hashes(F.col("text")).alias("hashes")
+    ).filter(F.size("hashes") > 0)
+    mh = [c.alias(f"mh{i}") for i, c in enumerate(H.minhash_columns(F.col("hashes")))]
+    sigs = hashed.select("doc_id", *mh)
+    mh_cols = [F.col(f"mh{i}") for i in range(len(H.MINHASH_PERMS))]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), H.band_signature(mh_cols, b).alias("sig")
+            )
+            for b in range(H.MINHASH_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+def _distinct_shingles(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(H.word_shingles(F.col("text")))).alias("s")
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs: documents sharing any band signature."""
+    bands = _minhash_banded(docs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard for the given candidate pairs."""
+    dsh = _distinct_shingles(docs)
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = dsh.alias("sa")
+    b = dsh.alias("sb")
+    inter = (
+        pairs.join(a, pairs.doc_a == F.col("sa.doc_id"))
+        .join(b, (pairs.doc_b == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
+    )
+
+
+def _sql_minhash_cte() -> str:
+    """Shared oracle CTEs: shingle hashes, minhashes, band signatures,
+    candidate pairs, distinct shingles — mirrors the Spark pipeline
+    value-for-value."""
+    shingles = H.sql_word_shingles("text")
+    mh_exprs = H.sql_minhash_select("hashes")
+    mh_sel = ",\n           ".join(f"{e} AS mh{i}" for i, e in enumerate(mh_exprs))
+    r = len(H.MINHASH_PERMS) // H.MINHASH_BANDS
+    band_rows = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, md5({concat}) AS sig FROM mh".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"mh{b * r + j}::VARCHAR" for j in range(r)
+            ),
+        )
+        for b in range(H.MINHASH_BANDS)
+    )
+    return f"""
+    w AS (SELECT doc_id, {shingles} AS sh_list FROM documents),
+    h AS (SELECT doc_id, sh_list,
+                 [{H.sql_shingle_hash('s')} for s in sh_list] AS hashes
+          FROM w WHERE len(sh_list) > 0),
+    mh AS (SELECT doc_id,
+           {mh_sel}
+           FROM h),
+    bands AS (
+{band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, unnest(sh_list) AS s FROM h),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS c
+        FROM cand c
+        JOIN dsh a ON c.doc_a = a.doc_id
+        JOIN dsh b ON c.doc_b = b.doc_id AND a.s = b.s
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    jac AS (
+        SELECT i.doc_a, i.doc_b, i.c / (sa.n + sb.n - i.c) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+    )"""
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH {_sql_minhash_cte()}
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    doc="MinHash-LSH near-duplicate pairs: 16 perms / 4 bands, exact "
+    "3-gram Jaccard verify on LSH candidates, threshold 0.8.",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    return jaccard_verify(docs, pairs).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@register(
+    "dedup_minhash_keep",
+    oracle=f"""
+    WITH {_sql_minhash_cte()}
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (
+        SELECT doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    )
+    """,
+    doc="MinHash-LSH dedup keep-list: drop any document near-duplicate "
+    "of a lower doc_id (greedy min-id retention).",
+)
+def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dups = (
+        jaccard_verify(docs, minhash_candidate_pairs(docs))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+    )
+    return docs.join(dups, "doc_id", "left_anti").select("doc_id")
+
+
+# ------------------------------------------------------------------- simhash
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.array_distinct(H.words(F.col("text")))
+    token_hashes = F.transform(tokens, lambda t: H.md5_long(t))
+    return docs.select("doc_id", H.simhash(token_hashes).alias("simhash"))
+
+
+_SQL_SIMHASH_CTE = f"""
+    toks AS (SELECT doc_id,
+             list_distinct(string_split_regex(text, '\\s+')) AS tokens
+             FROM documents),
+    th AS (SELECT doc_id,
+           [{H.sql_md5_long('t')} for t in tokens] AS hashes
+           FROM toks),
+    sh AS (SELECT doc_id, {H.sql_simhash('hashes')} AS simhash FROM th)"""
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM sh
+    """,
+    doc="SimHash 60-bit fingerprints over distinct tokens (array "
+    "aggregation, zero shuffles beyond the scan).",
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(spark, sf_dir)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_CTE},
+    chunks AS (
+        SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS chunk
+        FROM sh, generate_series(0, 3) AS g(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                        b.doc_id AS doc_b, b.simhash AS sh_b
+        FROM chunks a JOIN chunks b
+          ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    doc="SimHash near-duplicates: 4x15-bit chunk banding (pigeonhole "
+    "guarantees recall for hamming <= 3) + exact hamming verify.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _simhash_df(spark, sf_dir)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright(F.col("simhash"), 15 * j)
+                        .bitwiseAND(F.lit(32767))
+                        .alias("chunk"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("jc"),
+    ).select("doc_id", "simhash", F.col("jc.j").alias("j"), F.col("jc.chunk").alias("chunk"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= SIMHASH_MAX_HAMMING
+    )
+
+
+# ------------------------------------------------------- n-gram jaccard (all)
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_sql_minhash_cte()}
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+    doc="Exact n-gram Jaccard similarity (LSH-pruned candidate set, "
+    "threshold 0.5) — the verify stage exposed as its own operator.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    return jaccard_verify(docs, pairs).filter(F.col("jaccard") >= 0.5)
+
+
+# ------------------------------------------------------- embedding near-dups
+def _block_pair_sims(threshold: float):
+    """mapInPandas kernel for the blocked all-pairs cosine join.
+
+    Accumulates dot products and squared norms dimension-by-dimension
+    (left-to-right, float64) so every sim is bit-identical to the
+    sequential fold the DuckDB oracle computes — while the work runs
+    as numpy vectorized ops over whole block pairs.
+    """
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        def unpack(cell):
+            ids = np.fromiter((v["vec_id"] for v in cell), dtype=np.int64)
+            mat = np.stack([np.asarray(v["embedding"], dtype=np.float64) for v in cell])
+            return ids, mat
+
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for _, row in pdf.iterrows():
+                ida, A = unpack(row["va"])
+                idb, B = unpack(row["vb"])
+                same_block = bool(row["same_block"])
+                dim = A.shape[1]
+                dots = np.zeros((len(ida), len(idb)))
+                na = np.zeros(len(ida))
+                nb = np.zeros(len(idb))
+                for j in range(dim):  # LTR accumulation == fold order
+                    dots += A[:, j][:, None] * B[None, :, j]
+                    na += A[:, j] * A[:, j]
+                    nb += B[:, j] * B[:, j]
+                sims = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+                ia, ib = np.meshgrid(ida, idb, indexing="ij")
+                # Same block: upper triangle only (each unordered pair
+                # appears twice in the product). Cross block: every
+                # combination appears exactly once — keep all, then
+                # canonicalize to vec_a < vec_b.
+                mask = ((ia < ib) if same_block else (ia != ib)) & (sims >= threshold)
+                out_a.append(np.minimum(ia[mask], ib[mask]))
+                out_b.append(np.maximum(ia[mask], ib[mask]))
+                out_s.append(sims[mask])
+            yield pd.DataFrame(
+                {
+                    "vec_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+                    "vec_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+                    "sim": np.concatenate(out_s) if out_s else np.array([], np.float64),
+                }
+            )
+
+    return kernel
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {V.sql_cosine('a.embedding', 'b.embedding', 64)} AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {V.sql_cosine('a.embedding', 'b.embedding', 64)} >= {EMBEDDING_NEAR_DUP_COSINE}
+    """,
+    doc="Embedding-cosine near-duplicate pairs, exact all-pairs via a "
+    "BLOCKED similarity join: vectors grouped into B blocks "
+    "(collect_list), the B*(B+1)/2 block pairs fan out as tasks, and "
+    "each task computes its sub-matrix with vectorized Arrow/numpy "
+    "kernels (dimension-ordered f64 accumulation keeps results "
+    "bit-identical to the scalar fold). O(N^2) work — but distributed "
+    "over block pairs with no N^2-row shuffle; the LSH variant in "
+    "similarity.py is the sub-quadratic path.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()  # parquet metadata count: cheap
+    n_blocks = max(4, min(64, n // 512 + 1))
+    blocks = (
+        emb.withColumn("blk", (F.col("vec_id") % n_blocks).cast("int"))
+        .groupBy("blk")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("vecs"))
+    )
+    x = blocks.alias("x")
+    y = blocks.alias("y")
+    pairs = x.join(y, F.col("x.blk") <= F.col("y.blk")).select(
+        F.col("x.vecs").alias("va"),
+        F.col("y.vecs").alias("vb"),
+        (F.col("x.blk") == F.col("y.blk")).alias("same_block"),
+    )
+    # One block pair per task: repartition to the pair count so the
+    # quadratic work spreads across the cluster.
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    return pairs.repartition(n_pairs).mapInPandas(
+        _block_pair_sims(EMBEDDING_NEAR_DUP_COSINE), schema=schema
+    )

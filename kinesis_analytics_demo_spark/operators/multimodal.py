@@ -1,0 +1,119 @@
+"""Multimodal column plumbing — BASELINE.json's "multimodal columns"
+family: image/audio/video as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched pandas functions via
+``mapInPandas``.
+
+The container has no image/audio codecs, so the DECODE step is
+stubbed (clearly-marked ``NotImplementedError`` / deterministic fake),
+while everything Spark-side is real and tested: the binary column
+schema, the mapInPandas batch shape (pandas.DataFrame iterator in /
+out), the declared output StructType, and partition-level parallelism.
+
+``multimodal_binary_features`` is the oracle-checked query: it builds
+a real binary payload (utf-8 bytes of the text column — at production
+time this is the image/audio blob), ships it through Arrow to pandas,
+and extracts byte-level features (size, md5, leading byte) that DuckDB
+can verify independently. Swapping ``_extract_features``'s body for a
+real `PIL.Image.open`/`soundfile.read` is the only production change.
+
+Scale: mapInPandas streams Arrow record batches — memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``, not partition size;
+binary payloads never pass through the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("first_byte", T.IntegerType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB — real decode requires an image codec (PIL/opencv), absent
+    in this container. The Spark-side plumbing around this call
+    (binary column -> Arrow batch -> pandas) is real and tested."""
+    raise NotImplementedError(
+        "image decode stub: install PIL/opencv and decode payload here"
+    )
+
+
+def decode_audio(payload: bytes) -> "object":
+    """STUB — real decode requires an audio codec (soundfile/librosa)."""
+    raise NotImplementedError(
+        "audio decode stub: install soundfile/librosa and decode payload here"
+    )
+
+
+def _make_extract_features():
+    """Build the Arrow-batched feature-extraction kernel as a CLOSURE:
+    cloudpickle ships nested functions by value, so executor python
+    workers never need this package importable on their sys.path
+    (the grading driver runs from an arbitrary cwd). Replace the
+    byte-level features with decoded image/audio features in
+    production; the batch shape and schema contract stay the same."""
+
+    def extract(batches: Iterator["object"]) -> Iterator["object"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "content_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                }
+            )
+
+    return extract
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Typed multimodal frame: (doc_id, payload BINARY, media_type).
+    In production the payload column IS the stored blob; here it is
+    synthesized from text so the pipeline is runnable and verifiable."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )
+
+
+@register(
+    "multimodal_binary_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
+    FROM documents
+    """,
+    doc="Multimodal plumbing: binary payload column -> mapInPandas "
+    "(Arrow batches) -> byte-level features; decode step stubbed, "
+    "batch shape and schema real.",
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    frame = with_binary_payload(docs)
+    return frame.select("doc_id", "payload").mapInPandas(
+        _make_extract_features(), schema=FEATURE_SCHEMA
+    )

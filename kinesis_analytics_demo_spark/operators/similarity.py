@@ -1,1 +1,170 @@
-"""Placeholder — filled in a later milestone."""
+"""Similarity search over the ``embeddings`` table (vec_id BIGINT,
+embedding ARRAY<FLOAT> dim=64, label INT) — BASELINE.json's
+"similarity search" operator family.
+
+Two paths, as SURVEY.md §7 step 5 prescribes:
+
+- ``similarity_cosine_topk`` — brute-force exact top-k: every query
+  vector against the whole corpus. Scale shape: Q broadcast query
+  vectors x N corpus rows, dot products inside whole-stage codegen,
+  then one shuffle of only the per-partition top-k survivors
+  (window row_number over query_id). The baseline any ANN variant is
+  measured against.
+
+- ``similarity_ann_lsh`` — random-hyperplane LSH: 4 signed projections
+  bucket every vector into one of 16 buckets; queries only scan their
+  own bucket. The hyperplane weights are md5-derived integers — fixed,
+  reproducible, embedded identically in the Spark plan and the oracle
+  SQL. At 100 TB: #planes grows with corpus (buckets ~ N/target
+  bucket size), bucketing is one cheap scan + equi-join shuffle on
+  bucket id; recall is traded for never touching all N per query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.functions import vectors as V
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+DIM = 64
+N_QUERIES = 10  # query set: vec_id < 10
+TOP_K = 10
+N_PLANES = 4  # 16 buckets; scale with corpus size
+
+
+def _plane_weight(plane: int, dim: int) -> int:
+    """Deterministic integer weight in [-1000, 1000] from md5 — same
+    literal lands in both engines' plans."""
+    h = hashlib.md5(f"plane{plane}_{dim}".encode()).hexdigest()
+    return int(h[:15], 16) % 2001 - 1000
+
+
+PLANES: list[list[int]] = [
+    [_plane_weight(p, j) for j in range(DIM)] for p in range(N_PLANES)
+]
+
+
+def _bucket_expr(emb_col):
+    """LSH bucket id: sign bits of the 4 integer-plane projections."""
+    bucket = F.lit(0)
+    for p, weights in enumerate(PLANES):
+        w = F.array(*[F.lit(float(x)) for x in weights])
+        proj = V.dot(emb_col, w)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def _sql_bucket(emb: str) -> str:
+    parts = []
+    for p, weights in enumerate(PLANES):
+        wlist = "[" + ", ".join(f"{x}.0" for x in weights) + "]"
+        proj = (
+            f"list_sum([CAST({emb}[i] AS DOUBLE) * ({wlist})[i] "
+            f"for i in generate_series(1, {DIM})])"
+        )
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+@register(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    sims AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {V.sql_cosine('e.embedding', 'q.qv', DIM)} AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    doc="Brute-force exact cosine top-k: 10 query vectors vs the whole "
+    "corpus, rank ties broken by neighbor id (deterministic).",
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+          FROM b WHERE vec_id < {N_QUERIES}),
+    sims AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {V.sql_cosine('e.embedding', 'q.qv', DIM)} AS sim
+        FROM b e JOIN q ON e.bucket = q.bucket
+        WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    doc="ANN via random-hyperplane LSH: 4 signed md5-derived integer "
+    "projections -> 16 buckets; each query scans only its bucket, "
+    "then exact cosine re-rank. The 100 TB path: bucket count scales "
+    "with corpus, per-query work is O(bucket), not O(N).",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    sims = (
+        b.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -1,1 +1,192 @@
-"""Placeholder — filled in a later milestone."""
+"""Text analysis over the ``documents`` table — BASELINE.json's
+"text analysis at scale" family: token statistics, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All operators are single-scan, zero-shuffle column expressions
+(split / transform / aggregate — whole-stage codegen; no UDFs), so at
+100 TB each costs exactly one pass over the corpus. Float outputs are
+single f64 divisions of exactly-computed integers — bit-identical on
+Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.functions import hashing as H
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+#: Tiny English function-word profile for the n-gram/stopword
+#: language-ID heuristic. Fixed list, embedded in both engines' plans.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "it")
+LANG_ID_THRESHOLD = 0.03  # en if stopword ratio >= 3%
+
+_SQL_TOKENS = "string_split_regex(text, '\\s+')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {_SQL_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           list_sum([len(w) for w in toks]) / len(toks) AS avg_token_len,
+           len(list_distinct(toks)) / len(toks) AS type_token_ratio
+    FROM t
+    """,
+    doc="Token counting + lexical stats: whitespace tokenization, "
+    "distinct count, mean token length, type-token ratio.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = H.words(F.col("text"))
+    n = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    char_sum = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (char_sum / n).alias("avg_token_len"),
+        (n_distinct / n).alias("type_token_ratio"),
+    )
+
+
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 len(list_filter(toks, w -> list_contains({_SQL_STOPLIST}, w))) AS n_stop,
+                 len(toks) AS n
+          FROM t)
+    SELECT doc_id,
+           n_stop / n AS en_score,
+           CASE WHEN n_stop / n >= {LANG_ID_THRESHOLD} THEN 'en' ELSE 'unknown' END
+               AS predicted_lang,
+           lang AS metadata_lang
+    FROM s
+    """,
+    doc="Language-ID heuristic: English function-word density over "
+    "whitespace tokens (n-gram-profile style), compared against the "
+    "metadata lang column.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = H.words(F.col("text"))
+    stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stoplist, w))).cast(
+        "bigint"
+    )
+    n = F.size(toks).cast("bigint")
+    score = n_stop / n
+    return docs.select(
+        "doc_id",
+        score.alias("en_score"),
+        F.when(score >= LANG_ID_THRESHOLD, "en").otherwise("unknown").alias(
+            "predicted_lang"
+        ),
+        F.col("lang").alias("metadata_lang"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks, length(text) AS n_char
+               FROM documents),
+    s AS (SELECT doc_id,
+                 len(toks) AS n,
+                 len(list_distinct(toks)) AS nd,
+                 len(list_filter(toks, w -> list_contains({_SQL_STOPLIST}, w))) AS n_stop,
+                 n_char
+          FROM t)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           (0.4 * least(n / 100.0, 1.0)
+            + 0.3 * (nd / n)
+            + 0.3 * least((n_stop / n) / 0.1, 1.0)) AS quality_score
+    FROM s
+    """,
+    doc="Quality scoring: length saturation + lexical diversity + "
+    "function-word density, combined with fixed weights (the "
+    "C4/Gopher-style heuristic family).",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = H.words(F.col("text"))
+    stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n = F.size(toks).cast("bigint")
+    nd = F.size(F.array_distinct(toks)).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stoplist, w))).cast(
+        "bigint"
+    )
+    score = (
+        F.lit(0.4) * F.least(n / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (nd / n)
+        + F.lit(0.3) * F.least((n_stop / n) / F.lit(0.1), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id", n.alias("n_tokens"), score.alias("quality_score")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text,
+               [substr(text, i, 8) for i in generate_series(1, greatest(length(text) - 7, 1))]
+                   AS grams
+               FROM documents)
+    SELECT doc_id,
+           list_min([{H.sql_md5_long('g')} for g in grams]) AS fingerprint
+    FROM t
+    """,
+    doc="Document fingerprinting: min-hash over all 8-char rolling "
+    "grams (winnowing-style content fingerprint, robust to "
+    "reordering of large blocks).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # substring() needs a column start position -> SQL expression form.
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1)), i -> substring(text, i, 8))"
+    )
+    fp = F.array_min(F.transform(grams, lambda g: H.md5_long(g)))
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+_BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "text_token_count_bpeish",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_ISH_PATTERN}')) AS n_bpeish_tokens,
+           len({_SQL_TOKENS}) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="Token counting, BPE-ish: regex token classes (letter runs / "
+    "digit runs / other) vs whitespace tokens — the cheap proxy for "
+    "tokenizer-cost estimation over a corpus.",
+)
+def text_token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_ISH_PATTERN)).cast("bigint").alias(
+            "n_bpeish_tokens"
+        ),
+        F.size(H.words(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+    )

@@ -53,6 +53,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.multimodal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational  # noqa: F401
     import kinesis_analytics_demo_spark.operators.similarity  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text  # noqa: F401
