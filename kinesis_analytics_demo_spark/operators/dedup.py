@@ -66,12 +66,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- minhash helpers
 def _minhash_banded(docs: DataFrame) -> DataFrame:
     """(doc_id, band, sig): 4 LSH band signatures per document.
-    Minhashes are array expressions — computed in the scan stage."""
-    hashed = docs.select(
-        "doc_id", H.shingle_hashes(F.col("text")).alias("hashes")
-    ).filter(F.size("hashes") > 0)
-    mh = [c.alias(f"mh{i}") for i, c in enumerate(H.minhash_columns(F.col("hashes")))]
-    sigs = hashed.select("doc_id", *mh)
+
+    Shape chosen for scale AND speed: shingle hashes are EXPLODED to
+    rows and the 16 permutation minima run as codegen'd aggregate
+    expressions (higher-order array functions are interpreted per
+    element — 10x slower on wide arrays). Partial aggregation
+    collapses map-side, so the shuffle carries only docs x 16 longs,
+    never the shingle stream."""
+    sh_rows = _shingle_hash_rows(docs)
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % H.MERSENNE_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(H.MINHASH_PERMS)
+    ]
+    sigs = sh_rows.groupBy("doc_id").agg(*mins)
     mh_cols = [F.col(f"mh{i}") for i in range(len(H.MINHASH_PERMS))]
     bands = F.array(
         *[
@@ -86,10 +93,23 @@ def _minhash_banded(docs: DataFrame) -> DataFrame:
     )
 
 
-def _distinct_shingles(docs: DataFrame) -> DataFrame:
+def _shingle_hash_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): one row per shingle. The shingle ARRAY is built by
+    one (interpreted) transform, but the md5/conv hashing runs as a
+    codegen'd per-row expression after the explode — measurably faster
+    than hashing inside the array transform."""
     return docs.select(
-        "doc_id", F.explode(F.array_distinct(H.word_shingles(F.col("text")))).alias("s")
-    )
+        "doc_id", F.explode(H.word_shingles(F.col("text"))).alias("s")
+    ).select("doc_id", (H.md5_long(F.col("s")) % H.MERSENNE_P).alias("h"))
+
+
+def _distinct_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle-hash) rows. Jaccard is computed over
+    HASHES, not strings: md5 is identical on both engines, so any
+    (negligible) collision affects both sides equally — results stay
+    bit-identical while the verify join carries 8-byte keys instead of
+    shingle strings (the 100 TB shuffle-width win)."""
+    return _shingle_hash_rows(docs).distinct()
 
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
@@ -110,14 +130,23 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 
 def jaccard_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact n-gram Jaccard for the given candidate pairs."""
-    dsh = _distinct_shingles(docs)
+    """Exact n-gram Jaccard for the given candidate pairs.
+
+    The distinct-shingle rows feed three plan branches (doc_a side,
+    doc_b side, per-doc sizes); Spark does not share common subplans
+    across joins, so without persistence the corpus would be
+    re-shingled three times. MEMORY_AND_DISK persistence turns that
+    into one scan + two cached reads (at 100 TB this intermediate is
+    the thing you'd checkpoint to cluster storage)."""
+    from pyspark import StorageLevel
+
+    dsh = _distinct_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = dsh.alias("sa")
     b = dsh.alias("sb")
     inter = (
         pairs.join(a, pairs.doc_a == F.col("sa.doc_id"))
-        .join(b, (pairs.doc_b == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")))
+        .join(b, (pairs.doc_b == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -167,13 +196,13 @@ def _sql_minhash_cte() -> str:
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
-    dsh AS (SELECT DISTINCT doc_id, unnest(sh_list) AS s FROM h),
+    dsh AS (SELECT DISTINCT doc_id, unnest(hashes) AS hv FROM h),
     sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
     inter AS (
         SELECT c.doc_a, c.doc_b, count(*) AS c
         FROM cand c
         JOIN dsh a ON c.doc_a = a.doc_id
-        JOIN dsh b ON c.doc_b = b.doc_id AND a.s = b.s
+        JOIN dsh b ON c.doc_b = b.doc_id AND a.hv = b.hv
         GROUP BY c.doc_a, c.doc_b
     ),
     jac AS (
@@ -223,10 +252,31 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------- simhash
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode distinct-token hashes to rows, then 60 codegen'd
+    conditional-sum aggregates (one per bit) — same values as the
+    array fold, ~10x faster, and the shuffle after partial agg is
+    docs x 60 ints."""
     docs = _t(spark, sf_dir, "documents")
     tokens = F.array_distinct(H.words(F.col("text")))
-    token_hashes = F.transform(tokens, lambda t: H.md5_long(t))
-    return docs.select("doc_id", H.simhash(token_hashes).alias("simhash"))
+    th = docs.select("doc_id", F.explode(tokens).alias("t")).select(
+        "doc_id", (H.md5_long(F.col("t"))).alias("h")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(H.SIMHASH_BITS)
+    ]
+    agg = th.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for i in range(H.SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select("doc_id", fingerprint.alias("simhash"))
 
 
 _SQL_SIMHASH_CTE = f"""

@@ -92,6 +92,12 @@ def configure_session(spark: SparkSession) -> SparkSession:
     change mid-session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # An externally-created session defaults to 200 shuffle partitions;
+    # right-size to the actual core count (AQE coalesces further).
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
     # The driver test data stores events.ts as TIMESTAMP(NANOS), which
     # Spark's parquet reader rejects; read as INT64 nanos and convert
     # (see read_table).
@@ -141,7 +147,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    # Preserve original column order
+    # The driver test tables are single-file/single-row-group parquet —
+    # unsplittable, so every scan would run as ONE task regardless of
+    # cores. Repartition non-trivial tables to the session parallelism
+    # (a few-MB shuffle locally). On a real deployment the data is many
+    # files/row groups, natural splits >= cores, and this stays inert —
+    # it only compensates for the local fixture shape, it is not how
+    # the engine achieves parallelism at scale.
+    try:
+        size = os.path.getsize(path) if os.path.isfile(path) else 0
+    except OSError:
+        size = 0
+    if size > 256 * 1024:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 
