@@ -1,0 +1,334 @@
+"""Batch relational surface, part 2: pivot, ordered-set aggregates,
+arg-min/max, analytic frame functions, sessionization, string
+aggregation, subquery shapes.
+
+Same determinism discipline as relational.py; sessionization's oracle
+is the classic gaps-and-islands rewrite, proving Spark's
+``session_window`` semantics against plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(18,6)")
+
+
+# --------------------------------------------------------------------
+# PIVOT: status columns from rows. Oracle uses portable FILTER'd aggs
+# (DuckDB PIVOT exists but FILTER keeps column naming explicit).
+# --------------------------------------------------------------------
+@register(
+    "pivot_order_status",
+    oracle="""
+    SELECT o_orderpriority,
+        count(*) FILTER (o_orderstatus = 'O') AS n_open,
+        count(*) FILTER (o_orderstatus = 'F') AS n_filled,
+        count(*) FILTER (o_orderstatus = 'P') AS n_pending,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                   FILTER (o_orderstatus = 'O'), 2) AS DOUBLE) AS open_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Pivot: order-status columns per priority (conditional "
+    "aggregation — the shuffle-free way to pivot a low-cardinality "
+    "dimension).",
+)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", _dec("o_totalprice"))), 2
+        )
+        .cast("double")
+        .alias("open_value"),
+    )
+
+
+# --------------------------------------------------------------------
+# arg_min / arg_max — the batch twins of the reference's FIRST_VALUE /
+# LAST_VALUE candlestick aggregates (SURVEY.md §2 A3/A4).
+# --------------------------------------------------------------------
+@register(
+    "argminmax_events",
+    oracle="""
+    SELECT event_type,
+           arg_min(value, ts) AS first_value,
+           arg_max(value, ts) AS last_value,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="min_by/max_by aggregates: value at earliest/latest event time "
+    "per key — the deterministic FIRST_VALUE/LAST_VALUE replacement "
+    "(reference flink/tumbling_window.py:184-185).",
+)
+def argminmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.min_by("value", "ts").alias("first_value"),
+        F.max_by("value", "ts").alias("last_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# --------------------------------------------------------------------
+# Analytic frame functions: first/last value over explicit frames,
+# ntile, percent_rank.
+# --------------------------------------------------------------------
+@register(
+    "window_frames",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+        first_value(o_orderkey) OVER w AS first_order,
+        last_value(o_orderkey) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        percent_rank() OVER w AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Analytic frame functions: first/last value with explicit "
+    "ROWS frames, ntile quartiles, percent_rank.",
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+# --------------------------------------------------------------------
+# Sessionization: Spark's session_window vs the gaps-and-islands SQL.
+# --------------------------------------------------------------------
+SESSION_GAP = "5 minutes"
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 5 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+    doc="Sessionization: session_window(ts, 5 min) per user — events "
+    "within the gap merge into one session; verified against the "
+    "gaps-and-islands SQL rewrite. In streaming mode the same "
+    "operator runs with a watermark (merging session state).",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Ordered string aggregation.
+# --------------------------------------------------------------------
+@register(
+    "listagg_nations",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Ordered string aggregation (listagg/string_agg) with a "
+    "deterministic ORDER BY inside the aggregate.",
+)
+def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# IN / NOT IN subqueries through the SQL front-end.
+# --------------------------------------------------------------------
+@register(
+    "in_subquery_sql",
+    oracle="""
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount = 0.0
+                            AND l_quantity <= 2)
+    """,
+    doc="IN / NOT IN subqueries via the SQL entry point (Catalyst "
+    "rewrites to semi/anti joins — same plan as the DataFrame form).",
+)
+def in_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand
+        FROM part_v
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem_v WHERE l_quantity >= 49)
+          AND p_partkey NOT IN (SELECT l_partkey FROM lineitem_v
+                                WHERE l_discount = 0.0 AND l_quantity <= 2)
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# Latest-row-per-key dedupe (the relational form of dropDuplicates
+# with an ordering preference).
+# --------------------------------------------------------------------
+@register(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    )
+    WHERE rn = 1
+    """,
+    doc="Keyed latest-row dedupe: one row per customer, newest order "
+    "wins (deterministic tie-break on the key).",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------
+# Array function surface over the embedding column.
+# --------------------------------------------------------------------
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1] AS first_component,
+           embedding[64] AS last_component,
+           list_slice(embedding, 1, 4) AS head4,
+           list_reverse(list_slice(embedding, 61, 64)) AS tail4_rev,
+           list_contains([CAST(label AS BIGINT)], 5) AS is_label5
+    FROM embeddings
+    """,
+    doc="Array function surface: size, element_at, slice, reverse, "
+    "contains — on the embedding column (no arithmetic: float values "
+    "pass through bit-exact).",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_component"),
+        F.element_at("embedding", 64).alias("last_component"),
+        F.slice("embedding", 1, 4).alias("head4"),
+        F.reverse(F.slice("embedding", 61, 4)).alias("tail4_rev"),
+        F.array_contains(
+            F.array(F.col("label").cast("bigint")), F.lit(5).cast("bigint")
+        ).alias("is_label5"),
+    )
+
+
+# --------------------------------------------------------------------
+# Approximate aggregates: sketch implementations differ per engine, so
+# no value-oracle is possible — registered without one (the driver
+# records a rows-only check; the exact twins above are the oracle'd
+# coverage).
+# --------------------------------------------------------------------
+@register(
+    "approx_aggregates",
+    oracle=None,
+    doc="Approximate aggregates (HLL count-distinct + quantile "
+    "sketches) — engine-specific sketches, rows-only check; exact "
+    "twins are oracle-checked in distinct_aggregates/window queries.",
+)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_iqr"),
+    )
+
+
+# --------------------------------------------------------------------
+# LIKE / regexp / IN-list predicate surface.
+# --------------------------------------------------------------------
+@register(
+    "string_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type LIKE 'SMALL%'
+       OR regexp_matches(p_name, '(steel|copper)')
+       OR p_brand IN ('Brand#1', 'Brand#5')
+    """,
+    doc="String predicate surface: LIKE prefix, regexp match, IN list.",
+)
+def string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_type").like("SMALL%")
+        | F.col("p_name").rlike("(steel|copper)")
+        | F.col("p_brand").isin("Brand#1", "Brand#5")
+    ).select("p_partkey", "p_name", "p_type")

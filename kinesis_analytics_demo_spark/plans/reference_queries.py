@@ -102,6 +102,28 @@ def sliding_window_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_min_fluent",
+    oracle=_SLIDING_ORACLE,
+    doc="The SAME sliding-min query built through the fluent Table-API "
+    "front-end (reference flink/sliding_window.py:167-180: "
+    "Slide.over().every().on().alias() + string expression DSL) — "
+    "must produce results identical to the DataFrame/SQL forms, "
+    "proving the two front-ends share one plan (SURVEY.md §3.3).",
+)
+def sliding_window_min_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.plans.fluent import Slide, TableEnv
+
+    env = TableEnv(spark)
+    env.create_temporary_view("events_fluent", tbl(spark, sf_dir, "events"))
+    return (
+        env.from_path("events_fluent")
+        .window(Slide.over("2.minutes").every("1.minutes").on("ts").alias("w"))
+        .group_by("event_type, w")
+        .select("event_type, value.min as p, w.end as t")
+    )
+
+
+@register(
     "projection_rename",
     oracle="SELECT event_type AS ticker, value AS p, ts AS t FROM events",
     doc="Projection + rename via expression DSL (reference "

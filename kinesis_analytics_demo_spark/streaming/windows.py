@@ -35,6 +35,10 @@ Scale notes:
   explodes panes *before* the partial aggregate, so the map-side
   combine still collapses them; state is keys x windows-in-flight.
   Keep the ratio configurable and prefer coarse hops at scale.
+  Observed at 480 panes/event: the generated pane-expansion code
+  exceeds janino's method-size limit and Spark silently falls back to
+  interpreted execution (correct, slower) — another reason to cap the
+  over/every ratio in production configs.
 """
 
 from __future__ import annotations

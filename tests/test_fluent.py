@@ -1,0 +1,93 @@
+"""Fluent Table-API front-end tests: the reference's chain shape
+(Slide/Tumble + string expression DSL) builds the same results as the
+DataFrame form, and bad expressions fail loudly."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_analytics_demo_spark.plans.fluent import Slide, TableEnv, Tumble
+from kinesis_analytics_demo_spark.session import read_table
+from kinesis_analytics_demo_spark.streaming.windows import (
+    sliding_window_agg,
+    tumbling_candlestick,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def env(spark):
+    e = TableEnv(spark)
+    e.create_temporary_view("ev", read_table(spark, SF_SMALL, "events"))
+    return e
+
+
+def test_sliding_chain_equals_dataframe_form(spark, env):
+    fluent = (
+        env.from_path("ev")
+        .window(Slide.over("2.minutes").every("1.minutes").on("ts").alias("w"))
+        .group_by("event_type, w")
+        .select("event_type, value.min as p, w.end as t")
+    )
+    df_form = sliding_window_agg(
+        read_table(spark, SF_SMALL, "events"),
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        over="2 minutes",
+        every="1 minute",
+    )
+    assert fluent.columns == ["event_type", "p", "t"]
+    assert sorted(map(tuple, fluent.collect())) == sorted(map(tuple, df_form.collect()))
+
+
+def test_tumble_chain_window_bounds(spark, env):
+    fluent = (
+        env.from_path("ev")
+        .window(Tumble.over("'1' MINUTE").on("ts").alias("w"))
+        .group_by("event_type, w")
+        .select("event_type, w.start as ws, w.end as we, value.min as lo, value.max as hi")
+    )
+    batch = tumbling_candlestick(
+        read_table(spark, SF_SMALL, "events"),
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        window_duration="1 minute",
+    )
+    got = {(r.event_type, r.ws, r.we): (r.lo, r.hi) for r in fluent.collect()}
+    exp = {
+        (r.event_type, r.window_start, r.window_end): (r.min_value, r.max_value)
+        for r in batch.collect()
+    }
+    assert got == exp
+
+
+def test_plain_projection_with_rename(env):
+    df = env.from_path("ev").select("event_type as ticker, value as p")
+    assert df.columns == ["ticker", "p"]
+
+
+def test_sql_entry_points(spark, env):
+    assert env.sql_query("SELECT count(*) AS n FROM ev").collect()[0].n > 0
+    env.execute_sql("CREATE OR REPLACE TEMP VIEW ev2 AS SELECT * FROM ev")
+    assert env.from_path("ev2").to_df().count() > 0
+
+
+@pytest.mark.parametrize(
+    "exprs,err",
+    [
+        (("value.median as m",), "unknown aggregate"),
+        (("w.middle as m",), "unknown window accessor"),
+        (("event_type", "value.min as p", "user_id"), "not a grouping column"),
+        (("event_type",), "at least one aggregate"),
+    ],
+)
+def test_bad_expressions_raise(env, exprs, err):
+    chain = (
+        env.from_path("ev")
+        .window(Slide.over("2 minutes").every("1 minute").on("ts").alias("w"))
+        .group_by("event_type, w")
+    )
+    with pytest.raises(ValueError, match=err):
+        chain.select(*exprs)

@@ -222,6 +222,66 @@ def test_kinesis_sink_batching(spark, tmp_path):
     assert rec["PartitionKey"] == body["ticker"]
 
 
+def test_partitioned_file_sink(spark, tmp_path):
+    """S6: PARTITIONED BY (ticker) — streaming parquet sink writes
+    ticker=... directories (reference flink/tumbling_window.py:121)."""
+    src_dir = tmp_path / "pticks"
+    generate_to_dir(
+        str(src_dir), n_files=2, records_per_file=40, seed=3, base_time=BASE, step_s=1.0
+    )
+    stream = create_stream_source(spark, "file-json", path=str(src_dir))
+    out = tmp_path / "out"
+    q = write_stream(
+        stream,
+        "file",
+        path=str(out),
+        partition_by="ticker",
+        query_name="part_sink",
+        checkpoint=str(tmp_path / "ckpt-part"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    subdirs = {p.name for p in out.iterdir() if p.is_dir()}
+    assert subdirs >= {"ticker=AAPL", "ticker=AMZN"}
+    back = spark.read.parquet(str(out))
+    assert back.count() == 80
+    assert set(back.columns) == {"ticker", "price", "utc"}
+
+
+def test_streaming_foreach_batch_kinesis(spark, tmp_path):
+    """S3 end-to-end: a streaming query writing through the kinesis
+    foreachBatch sink (fake client via shared filesystem)."""
+    src_dir = tmp_path / "kticks"
+    generate_to_dir(
+        str(src_dir), n_files=2, records_per_file=30, seed=9, base_time=BASE, step_s=1.0
+    )
+    capture = tmp_path / "kputs.jsonl"
+    cap_path = str(capture)
+
+    class FakeClient:
+        def put_records(self, StreamName, Records):
+            with open(cap_path, "a") as fh:
+                fh.write(json.dumps({"stream": StreamName, "n": len(Records)}) + "\n")
+
+    writer = KinesisBatchWriter(
+        "out-stream", collection_max_count=25, client_factory=lambda: FakeClient()
+    )
+    stream = create_stream_source(spark, "file-json", path=str(src_dir))
+    q = write_stream(
+        stream,
+        "foreach_batch",
+        foreach_batch=writer,
+        query_name="kin_sink",
+        checkpoint=str(tmp_path / "ckpt-kin"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    calls = [json.loads(line) for line in capture.read_text().splitlines()]
+    assert sum(c["n"] for c in calls) == 60
+    assert all(c["n"] <= 25 for c in calls)
+    assert {c["stream"] for c in calls} == {"out-stream"}
+
+
 def test_noop_and_console_sinks(spark, tmp_path):
     """Blackhole (S5) and print (S4) sink analogs start and finish."""
     stream = create_stream_source(spark, "rate", rows_per_second=10)
