@@ -67,6 +67,45 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    # Streaming path: replay the events table as a micro-batch stream
+    # through the tumbling candlestick (watermark + append mode) —
+    # the reference's headline job under replay load. The reference's
+    # implied ingest ceiling is ~1k rec/s (1 Kinesis shard, BASELINE.md).
+    import tempfile
+
+    from kinesis_analytics_demo_spark.sinks.factory import write_stream
+    from kinesis_analytics_demo_spark.sources.factory import create_stream_source
+    from kinesis_analytics_demo_spark.streaming.jobs import tumbling_window_job
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        # file streams take a directory; stage the single-file table
+        # behind a symlink
+        stage = os.path.join(ckpt, "events_stream")
+        os.makedirs(stage)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(stage, "events.parquet"),
+        )
+        stream = create_stream_source(
+            spark, "file-parquet", path=stage, max_files_per_trigger=1000
+        )
+        result = tumbling_window_job(
+            spark, stream, ts_col="ts", key_col="event_type", value_col="value",
+            view_name="bench_stream",
+        )
+        t0 = time.perf_counter()
+        q = write_stream(
+            result,
+            "noop",
+            query_name="bench_streaming",
+            checkpoint=os.path.join(ckpt, "ck"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        timings["streaming_candlestick_replay"] = round(dt, 3)
+        total += dt
+
     print(
         json.dumps(
             {

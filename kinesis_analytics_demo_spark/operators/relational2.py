@@ -256,6 +256,53 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Per-key EMA: ordered-fold aggregate — the batch twin of the
+# applyInPandasWithState streaming operator (streaming/stateful.py).
+# Both engines fold left-to-right in f64 over (ts, event_id)-ordered
+# values, so results are bit-identical.
+# --------------------------------------------------------------------
+EMA_ALPHA = 0.3
+
+
+@register(
+    "ema_per_key",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT event_type,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           list_reduce(vals, (acc, x) -> {EMA_ALPHA} * x + {1 - EMA_ALPHA} * acc)
+               AS final_ema,
+           len(vals) AS n_events
+    FROM ordered
+    """,
+    doc="Per-key exponential moving average as an ordered array fold "
+    "(recursive state — not expressible as a plain SQL aggregate); "
+    "batch twin of the applyInPandasWithState streaming operator.",
+)
+def ema_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ordered_vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s.getField("value"),
+    )
+    agg = ev.groupBy("event_type").agg(ordered_vals.alias("vals"))
+    ema = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(EMA_ALPHA) * x + F.lit(1 - EMA_ALPHA) * acc,
+    )
+    return agg.select(
+        "event_type",
+        ema.alias("final_ema"),
+        F.size("vals").cast("bigint").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------
 # Array function surface over the embedding column.
 # --------------------------------------------------------------------
 @register(

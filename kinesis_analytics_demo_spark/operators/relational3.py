@@ -1,0 +1,246 @@
+"""Batch relational surface, part 3: TPC-H-shaped composite analytics
+(volume shipping, market share, promo revenue, large orders) adapted
+to the driver's star schema, several through the SQL text front-end
+(E1) to exercise both entry points at query scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(18,6)")
+
+
+def _rev():
+    return _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(18,6)"
+    )
+
+
+# --------------------------------------------------------------------
+# Q7-ish: trade volume between customer-nation / supplier-nation pairs
+# by year. Dimensions broadcast; one shuffle on the 3-column group key.
+# --------------------------------------------------------------------
+@register(
+    "nation_pair_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('NATION_0', 'NATION_1')
+      AND sn.n_name IN ('NATION_0', 'NATION_1')
+      AND cn.n_name != sn.n_name
+    GROUP BY cn.n_name, sn.n_name, year(o_orderdate)
+    """,
+    doc="TPC-H Q7-style volume shipping: bilateral trade volume per "
+    "year between two nations (double nation-dimension join).",
+)
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_0", "NATION_1"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_0", "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("o_orderdate").alias("order_year")
+        )
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("volume"))
+    )
+
+
+# --------------------------------------------------------------------
+# Q8-ish market share: one nation's fraction of regional revenue per
+# year. The share is a single f64 division of two decimal-exact sums.
+# --------------------------------------------------------------------
+@register(
+    "market_share",
+    oracle="""
+    SELECT order_year,
+           CAST(ROUND(nation_rev, 2) AS DOUBLE) / CAST(ROUND(total_rev, 2) AS DOUBLE) AS share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+            SUM(CASE WHEN n_name = 'NATION_3'
+                THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                     * CAST(1 - l_discount AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END) AS nation_rev,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                * CAST(1 - l_discount AS DECIMAL(18,6))) AS total_rev
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY year(o_orderdate)
+    )
+    """,
+    doc="TPC-H Q8-style market share: NATION_3's fraction of ASIA "
+    "supplier revenue per year (conditional aggregation + exact "
+    "decimal sums, one final f64 division).",
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _rev()
+    zero = F.lit(0).cast("decimal(18,6)")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(F.when(F.col("n_name") == "NATION_3", rev).otherwise(zero)).alias(
+                "nation_rev"
+            ),
+            F.sum(rev).alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "order_year",
+        (
+            F.round(F.col("nation_rev"), 2).cast("double")
+            / F.round(F.col("total_rev"), 2).cast("double")
+        ).alias("share"),
+    )
+
+
+# --------------------------------------------------------------------
+# Q14-ish promo revenue percentage via the SQL text front-end.
+# --------------------------------------------------------------------
+@register(
+    "promo_revenue_pct",
+    oracle="""
+    SELECT CAST(ROUND(promo, 2) AS DOUBLE) * 100.0 / CAST(ROUND(total, 2) AS DOUBLE) AS promo_pct
+    FROM (
+        SELECT SUM(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                        * CAST(1 - l_discount AS DECIMAL(18,6))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS promo,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                   * CAST(1 - l_discount AS DECIMAL(18,6))) AS total
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-03-01'
+    )
+    """,
+    doc="TPC-H Q14-style promo revenue share, written through the SQL "
+    "text entry point (E1) — same Catalyst plan as the DataFrame form.",
+)
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q14")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_q14")
+    return spark.sql(
+        """
+        SELECT CAST(ROUND(promo, 2) AS DOUBLE) * 100.0 / CAST(ROUND(total, 2) AS DOUBLE) AS promo_pct
+        FROM (
+            SELECT SUM(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                            * CAST(1 - l_discount AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS promo,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * CAST(1 - l_discount AS DECIMAL(18,6))) AS total
+            FROM li_q14 JOIN part_q14 ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-03-01'
+        )
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# Q18-ish large orders: HAVING over a fact aggregate, joined back to
+# the enclosing fact+dims.
+# --------------------------------------------------------------------
+@register(
+    "large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate
+    """,
+    doc="TPC-H Q18-style large-volume orders: IN over a HAVING "
+    "aggregate, joined back through customer (semi-join pushed into "
+    "the fact scan side).",
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"), li.l_orderkey == F.col("bk"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("total_qty"))
+    )
+
+
+# --------------------------------------------------------------------
+# Monthly revenue time series (date bucketing at scale: partition-
+# friendly group key, one shuffle).
+# --------------------------------------------------------------------
+@register(
+    "monthly_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+    """,
+    doc="Monthly revenue time series: date_trunc bucketing + exact "
+    "decimal sums.",
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

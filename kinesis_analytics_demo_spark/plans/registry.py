@@ -56,6 +56,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.multimodal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational2  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.relational3  # noqa: F401
     import kinesis_analytics_demo_spark.operators.similarity  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text  # noqa: F401
     import kinesis_analytics_demo_spark.plans.reference_queries  # noqa: F401

@@ -94,12 +94,22 @@ def create_stream_source(
         # Typed replay of a parquet directory (tests/bench: the events
         # table re-fed as a stream). Schema must be supplied for
         # streaming reads; take it from a batch peek (footer only).
+        # TIMESTAMP(NANOS) columns get the same truncation-to-micros
+        # normalization as session.read_table.
+        from kinesis_analytics_demo_spark.session import _nanos_timestamp_cols
+
+        nanos_cols = _nanos_timestamp_cols(path)
+        if nanos_cols:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = spark.read.parquet(path).schema
-        return (
+        df = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
             .parquet(path)
         )
+        for c in nanos_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
     if kind == "socket":
         raw = (
             spark.readStream.format("socket")

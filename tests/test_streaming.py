@@ -222,6 +222,86 @@ def test_kinesis_sink_batching(spark, tmp_path):
     assert rec["PartitionKey"] == body["ticker"]
 
 
+def test_stateful_ema_streaming_equals_batch_fold(spark, tmp_path):
+    """applyInPandasWithState: the per-key EMA carried across micro-
+    batches must equal one batch fold over the full (event-time
+    ordered) history."""
+    from kinesis_analytics_demo_spark.streaming.stateful import ema_stateful
+
+    src_dir = tmp_path / "eticks"
+    generate_to_dir(
+        str(src_dir), n_files=3, records_per_file=50, seed=21, base_time=BASE, step_s=2.0
+    )
+    stream = create_stream_source(spark, "file-json", path=str(src_dir))
+    result = ema_stateful(stream, key_col="ticker", ts_col="utc", value_col="price")
+    _run_available_now(result, "ema_stream", tmp_path)
+    got = {
+        (r.key, r.ts): r.ema for r in spark.table("ema_stream").collect()
+    }
+
+    batch = parse_stock_json(spark.read.text(str(src_dir)), "value")
+    rows = sorted(
+        ((r.ticker, r.utc, r.price) for r in batch.collect()), key=lambda t: (t[0], t[1])
+    )
+    alpha = 0.3
+    expected = {}
+    last: dict = {}
+    for tick, ts, price in rows:
+        prev = last.get(tick)
+        ema = price if prev is None else alpha * price + (1 - alpha) * prev
+        last[tick] = ema
+        expected[(tick, ts)] = ema
+    assert len(got) == len(expected) == 150
+    assert got == expected  # bit-exact: same fold order, same f64 ops
+
+
+def test_streaming_dedup_drop_duplicates(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on a
+    replayed stream with duplicated records keeps one copy."""
+    src_dir = tmp_path / "dupticks"
+    src_dir.mkdir()
+    from datetime import timedelta
+
+    def tick(i, ts):
+        return {"utc": ts.isoformat(), "ticker": f"T{i % 3}", "price": float(i)}
+
+    rows1 = [tick(i, BASE + timedelta(seconds=2 * i)) for i in range(30)]
+    with open(src_dir / "f1.json", "w") as fh:
+        for r in rows1 + rows1[:10]:  # 10 dups within the same batch
+            fh.write(json.dumps(r) + "\n")
+    with open(src_dir / "f2.json", "w") as fh:
+        for r in rows1[10:20]:  # 10 dups across batches
+            fh.write(json.dumps(r) + "\n")
+
+    stream = create_stream_source(spark, "file-json", path=str(src_dir))
+    deduped = stream.withWatermark("utc", "10 minutes").dropDuplicatesWithinWatermark(
+        ["ticker", "price", "utc"]
+    )
+    _run_available_now(deduped, "dedup_stream", tmp_path)
+    out = spark.table("dedup_stream").collect()
+    assert len(out) == 30  # every duplicate dropped, originals kept
+    assert len({(r.ticker, r.price, r.utc) for r in out}) == 30
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: enrich the tick stream with a static
+    dimension table (broadcast per micro-batch, no stream state)."""
+    src_dir = tmp_path / "jticks"
+    generate_to_dir(
+        str(src_dir), n_files=2, records_per_file=40, seed=13, base_time=BASE, step_s=1.0
+    )
+    dim = spark.createDataFrame(
+        [("AAPL", "tech"), ("AMZN", "retail"), ("MSFT", "tech"), ("TSLA", "auto")],
+        ["ticker", "sector"],
+    )
+    stream = create_stream_source(spark, "file-json", path=str(src_dir))
+    enriched = stream.join(dim, "ticker", "left")
+    _run_available_now(enriched, "enrich_stream", tmp_path)
+    out = spark.table("enrich_stream").collect()
+    assert len(out) == 80
+    assert all(r.sector is not None for r in out)
+
+
 def test_partitioned_file_sink(spark, tmp_path):
     """S6: PARTITIONED BY (ticker) — streaming parquet sink writes
     ticker=... directories (reference flink/tumbling_window.py:121)."""
