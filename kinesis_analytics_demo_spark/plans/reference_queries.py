@@ -37,7 +37,20 @@ from kinesis_analytics_demo_spark.streaming.windows import (
 )
 
 
-_CANDLE_ORACLE = """
+_CANDLE_ORACLE_FAST = """
+SELECT
+    event_type,
+    date_trunc('minute', ts) AS window_start,
+    date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+    arg_min(value, ts) AS first_value,
+    arg_max(value, ts) AS last_value,
+    min(value) AS min_value,
+    max(value) AS max_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+_CANDLE_ORACLE_TIES = """
 SELECT
     event_type,
     date_trunc('minute', ts) AS window_start,
@@ -53,11 +66,32 @@ GROUP BY 1, 2, 3
 
 @register(
     "candlestick_tumbling",
-    oracle=_CANDLE_ORACLE,
+    oracle=_CANDLE_ORACLE_FAST,
     doc="Tumbling-window candlestick (reference flink/tumbling_window.py:179-198): "
-    "per event_type, 1-minute tumble, open/close/low/high of value.",
+    "per event_type, 1-minute tumble, open/close/low/high of value. "
+    "min_by/max_by fast path (HashAggregate) — (key, ts) is unique in "
+    "this data at every SF, so picks are well-defined.",
 )
 def candlestick_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    return tumbling_candlestick(
+        events,
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        window_duration="1 minute",
+    )
+
+
+@register(
+    "candlestick_tumbling_tiebroken",
+    oracle=_CANDLE_ORACLE_TIES,
+    doc="Candlestick with explicit (ts, event_id) lexicographic tie-"
+    "break: deterministic even under duplicate timestamps (struct-"
+    "ordered min/max — SortAggregate tradeoff documented in "
+    "streaming/windows.py).",
+)
+def candlestick_tumbling_tiebroken(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = tbl(spark, sf_dir, "events")
     return tumbling_candlestick(
         events,

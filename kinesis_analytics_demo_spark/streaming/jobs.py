@@ -38,8 +38,8 @@ def build_tumbling_candlestick_sql(
         {key_col},
         window.start AS window_start,
         window.end   AS window_end,
-        min(named_struct('t', {ts_col}, 'v', {value_col})).v AS first_{value_col},
-        max(named_struct('t', {ts_col}, 'v', {value_col})).v AS last_{value_col},
+        min_by({value_col}, {ts_col}) AS first_{value_col},
+        max_by({value_col}, {ts_col}) AS last_{value_col},
         min({value_col}) AS min_{value_col},
         max({value_col}) AS max_{value_col}
     FROM {table_name}

@@ -78,15 +78,27 @@ def tumbling_candlestick(
     emit once finalized (append mode) — the Spark analog of Flink's
     on-watermark window firing.
     """
-    tiebreaks = tiebreak_cols or []
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
-    ordered = _event_ordered(value_col, ts_col, tiebreaks)
+    if tiebreak_cols:
+        # Deterministic under (key, ts) ties: lexicographic struct
+        # ordering. Costs a SortAggregate (struct buffers aren't
+        # hash-mutable) — partial aggregation still bounds the shuffle.
+        ordered = _event_ordered(value_col, ts_col, tiebreak_cols)
+        first = F.min(ordered).getField("__v")
+        last = F.max(ordered).getField("__v")
+    else:
+        # Fast path: min_by/max_by keep the aggregate in a codegen'd
+        # HashAggregate (~1.7x faster at sf0.1). Picks are unique
+        # whenever (key, ts) has no duplicates; pass tiebreak_cols when
+        # the data can tie.
+        first = F.min_by(value_col, ts_col)
+        last = F.max_by(value_col, ts_col)
     return (
         df.groupBy(F.window(F.col(ts_col), window_duration), F.col(key_col))
         .agg(
-            F.min(ordered).getField("__v").alias(f"first_{value_col}"),
-            F.max(ordered).getField("__v").alias(f"last_{value_col}"),
+            first.alias(f"first_{value_col}"),
+            last.alias(f"last_{value_col}"),
             F.min(value_col).alias(f"min_{value_col}"),
             F.max(value_col).alias(f"max_{value_col}"),
         )

@@ -45,10 +45,9 @@ def test_candlestick_single_shuffle(spark):
     df = all_queries()["candlestick_tumbling"].fn(spark, SF_MEDIUM)
     plan = _formatted_plan(spark, df)
     # One exchange on (window, key), with a PARTIAL aggregate before it
-    # so the shuffle carries keys x windows, not rows. (The struct-
-    # ordered min/max forces SortAggregate rather than HashAggregate —
-    # a deliberate tradeoff for deterministic event-time first/last;
-    # partial aggregation still bounds the shuffle.)
+    # so the shuffle carries keys x windows, not rows. The min_by fast
+    # path keeps this a HashAggregate; the tiebroken variant trades it
+    # for SortAggregate (see streaming/windows.py).
     import re
 
     lines = plan.splitlines()
