@@ -49,6 +49,7 @@ def generate_to_dir(
     interval_s: float = 0.0,
     base_time: datetime | None = None,
     step_s: float = 0.0,
+    start_index: int = 0,
 ) -> list[str]:
     """Write n_files JSON-lines files (each a micro-batch for the
     file-json source). Deterministic when seeded; when ``base_time``
@@ -58,7 +59,7 @@ def generate_to_dir(
     rng = random.Random(seed)
     paths = []
     t = base_time
-    for i in range(n_files):
+    for i in range(start_index, start_index + n_files):
         path = os.path.join(out_dir, f"ticks-{i:05d}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:

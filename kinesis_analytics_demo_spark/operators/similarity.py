@@ -116,6 +116,97 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+NPROBE = 2
+#: Deterministic coarse centroids: the embedding vectors of fixed ids.
+#: (Production would run k-means; fixed seeds keep the oracle exact —
+#: the IVF *structure* — assign/probe/re-rank — is what's exercised.)
+CENTROID_IDS = tuple(range(100, 100 + N_CENTROIDS))
+
+
+@register(
+    "similarity_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id IN {tuple(CENTROID_IDS)}
+    ),
+    assign AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {V.sql_cosine('e.embedding', 'c.cv', DIM)} DESC, c.cid)
+                   AS crank
+        FROM embeddings e, cent c
+    ),
+    lists AS (SELECT vec_id, embedding, cid FROM assign WHERE crank = 1),
+    qprobe AS (
+        SELECT vec_id AS query_id, embedding AS qv, cid
+        FROM assign WHERE vec_id < {N_QUERIES} AND crank <= {NPROBE}
+    ),
+    sims AS (
+        SELECT q.query_id, l.vec_id AS neighbor_id,
+               {V.sql_cosine('l.embedding', 'q.qv', DIM)} AS sim
+        FROM lists l JOIN qprobe q ON l.cid = q.cid
+        WHERE l.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    doc="ANN via IVF (inverted-file) coarse quantization: vectors "
+    "assigned to their nearest of 8 deterministic centroids; queries "
+    "probe their nprobe=2 nearest lists and exact-re-rank only those. "
+    "At 100 TB: centroid count ~ sqrt(N), lists are hash-partitioned "
+    "by centroid id, per-query work is O(nprobe * list), not O(N).",
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id").isin(*CENTROID_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cid"))
+            ),
+        )
+    )
+    lists = assign.filter(F.col("crank") == 1).select("vec_id", "embedding", "cid")
+    qprobe = assign.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
+    )
+    sims = (
+        lists.join(F.broadcast(qprobe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 @register(
     "similarity_ann_lsh",
     oracle=f"""

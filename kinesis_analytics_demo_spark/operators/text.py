@@ -166,6 +166,53 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+#: Top English character bigrams (public frequency tables) — the
+#: n-gram language profile. Fixed list, embedded in both engines.
+EN_BIGRAMS = ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd")
+_SQL_BIGRAM_LIST = "[" + ", ".join(f"'{b}'" for b in EN_BIGRAMS) + "]"
+
+
+@register(
+    "text_ngram_lang_profile",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, lang,
+               [substr(text, i, 2) for i in generate_series(1, greatest(length(text) - 1, 0))]
+                   AS bigrams
+        FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(bigrams, b -> list_contains({_SQL_BIGRAM_LIST}, b)))
+               / len(bigrams) AS en_bigram_score,
+           CASE WHEN len(list_filter(bigrams, b -> list_contains({_SQL_BIGRAM_LIST}, b)))
+                     / len(bigrams) >= 0.04
+                THEN 'en' ELSE 'unknown' END AS predicted_lang,
+           lang AS metadata_lang
+    FROM g
+    """,
+    doc="Character-n-gram language profiling: density of top English "
+    "bigrams over all character bigrams (the classic n-gram-profile "
+    "lang-ID heuristic, complementing the stopword scorer).",
+)
+def text_ngram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(length(text) - 1, 0)), i -> substring(text, i, 2))"
+    )
+    profile = F.array(*[F.lit(b) for b in EN_BIGRAMS])
+    n_hit = F.size(F.filter(bigrams, lambda b: F.array_contains(profile, b))).cast(
+        "bigint"
+    )
+    n = F.size(bigrams).cast("bigint")
+    score = n_hit / n
+    return docs.select(
+        "doc_id",
+        score.alias("en_bigram_score"),
+        F.when(score >= 0.04, "en").otherwise("unknown").alias("predicted_lang"),
+        F.col("lang").alias("metadata_lang"),
+    )
+
+
 _BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 

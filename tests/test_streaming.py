@@ -362,6 +362,51 @@ def test_streaming_foreach_batch_kinesis(spark, tmp_path):
     assert {c["stream"] for c in calls} == {"out-stream"}
 
 
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Stop/restart semantics (the KDA/Flink checkpointing analog,
+    SURVEY.md §2 W6): a restarted query resumes from the checkpoint and
+    processes only NEW files — the file sink ends up with every input
+    row exactly once."""
+    src_dir = tmp_path / "rticks"
+    out_dir = tmp_path / "rout"
+    ckpt = str(tmp_path / "rckpt")
+    generate_to_dir(
+        str(src_dir), n_files=2, records_per_file=25, seed=31, base_time=BASE, step_s=1.0
+    )
+
+    def run_once():
+        stream = create_stream_source(spark, "file-json", path=str(src_dir))
+        q = write_stream(
+            stream,
+            "file",
+            path=str(out_dir),
+            query_name="recov",
+            checkpoint=ckpt,
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(str(out_dir)).count() == 50
+    # new data lands while the query is DOWN
+    from datetime import timedelta
+
+    generate_to_dir(
+        str(src_dir),
+        n_files=1,
+        records_per_file=25,
+        seed=32,
+        base_time=BASE + timedelta(minutes=10),
+        step_s=1.0,
+        start_index=2,
+    )
+    # restart from the same checkpoint: only the new file is processed
+    run_once()
+    rows = spark.read.parquet(str(out_dir)).collect()
+    assert len(rows) == 75  # 50 + 25, no reprocessing of old files
+    assert len({(r.ticker, r.price, r.utc) for r in rows}) == 75
+
+
 def test_noop_and_console_sinks(spark, tmp_path):
     """Blackhole (S5) and print (S4) sink analogs start and finish."""
     stream = create_stream_source(spark, "rate", rows_per_second=10)
