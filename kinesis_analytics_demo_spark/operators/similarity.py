@@ -116,27 +116,25 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_CENTROIDS = 8
 NPROBE = 2
-#: Deterministic coarse centroids: the embedding vectors of fixed ids.
-#: (Production would run k-means; fixed seeds keep the oracle exact —
-#: the IVF *structure* — assign/probe/re-rank — is what's exercised.)
-CENTROID_IDS = tuple(range(100, 100 + N_CENTROIDS))
 
 
 @register(
     "similarity_ivf",
     oracle=f"""
     WITH cent AS (
-        SELECT vec_id AS cid, embedding AS cv FROM embeddings
-        WHERE vec_id IN {tuple(CENTROID_IDS)}
+        SELECT min(vec_id) AS cid FROM embeddings GROUP BY label
+    ),
+    centv AS (
+        SELECT c.cid, e.embedding AS cv
+        FROM cent c JOIN embeddings e ON e.vec_id = c.cid
     ),
     assign AS (
         SELECT e.vec_id, e.embedding, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY {V.sql_cosine('e.embedding', 'c.cv', DIM)} DESC, c.cid)
                    AS crank
-        FROM embeddings e, cent c
+        FROM embeddings e, centv c
     ),
     lists AS (SELECT vec_id, embedding, cid FROM assign WHERE crank = 1),
     qprobe AS (
@@ -158,16 +156,18 @@ CENTROID_IDS = tuple(range(100, 100 + N_CENTROIDS))
     SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= {TOP_K}
     """,
-    doc="ANN via IVF (inverted-file) coarse quantization: vectors "
-    "assigned to their nearest of 8 deterministic centroids; queries "
-    "probe their nprobe=2 nearest lists and exact-re-rank only those. "
-    "At 100 TB: centroid count ~ sqrt(N), lists are hash-partitioned "
+    doc="ANN via IVF (inverted-file) coarse quantization: one "
+    "deterministic representative per label cluster as centroid, "
+    "nearest-centroid assignment, queries probe their nprobe=2 "
+    "nearest lists and exact-re-rank only those. At 100 TB: centroid "
+    "count ~ sqrt(N) (k-means in production), lists hash-partitioned "
     "by centroid id, per-query work is O(nprobe * list), not O(N).",
 )
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id").isin(*CENTROID_IDS)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    cids = emb.groupBy("label").agg(F.min("vec_id").alias("cid")).select("cid")
+    cent = cids.join(emb, F.col("cid") == F.col("vec_id")).select(
+        "cid", F.col("embedding").alias("cv")
     )
     assign = (
         emb.crossJoin(F.broadcast(cent))

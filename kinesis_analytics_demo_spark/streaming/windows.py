@@ -39,6 +39,14 @@ Scale notes:
   exceeds janino's method-size limit and Spark silently falls back to
   interpreted execution (correct, slower) — another reason to cap the
   over/every ratio in production configs.
+- Idle-source watermark hazard (reference W5, flink/tumbling_window
+  .py:50-60: the reference pins parallelism=1 because idle Kinesis
+  consumers stall Flink's watermark): Spark computes the global
+  watermark as the MIN across source partitions, so an idle shard
+  stalls window emission the same way. Mitigations on Spark: keep
+  source partitions fed (rate-limited test sources), or relax with
+  ``spark.sql.streaming.multipleWatermarkPolicy=max`` when combining
+  multiple watermarked inputs. Config note, not a code path.
 """
 
 from __future__ import annotations
