@@ -222,6 +222,54 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Salted aggregation for skewed keys. events.event_type has only 5
+# values — at 100 TB a plain groupBy sends ~20 TB to each of 5
+# reducers. Salting splits each hot key into SALT_BUCKETS sub-keys
+# (uniform via a hash of a high-cardinality column), aggregates the
+# sub-keys in parallel, then combines the partial aggregates in a
+# trivially small second stage. Decimal sums are associative, so the
+# result is bit-identical to the unsalted aggregate — which is exactly
+# what the oracle computes.
+# --------------------------------------------------------------------
+SALT_BUCKETS = 16
+
+
+@register(
+    "skewed_agg_salted",
+    oracle="""
+    SELECT event_type,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+           count(*) AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Two-phase salted aggregation over a 5-value (skewed) key: "
+    "phase 1 groups on (key, hash-salt) across all reducers, phase 2 "
+    "combines the per-salt partials — same exact result as a direct "
+    "groupBy, without a hot reducer.",
+)
+def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).cast("int")
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.sum(_dec("value")).alias("pv"),
+        F.count(F.lit(1)).alias("pn"),
+        F.min("value").alias("pmin"),
+        F.max("value").alias("pmax"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.round(F.sum("pv"), 2).cast("double").alias("total_value"),
+        F.sum("pn").alias("n_events"),
+        F.min("pmin").alias("min_value"),
+        F.max("pmax").alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------
 # Monthly revenue time series (date bucketing at scale: partition-
 # friendly group key, one shuffle).
 # --------------------------------------------------------------------

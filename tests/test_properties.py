@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis): config parsing totality and a
+model-based check of the candlestick operator against a naive python
+oracle on randomized event sets."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kinesis_analytics_demo_spark.config import canonical_duration
+
+UNITS = ["second", "minute", "hour", "day"]
+
+
+@given(
+    n=st.integers(min_value=1, max_value=999),
+    unit=st.sampled_from(UNITS),
+    plural=st.booleans(),
+    form=st.sampled_from(["spark", "flink_table", "flink_sql"]),
+)
+def test_canonical_duration_total_and_idempotent(n, unit, plural, form):
+    u = unit + ("s" if plural else "")
+    raw = {
+        "spark": f"{n} {u}",
+        "flink_table": f"{n}.{u}",
+        "flink_sql": f"'{n}' {u.upper()}",
+    }[form]
+    out = canonical_duration(raw)
+    # canonical form: spark-style, singular iff n == 1
+    expect = f"{n} {unit}" if n == 1 else f"{n} {unit}s"
+    assert out == expect
+    assert canonical_duration(out) == out  # idempotent
+
+
+@given(garbage=st.text(max_size=20))
+def test_canonical_duration_rejects_garbage(garbage):
+    import re
+
+    if re.fullmatch(r"\s*\d+[. ]\w+\s*", garbage or ""):
+        return  # looks like a duration; covered above
+    with pytest.raises(ValueError):
+        canonical_duration(garbage if garbage.strip() else "not-a-duration")
+
+
+BASE = datetime(2024, 6, 1, 12, 0, 0)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=600),  # seconds offset (10 min span)
+        st.sampled_from(["A", "B"]),  # key
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: (t[1], t[0]),  # unique (key, ts): fast-path contract
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_strategy)
+def test_candlestick_matches_naive_model(spark, rows):
+    from kinesis_analytics_demo_spark.streaming.windows import tumbling_candlestick
+
+    data = [(BASE + timedelta(seconds=o), k, v) for o, k, v in rows]
+    df = spark.createDataFrame(data, ["ts", "key", "value"])
+    got = {
+        (r.key, r.window_start): (
+            r.first_value,
+            r.last_value,
+            r.min_value,
+            r.max_value,
+        )
+        for r in tumbling_candlestick(
+            df, ts_col="ts", key_col="key", value_col="value",
+            window_duration="1 minute",
+        ).collect()
+    }
+
+    # naive python model
+    model: dict = {}
+    for ts, k, v in data:
+        w = ts.replace(second=0, microsecond=0)
+        model.setdefault((k, w), []).append((ts, v))
+    expect = {}
+    for key, items in model.items():
+        items.sort()
+        vals = [v for _, v in items]
+        expect[key] = (items[0][1], items[-1][1], min(vals), max(vals))
+    assert got == expect
