@@ -64,16 +64,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------- minhash helpers
-def _minhash_banded(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, sig): 4 LSH band signatures per document.
+def _minhash_banded(sh_rows: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): 4 LSH band signatures per document, from
+    (doc_id, h) shingle-hash rows.
 
     Shape chosen for scale AND speed: shingle hashes are EXPLODED to
     rows and the 16 permutation minima run as codegen'd aggregate
     expressions (higher-order array functions are interpreted per
     element — 10x slower on wide arrays). Partial aggregation
     collapses map-side, so the shuffle carries only docs x 16 longs,
-    never the shingle stream."""
-    sh_rows = _shingle_hash_rows(docs)
+    never the shingle stream. min() is duplicate-insensitive, so the
+    DISTINCT shingle rows work here too — letting one persisted
+    intermediate feed both the LSH and the verify stage (one corpus
+    scan total)."""
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % H.MERSENNE_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(H.MINHASH_PERMS)
@@ -112,9 +115,9 @@ def _distinct_shingles(docs: DataFrame) -> DataFrame:
     return _shingle_hash_rows(docs).distinct()
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(docs: DataFrame, dsh: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs: documents sharing any band signature."""
-    bands = _minhash_banded(docs)
+    bands = _minhash_banded(dsh if dsh is not None else _shingle_hash_rows(docs))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -129,18 +132,29 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact n-gram Jaccard for the given candidate pairs.
-
-    The distinct-shingle rows feed three plan branches (doc_a side,
-    doc_b side, per-doc sizes); Spark does not share common subplans
-    across joins, so without persistence the corpus would be
-    re-shingled three times. MEMORY_AND_DISK persistence turns that
-    into one scan + two cached reads (at 100 TB this intermediate is
-    the thing you'd checkpoint to cluster storage)."""
+def minhash_dup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Full MinHash-LSH pipeline with ONE corpus scan: the persisted
+    distinct-shingle rows feed banding, both verify sides, and the
+    per-doc sizes (Spark doesn't share common subplans across joins;
+    at 100 TB this persisted intermediate is what you'd checkpoint to
+    cluster storage)."""
     from pyspark import StorageLevel
 
     dsh = _distinct_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = minhash_candidate_pairs(docs, dsh=dsh)
+    return jaccard_verify(docs, pairs, dsh=dsh).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame, pairs: DataFrame, dsh: DataFrame | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard for the given candidate pairs."""
+    from pyspark import StorageLevel
+
+    if dsh is None:
+        dsh = _distinct_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = dsh.alias("sa")
     b = dsh.alias("sb")
@@ -224,8 +238,7 @@ def _sql_minhash_cte() -> str:
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs)
-    return jaccard_verify(docs, pairs).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return minhash_dup_pairs(docs, JACCARD_THRESHOLD)
 
 
 @register(
@@ -242,12 +255,72 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    dups = (
-        jaccard_verify(docs, minhash_candidate_pairs(docs))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select(F.col("doc_b").alias("doc_id"))
+    dups = minhash_dup_pairs(docs, JACCARD_THRESHOLD).select(
+        F.col("doc_b").alias("doc_id")
     )
     return docs.join(dups, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_sql_minhash_cte()},
+    dup AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM dup
+    ),
+    reach(doc_id, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+    )
+    SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+    doc="Near-duplicate CLUSTERS: connected components over the "
+    "MinHash-LSH duplicate graph via iterative min-label propagation "
+    "(each round: label = min(label, neighbors' labels); converges in "
+    "O(diameter) distributed join rounds). The driver loop only "
+    "checks a converged flag — all data work is distributed. Oracle: "
+    "recursive-CTE reachability in DuckDB.",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dup = minhash_dup_pairs(docs, JACCARD_THRESHOLD)
+    edges = dup.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(dup.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    for _ in range(20):  # diameter cap; these graphs are tiny chains
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "cluster_id")
 
 
 # ------------------------------------------------------------------- simhash
@@ -378,8 +451,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs)
-    return jaccard_verify(docs, pairs).filter(F.col("jaccard") >= 0.5)
+    return minhash_dup_pairs(docs, 0.5)
 
 
 # ------------------------------------------------------- embedding near-dups

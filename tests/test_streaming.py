@@ -362,6 +362,48 @@ def test_streaming_foreach_batch_kinesis(spark, tmp_path):
     assert {c["stream"] for c in calls} == {"out-stream"}
 
 
+def test_streaming_session_window_equals_batch(spark, tmp_path):
+    """session_window in streaming mode (merging session state +
+    watermark) must equal the batch sessionization of the same rows
+    for sessions the watermark closed."""
+    src_dir = tmp_path / "sessticks"
+    # 3 files, 4s step -> several per-ticker gaps > 30s session gap
+    generate_to_dir(
+        str(src_dir), n_files=3, records_per_file=30, seed=17, base_time=BASE,
+        step_s=4.0,
+    )
+    gap = "30 seconds"
+
+    def sessionize(df):
+        from pyspark.sql import functions as F
+
+        d = df.withWatermark("utc", "10 seconds") if df.isStreaming else df
+        return (
+            d.groupBy(F.session_window("utc", gap), "ticker")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "ticker",
+                F.col("session_window.start").alias("s"),
+                F.col("session_window.end").alias("e"),
+                "n",
+            )
+        )
+
+    stream = create_stream_source(spark, "file-json", path=str(src_dir))
+    _run_available_now(sessionize(stream), "sess_stream", tmp_path)
+    got = {tuple(r) for r in spark.table("sess_stream").collect()}
+
+    batch = parse_stock_json(spark.read.text(str(src_dir)), "value")
+    final_wm = max(r[0] for r in batch.select("utc").collect())
+    expected = {
+        tuple(r)
+        for r in sessionize(batch).collect()
+        if (final_wm - r[2]).total_seconds() >= 10  # session end <= watermark
+    }
+    assert got == expected
+    assert len(got) > 4
+
+
 def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     """Stop/restart semantics (the KDA/Flink checkpointing analog,
     SURVEY.md §2 W6): a restarted query resumes from the checkpoint and
