@@ -337,6 +337,34 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Exact percentiles: Spark's percentile() and DuckDB's quantile_cont
+# share the same linear-interpolation definition — verified bit-exact.
+# --------------------------------------------------------------------
+@register(
+    "exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           quantile_cont(l_quantity, 0.5) AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (ordered-set aggregate): "
+    "Spark percentile() == DuckDB quantile_cont bit-for-bit.",
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+    )
+
+
+# --------------------------------------------------------------------
 # Approximate aggregates: sketch implementations differ per engine, so
 # no value-oracle is possible — registered without one (the driver
 # records a rows-only check; the exact twins above are the oracle'd

@@ -92,6 +92,7 @@ def write_stream(
     trigger_available_now: bool = False,
     foreach_batch: Callable | None = None,
     options: dict[str, str] | None = None,
+    sink_columns: list[str] | None = None,
 ) -> StreamingQuery:
     """Start a streaming write (reference INSERT INTO submission,
     flink/tumbling_window.py:286-296).
@@ -99,7 +100,21 @@ def write_stream(
     kinds: console (print sink), noop (blackhole), memory (named
     in-memory table, tests), file (parquet, optionally partitioned by
     key — the S6 analog), foreach_batch (e.g. KinesisBatchWriter).
+
+    ``sink_columns`` reproduces Flink's POSITIONAL sink binding: the
+    reference's sliding job declares its sink as (ticker, price, utc)
+    but inserts (ticker, p=min(price), t=window.end) — columns bind by
+    position, not name (flink/sliding_window.py:144-151 vs 176-179).
+    Passing the declared sink schema's names renames the query's
+    output positionally before writing.
     """
+    if sink_columns is not None:
+        if len(sink_columns) != len(df.columns):
+            raise ValueError(
+                f"sink declares {len(sink_columns)} columns, query "
+                f"produces {len(df.columns)}"
+            )
+        df = df.toDF(*sink_columns)
     writer = df.writeStream.outputMode(output_mode).queryName(query_name)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)

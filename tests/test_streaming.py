@@ -449,6 +449,34 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert len({(r.ticker, r.price, r.utc) for r in rows}) == 75
 
 
+def test_positional_sink_binding(spark, tmp_path):
+    """Flink-style positional sink binding: the sliding job's output
+    (ticker, p, t) lands in a sink declared (ticker, price, utc) —
+    reference flink/sliding_window.py:144-151 vs 176-179."""
+    src_dir = tmp_path / "posticks"
+    generate_to_dir(
+        str(src_dir), n_files=2, records_per_file=30, seed=41, base_time=BASE,
+        step_s=2.0,
+    )
+    stream = create_stream_source(spark, "file-json", path=str(src_dir))
+    result = sliding_window_job(spark, stream, over="2 minutes", every="1 minute")
+    assert result.columns == ["ticker", "p", "t"]
+    q = write_stream(
+        result,
+        "memory",
+        query_name="pos_sink",
+        checkpoint=str(tmp_path / "ckpt-pos"),
+        trigger_available_now=True,
+        sink_columns=["ticker", "price", "utc"],  # declared sink schema
+    )
+    q.awaitTermination(120)
+    out = spark.table("pos_sink")
+    assert out.columns == ["ticker", "price", "utc"]
+
+    with pytest.raises(ValueError, match="declares 2 columns"):
+        write_stream(result, "memory", sink_columns=["a", "b"])
+
+
 def test_noop_and_console_sinks(spark, tmp_path):
     """Blackhole (S5) and print (S4) sink analogs start and finish."""
     stream = create_stream_source(spark, "rate", rows_per_second=10)
