@@ -72,6 +72,26 @@ def _sql_bucket(emb: str) -> str:
 
 
 @register(
+    "udf_vector_norms",
+    oracle=f"""
+    SELECT vec_id,
+           sqrt({V.sql_dot('embedding', 'embedding', DIM)}) AS l2_norm
+    FROM embeddings
+    """,
+    doc="UDF surface (SURVEY §2 U1): an Arrow-vectorized pandas_udf "
+    "registered via spark.udf.register and invoked through spark.sql "
+    "— LTR f64 accumulation keeps it bit-identical to the JVM fold "
+    "and the DuckDB oracle.",
+)
+def udf_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.functions.udfs import register_udfs
+
+    register_udfs(spark)
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("emb_udf")
+    return spark.sql("SELECT vec_id, vector_norm(embedding) AS l2_norm FROM emb_udf")
+
+
+@register(
     "similarity_cosine_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
