@@ -323,6 +323,47 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", "cluster_id")
 
 
+_SQL_SIG_CTE = None  # built lazily below
+
+
+def _sql_signature_cte() -> str:
+    shingles = H.sql_word_shingles("text")
+    mh_exprs = H.sql_minhash_select("hashes")
+    mh_sel = ",\n           ".join(f"{e} AS mh{i}" for i, e in enumerate(mh_exprs))
+    concat = " || ',' || ".join(f"mh{i}::VARCHAR" for i in range(len(H.MINHASH_PERMS)))
+    return f"""
+    w AS (SELECT doc_id, {shingles} AS sh_list FROM documents),
+    h AS (SELECT doc_id,
+                 [{H.sql_shingle_hash('s')} for s in sh_list] AS hashes
+          FROM w WHERE len(sh_list) > 0),
+    mh AS (SELECT doc_id,
+           {mh_sel}
+           FROM h),
+    sig AS (SELECT doc_id, md5({concat}) AS minhash_sig FROM mh)"""
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH {_sql_signature_cte()}
+    SELECT minhash_sig, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+    FROM sig GROUP BY minhash_sig
+    """,
+    doc="Row-local minhash signatures (the streaming dedup key, "
+    "streaming/dedup.py): near-exact dedup by full-signature "
+    "equality, keep lowest doc_id. Computed as per-row array "
+    "expressions — the form that works on an unbounded stream.",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.streaming.dedup import with_minhash_signature
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = with_minhash_signature(docs.filter(F.size(H.word_shingles(F.col("text"))) > 0))
+    return sig.groupBy("minhash_sig").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 # ------------------------------------------------------------------- simhash
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explode distinct-token hashes to rows, then 60 codegen'd

@@ -1,0 +1,55 @@
+"""Streaming deduplication — the LLM-data dedup family applied to an
+unbounded document stream.
+
+Batch dedup (operators/dedup.py) explodes shingles and aggregates;
+on a stream each document must be fingerprinted ROW-LOCALLY (no
+cross-row aggregation before the dedup state), so the minhash runs as
+array expressions over the document's own shingle array, and
+``dropDuplicatesWithinWatermark`` keeps first-arrival winners with
+state bounded by the watermark horizon.
+
+Semantics: two documents collide iff ALL 16 minhash values match —
+near-exact dedup (Jaccard ~ 1). For looser thresholds, run the batch
+LSH pipeline over micro-batched archives; per-row banding with
+``dropDuplicates`` on a single band would dedup at the band's
+s-curve threshold instead.
+
+Scale: state is one (signature, expiry) entry per UNIQUE in-horizon
+document — the signature is 16 longs, never the text; the dedup
+shuffle is on the md5 of the signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.functions import hashing as H
+
+
+def with_minhash_signature(
+    df: DataFrame, text_col: str = "text", out_col: str = "minhash_sig"
+) -> DataFrame:
+    """Row-local minhash signature (md5 of the 16 permutation minima)
+    — pure array expressions, streaming-safe."""
+    hashes = H.shingle_hashes(F.col(text_col))
+    mins = H.minhash_columns(hashes)
+    sig = F.md5(F.concat_ws(",", *[m.cast("string") for m in mins]))
+    return df.withColumn(out_col, sig)
+
+
+def streaming_minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Drop near-exact duplicate documents from a stream: first
+    arrival per minhash signature wins; duplicates arriving within the
+    watermark horizon are suppressed, state expires beyond it."""
+    sig_df = with_minhash_signature(df, text_col)
+    if df.isStreaming:
+        return sig_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["minhash_sig"]
+        )
+    return sig_df.dropDuplicates(["minhash_sig"])

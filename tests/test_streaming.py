@@ -404,6 +404,59 @@ def test_streaming_session_window_equals_batch(spark, tmp_path):
     assert len(got) > 4
 
 
+def test_streaming_minhash_dedup(spark, tmp_path):
+    """Streaming near-exact document dedup: duplicate texts arriving
+    later in the stream (same or later micro-batch, within the
+    watermark) are suppressed; first arrival wins."""
+    from kinesis_analytics_demo_spark.streaming.dedup import streaming_minhash_dedup
+
+    src_dir = tmp_path / "docs_stream"
+    src_dir.mkdir()
+    from datetime import timedelta
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "spark structured streaming merges windows with event time state",
+        "minhash signatures collapse near duplicate documents very well",
+    ]
+
+    def doc(i, text, minute):
+        return {
+            "doc_id": i,
+            "text": text,
+            "ts": (BASE + timedelta(minutes=minute)).isoformat(),
+        }
+
+    with open(src_dir / "b1.json", "w") as fh:
+        fh.write(json.dumps(doc(0, texts[0], 0)) + "\n")
+        fh.write(json.dumps(doc(1, texts[1], 1)) + "\n")
+        fh.write(json.dumps(doc(2, texts[0], 2)) + "\n")  # dup in-batch
+    with open(src_dir / "b2.json", "w") as fh:
+        fh.write(json.dumps(doc(3, texts[2], 3)) + "\n")
+        fh.write(json.dumps(doc(4, texts[1], 4)) + "\n")  # dup cross-batch
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", "1").load(
+        str(src_dir)
+    )
+    docs = raw.select(F.from_json("value", schema).alias("r")).select(
+        "r.doc_id", "r.text", F.col("r.ts").cast("timestamp").alias("ts")
+    )
+    deduped = streaming_minhash_dedup(docs, text_col="text", ts_col="ts")
+    _run_available_now(deduped, "mh_dedup_stream", tmp_path)
+    kept = sorted(r.doc_id for r in spark.table("mh_dedup_stream").collect())
+    assert kept == [0, 1, 3]  # first arrivals only; 2 and 4 suppressed
+
+
 def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     """Stop/restart semantics (the KDA/Flink checkpointing analog,
     SURVEY.md §2 W6): a restarted query resumes from the checkpoint and
