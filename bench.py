@@ -39,6 +39,10 @@ HEADLINE = [
     "text_token_stats",
     "text_quality_score",
     "multimodal_binary_features",
+    "multimodal_decode_pipeline",
+    # temporal joins
+    "asof_join_events",
+    "range_join_events",
 ]
 
 

@@ -98,6 +98,110 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Fake-decode geometry: first STRIP "pixels" (code points) of the
+#: payload; thumbnail blocks of 8 (power of 2 -> block means are
+#: exact IEEE doubles on every engine); frame stride 7; audio window
+#: 16 samples (integer sum of squares -> exact).
+DECODE_STRIP = 64
+THUMB_BLOCK = 8
+FRAME_STRIDE = 7
+AUDIO_WINDOW = 16
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_pixels", T.IntegerType()),
+        T.StructField("thumb", T.ArrayType(T.DoubleType())),
+        T.StructField("frames", T.ArrayType(T.IntegerType())),
+        T.StructField("energy", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _make_decode_pipeline():
+    """Decode -> resize (block-mean thumbnail) -> frame-sample ->
+    energy-window kernel, as a closure for cloudpickle (see
+    ``_make_extract_features``). The DECODE here is a deterministic
+    fake (payload utf-8 code points as "pixels"); in production it
+    becomes `PIL.Image.open(io.BytesIO(payload)).resize(...)` /
+    frame extraction — the Arrow batch shape, output schema, and
+    partition parallelism are exactly what ships."""
+
+    strip, blk, stride, win = DECODE_STRIP, THUMB_BLOCK, FRAME_STRIDE, AUDIO_WINDOW
+
+    def decode(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        def fake_decode(payload: bytes) -> list[int]:
+            return [ord(c) for c in payload.decode("utf-8")[:strip]]
+
+        def features(payload: bytes):
+            px = fake_decode(payload)
+            n = len(px)
+            thumb = [
+                sum(px[i : i + blk]) / len(px[i : i + blk])
+                for i in range(0, n, blk)
+            ]
+            frames = px[::stride]
+            energy = [
+                sum(x * x for x in px[i : i + win]) for i in range(0, n, win)
+            ]
+            return n, thumb, frames, energy
+
+        for pdf in batches:
+            feats = pdf["payload"].map(features)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_pixels": feats.map(lambda f: f[0]).astype("int32"),
+                    "thumb": feats.map(lambda f: f[1]),
+                    "frames": feats.map(lambda f: f[2]),
+                    "energy": feats.map(lambda f: f[3]),
+                }
+            )
+
+    return decode
+
+
+@register(
+    "multimodal_decode_pipeline",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               [unicode(substr(text, i, 1))
+                for i in generate_series(1, least(length(text), {DECODE_STRIP}))]
+                   AS pixels
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(pixels) AS INT) AS n_pixels,
+           [list_avg(pixels[(j - 1) * {THUMB_BLOCK} + 1 : j * {THUMB_BLOCK}])
+            for j in generate_series(1, CAST(ceil(len(pixels) / {THUMB_BLOCK}.0) AS INT))]
+               AS thumb,
+           [pixels[i] for i in generate_series(1, len(pixels), {FRAME_STRIDE})]
+               AS frames,
+           [list_sum([x * x for x in
+                      pixels[(j - 1) * {AUDIO_WINDOW} + 1 : j * {AUDIO_WINDOW}]])
+            for j in generate_series(1, CAST(ceil(len(pixels) / {AUDIO_WINDOW}.0) AS INT))]
+               AS energy
+    FROM px
+    """,
+    doc="Multimodal decode pipeline: binary payload -> fake decode "
+    "(deterministic code-point pixels; production swaps in a real "
+    "image/audio codec) -> resize (8-px block-mean thumbnail), "
+    "video frame-sampling (stride 7), audio energy windows (sum of "
+    "squares per 16 samples), all inside one Arrow-batched "
+    "mapInPandas pass. Array outputs verified element-exact against "
+    "DuckDB list comprehensions.",
+)
+def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    frame = with_binary_payload(docs)
+    return frame.select("doc_id", "payload").mapInPandas(
+        _make_decode_pipeline(), schema=DECODED_SCHEMA
+    )
+
+
 @register(
     "multimodal_binary_features",
     oracle="""

@@ -292,3 +292,83 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping_id: the general form behind
+# ROLLUP/CUBE (already covered), plus the grouping-bit introspection
+# column analytics layers key off. One Expand + one shuffle.
+# --------------------------------------------------------------------
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS ((a),(b),()) + GROUPING() id bits — "
+    "the general grouping-set form (ROLLUP/CUBE are sugar over it), "
+    "via the SQL front-end (E1).",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q19-shaped disjunctive predicate: OR of multi-column
+# conjunctions across a join. Catalyst extracts the common l_partkey
+# = p_partkey equi-condition so this stays a hash join (not nested
+# loop), and pushes the per-table residuals below it.
+# --------------------------------------------------------------------
+@register(
+    "disjunctive_filter_revenue",
+    oracle="""
+    SELECT count(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 5 AND 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="Q19-style OR-of-conjunctions over a join: equi-key stays "
+    "hash-joinable, residual disjunction evaluated post-join; "
+    "single-row exact-decimal aggregate.",
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(5, 25)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond1 | cond2)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),
+        )
+    )

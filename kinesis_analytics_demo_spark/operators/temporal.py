@@ -1,0 +1,194 @@
+"""Temporal join operators: as-of join and range (interval) join.
+
+Neither exists as a built-in Spark join type; both are staples of the
+event-analytics surface the reference's streaming jobs serve (keyed
+event-time processing over the stock-tick stream, reference
+flink/tumbling_window.py:115-121). Implemented here as compositions
+of shuffles Spark already optimizes well:
+
+- **As-of join** (most recent left-ward match per key): the naive
+  formulation is an inequality join — a cross product per key, O(n*m)
+  and un-shuffleable. Instead we UNION both sides with a side marker
+  and take ``last(value, ignorenulls=True)`` over a per-key window
+  ordered by (ts, side): ONE hash shuffle on the key, one sort within
+  partitions — the same cost as a groupBy, scales linearly at 100 TB.
+- **Range join** (point-in-interval): the naive form is again an
+  inequality join that Catalyst can only express as
+  BroadcastNestedLoopJoin. We bucketize time into interval-width
+  epochs, explode each interval to the (at most 2) buckets it
+  overlaps, equi-join on (key, bucket) — hash-joinable, partition-
+  prunable — then re-apply the exact range predicate. Candidate
+  pairs per click are O(1), not O(intervals).
+
+Both are verified against DuckDB's native ASOF JOIN / inequality
+join — a genuinely different execution strategy, so parity checks
+semantics rather than implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: for every left row, attach the `value_cols`
+    of the most recent right row with right.ts <= left.ts, per `on`
+    key. Returns the left rows plus matched columns (null when no
+    prior right row exists). One shuffle on `on`."""
+    struct_t = F.struct(*[F.col(c) for c in value_cols])
+    l_marked = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(None).cast(
+            right.select(struct_t.alias("s")).schema["s"].dataType
+        ).alias("__r"),
+        F.lit(1).alias("__side"),
+    )
+    r_marked = right.select(
+        *[
+            F.col(c) if c in (on, ts) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        struct_t.alias("__r"),
+        F.lit(0).alias("__side"),
+    )
+    unioned = l_marked.unionByName(r_marked)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # last(struct, ignorenulls) is atomic: all matched columns come
+    # from the SAME most-recent right row, even if some are null.
+    filled = unioned.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    return filled.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__m.{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           c.value AS click_value,
+           v.value AS view_value,
+           v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    doc="As-of join: each click event joined to the most recent "
+    "prior-or-equal view event of the same user. Spark side uses the "
+    "union + per-key ordered window formulation (one shuffle, linear "
+    "scale); oracle uses DuckDB's native ASOF JOIN.",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("value")
+    )
+    joined = asof_join(
+        clicks, views.withColumn("view_ts", F.col("ts")), on="user_id", ts="ts",
+        value_cols=["value", "view_ts"],
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        "click_value",
+        F.col("asof_value").alias("view_value"),
+        F.col("asof_view_ts").alias("view_ts"),
+    )
+
+
+#: Incident window length; also the time-bucket width for the range
+#: join (bucket width == max interval length -> each interval overlaps
+#: at most 2 buckets).
+INCIDENT_WINDOW_SEC = 300
+
+
+@register(
+    "range_join_events",
+    oracle=f"""
+    SELECT e.event_id AS incident_id,
+           e.user_id,
+           count(c.event_id) AS n_clicks,
+           CAST(ROUND(COALESCE(SUM(CAST(c.value AS DECIMAL(18,6))), 0), 2) AS DOUBLE)
+               AS click_value_sum
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts
+     AND c.ts < e.ts + INTERVAL {INCIDENT_WINDOW_SEC} SECOND
+    GROUP BY e.event_id, e.user_id
+    """,
+    doc="Range (interval) join: every error event opens a 5-minute "
+    "incident window; clicks by the same user inside the window are "
+    "counted/summed. Spark side bucketizes time to window-width "
+    "epochs and equi-joins on (user_id, bucket) — a hash join with "
+    "<=2 candidate buckets per interval — then re-applies the exact "
+    "range predicate; oracle is DuckDB's inequality join.",
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket = lambda c: F.floor(c.cast("long") / INCIDENT_WINDOW_SEC)  # noqa: E731
+
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(F.array(bucket(F.col("e_ts")), bucket(F.col("e_ts")) + 1)),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        bucket(F.col("ts")).alias("bucket"),
+    )
+    joined = errors.join(
+        clicks,
+        on=[
+            errors.e_user == clicks.c_user,
+            errors.bucket == clicks.bucket,
+            clicks.c_ts >= errors.e_ts,
+            clicks.c_ts < errors.e_ts + F.expr(f"INTERVAL {INCIDENT_WINDOW_SEC} SECOND"),
+        ],
+        how="left",
+    )
+    return (
+        joined.groupBy(F.col("incident_id"), F.col("e_user").alias("user_id"))
+        .agg(
+            F.count("click_id").alias("n_clicks"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("c_value").cast("decimal(18,6)")), F.lit(0)
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("click_value_sum"),
+        )
+    )
