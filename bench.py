@@ -57,8 +57,15 @@ def main() -> None:
     specs = all_queries()
 
     # Warm the JVM + parquet footers with one tiny action so the first
-    # measured query doesn't pay session startup.
+    # measured query doesn't pay session startup, and spin up the
+    # Arrow python workers so the first pandas-kernel query measures
+    # steady-state compute, not interpreter fork/startup.
     spark.range(1).count()
+
+    def _noop(batches):
+        yield from batches
+
+    spark.range(32).repartition(32).mapInPandas(_noop, schema="id long").count()
 
     timings: dict[str, float] = {}
     total = 0.0

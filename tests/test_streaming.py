@@ -543,3 +543,85 @@ def test_noop_and_console_sinks(spark, tmp_path):
         )
         q.awaitTermination(60)
         assert not q.isActive
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (both sides watermarked, two-sided
+    time bound => finite state): results must equal the batch join of
+    the same data."""
+    from kinesis_analytics_demo_spark.streaming.joins import interval_join
+
+    from datetime import timedelta
+
+    clicks_dir = tmp_path / "clicks"
+    views_dir = tmp_path / "views"
+    clicks_dir.mkdir()
+    views_dir.mkdir()
+
+    def rec(uid, minute, val):
+        return json.dumps(
+            {"user_id": uid, "ts": (BASE + timedelta(minutes=minute)).isoformat(), "value": val}
+        )
+
+    # user 1: views at t=0,4; clicks at t=5 (matches both within 10m),
+    # t=20 (matches nothing). user 2: view at t=3, click at t=5.
+    (clicks_dir / "c1.json").write_text(
+        rec(1, 5, 100.0) + "\n" + rec(2, 5, 200.0) + "\n"
+    )
+    (clicks_dir / "c2.json").write_text(rec(1, 20, 300.0) + "\n")
+    (views_dir / "v1.json").write_text(
+        rec(1, 0, 1.0) + "\n" + rec(1, 4, 2.0) + "\n" + rec(2, 3, 3.0) + "\n"
+    )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def load(d, streaming):
+        reader = spark.readStream if streaming else spark.read
+        raw = reader.format("text").load(str(d))
+        from pyspark.sql import functions as F
+
+        return raw.select(F.from_json("value", schema).alias("r")).select(
+            "r.user_id", F.col("r.ts").cast("timestamp").alias("ts"), "r.value"
+        )
+
+    joined = interval_join(
+        load(clicks_dir, True),
+        load(views_dir, True),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lookback="10 minutes",
+    )
+    _run_available_now(joined, "ss_join", tmp_path)
+    got = {
+        (r.user_id, str(r.ts), r.value, str(r.r_ts), r.r_value)
+        for r in spark.table("ss_join").collect()
+    }
+    # batch reference join, same semantics
+    from pyspark.sql import functions as F
+
+    lb, rb = load(clicks_dir, False), load(views_dir, False)
+    rb = rb.select(
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    expected = {
+        (r.user_id, str(r.ts), r.value, str(r.r_ts), r.r_value)
+        for r in lb.join(
+            rb,
+            (lb.user_id == rb.u2)
+            & (rb.r_ts <= lb.ts)
+            & (rb.r_ts >= lb.ts - F.expr("INTERVAL 10 minutes")),
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) == 3  # (u1 t5)x2 views + (u2 t5)x1; t20 click unmatched
