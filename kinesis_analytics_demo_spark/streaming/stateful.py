@@ -101,3 +101,88 @@ def ema_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------- running candlestick
+_OHLC_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("first_value", T.DoubleType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("min_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_OHLC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("first_v", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("last_v", T.DoubleType()),
+        T.StructField("min_v", T.DoubleType()),
+        T.StructField("max_v", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _make_ohlc_fn(ts_col: str, value_col: str):
+    def ohlc_fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (k,) = key
+        first_ts = first_v = last_ts = last_v = min_v = max_v = None
+        n = 0
+        if state.exists:
+            first_ts, first_v, last_ts, last_v, min_v, max_v, n = state.get
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            ts, vals = pdf[ts_col], pdf[value_col]
+            if first_ts is None or ts.iloc[0] < first_ts:
+                first_ts, first_v = ts.iloc[0], float(vals.iloc[0])
+            if last_ts is None or ts.iloc[-1] >= last_ts:
+                last_ts, last_v = ts.iloc[-1], float(vals.iloc[-1])
+            bmin, bmax = float(vals.min()), float(vals.max())
+            min_v = bmin if min_v is None else min(min_v, bmin)
+            max_v = bmax if max_v is None else max(max_v, bmax)
+            n += len(pdf)
+        state.update((first_ts, first_v, last_ts, last_v, min_v, max_v, n))
+        yield pd.DataFrame(
+            {
+                "key": [k],
+                "first_value": [first_v],
+                "last_value": [last_v],
+                "min_value": [min_v],
+                "max_value": [max_v],
+                "n_events": [n],
+            }
+        )
+
+    return ohlc_fn
+
+
+def running_candlestick_stateful(
+    df: DataFrame,
+    key_col: str = "ticker",
+    ts_col: str = "utc",
+    value_col: str = "price",
+) -> DataFrame:
+    """Cumulative per-key OHLC (open = value at earliest event time,
+    close = at latest, plus min/max/count) across micro-batches — the
+    unbounded-window candlestick (reference family,
+    flink/tumbling_window.py:179-198) that built-in append-mode
+    aggregation cannot emit mid-stream. One fixed-width state row per
+    key; emits the updated aggregate for every touched key per batch.
+    See streaming/state_v2.py for the transformWithStateInPandas
+    variant (adds TTL) where protobuf is available."""
+    return df.groupBy(key_col).applyInPandasWithState(
+        _make_ohlc_fn(ts_col, value_col),
+        outputStructType=_OHLC_OUTPUT_SCHEMA,
+        stateStructType=_OHLC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -28,13 +28,14 @@ from kinesis_analytics_demo_spark.streaming.jobs import (
 BASE = datetime(2024, 6, 1, 12, 0, 0)
 
 
-def _run_available_now(result_df, name, tmp_path):
+def _run_available_now(result_df, name, tmp_path, output_mode="append"):
     q = write_stream(
         result_df,
         "memory",
         query_name=name,
         checkpoint=str(tmp_path / f"ckpt-{name}-{uuid.uuid4().hex[:8]}"),
         trigger_available_now=True,
+        output_mode=output_mode,
     )
     q.awaitTermination(120)
     assert not q.isActive
@@ -625,3 +626,76 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) == 3  # (u1 t5)x2 views + (u2 t5)x1; t20 click unmatched
+
+
+def test_running_candlestick_stateful(spark, tmp_path):
+    """Custom stateful running candlestick (applyInPandasWithState):
+    cumulative per-key OHLC across micro-batches; the last emission
+    per key must equal the batch min_by/max_by/min/max aggregate over
+    all replayed files. (The transformWithStateInPandas variant needs
+    protobuf — see test_state_v2_gated.)"""
+    from kinesis_analytics_demo_spark.streaming.stateful import (
+        running_candlestick_stateful as running_candlestick,
+    )
+
+    src_dir = tmp_path / "ticks_v2"
+    generate_to_dir(
+        str(src_dir), n_files=3, records_per_file=40, seed=11, base_time=BASE, step_s=2.0
+    )
+    ticks = create_stream_source(spark, "file-json", path=str(src_dir))
+    out = running_candlestick(ticks, key_col="ticker", ts_col="utc", value_col="price")
+    _run_available_now(out, "ohlc_v2", tmp_path, output_mode="update")
+
+    from pyspark.sql import functions as F
+
+    # Update-mode memory sink appends every per-batch emission; the
+    # latest row per key is the one with the highest (monotonic)
+    # n_events count.
+    emitted = spark.table("ohlc_v2").collect()
+    final = {}
+    for r in emitted:
+        if r.key not in final or r.n_events > final[r.key].n_events:
+            final[r.key] = r
+
+    batch = parse_stock_json(spark.read.text(str(src_dir)))
+    expected = {
+        r.ticker: r
+        for r in batch.groupBy("ticker")
+        .agg(
+            F.min_by("price", "utc").alias("first_value"),
+            F.max_by("price", "utc").alias("last_value"),
+            F.min("price").alias("min_value"),
+            F.max("price").alias("max_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for k, e in expected.items():
+        g = final[k]
+        assert (
+            g.first_value,
+            g.last_value,
+            g.min_value,
+            g.max_value,
+            g.n_events,
+        ) == (e.first_value, e.last_value, e.min_value, e.max_value, e.n_events), k
+
+
+def test_state_v2_gated(spark):
+    """state API v2 (transformWithStateInPandas) needs protobuf for
+    its python<->JVM state-server protocol; without it the operator
+    must refuse cleanly instead of crashing the streaming query."""
+    from kinesis_analytics_demo_spark.streaming import state_v2
+
+    if state_v2.state_v2_available():
+        pytest.skip("protobuf present - covered by the real run")
+    import pyspark.sql.functions as F
+
+    df = spark.readStream.format("rate").load().select(
+        F.lit("k").alias("ticker"),
+        F.col("timestamp").alias("utc"),
+        F.col("value").cast("double").alias("price"),
+    )
+    with pytest.raises(RuntimeError, match="protobuf"):
+        state_v2.running_candlestick(df)
