@@ -74,3 +74,47 @@ def test_whole_stage_codegen_on_scalar_surface(spark):
     plan = _formatted_plan(spark, df)
     # formatted mode marks codegen'd operators with "[codegen id : N]"
     assert "codegen id" in plan
+
+
+def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
+    """Registry-wide scale audit: no query may plan a CartesianProduct
+    or BroadcastNestedLoopJoin — the two shapes that stop scaling past
+    one executor — except the brute-force vector scorers, whose
+    broadcast cross join of a TINY query/centroid set against the
+    streaming corpus is the intended plan (corpus side never
+    shuffles; the broadcast side is O(10) rows)."""
+    INTENDED_BROADCAST_CROSS = {
+        "similarity_cosine_topk",  # 10 broadcast queries x corpus
+        "similarity_ivf",          # broadcast centroids x corpus
+        "dedup_embedding_cosine",  # broadcast block ids x corpus
+    }
+    offenders = {}
+    for name, spec in all_queries().items():
+        df = spec.fn(spark, SF_MEDIUM)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [
+            k
+            for k in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if k in plan
+        ]
+        if hits and name not in INTENDED_BROADCAST_CROSS:
+            offenders[name] = hits
+        if name in INTENDED_BROADCAST_CROSS:
+            # even these must never fall back to a non-broadcast form
+            assert "CartesianProduct" not in plan, name
+    assert offenders == {}
+
+
+def test_asof_and_range_join_plans(spark):
+    """Temporal joins keep their scale shapes: as-of = one hash
+    exchange + window (no join operator at all); range join = hash
+    join on (key, bucket), never nested-loop."""
+    asof = all_queries()["asof_join_events"].fn(spark, SF_MEDIUM)
+    plan = asof._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union+window formulation
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+    rj = all_queries()["range_join_events"].fn(spark, SF_MEDIUM)
+    plan = rj._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
