@@ -407,3 +407,56 @@ def string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("p_name").rlike("(steel|copper)")
         | F.col("p_brand").isin("Brand#1", "Brand#5")
     ).select("p_partkey", "p_name", "p_type")
+
+
+# --------------------------------------------------------------------
+# Semi-structured JSON column access (the events.props payload —
+# same shape as the reference's wider-than-declared JSON records,
+# SURVEY.md §2 P4, but kept as a queryable column instead of pruned).
+# --------------------------------------------------------------------
+@register(
+    "json_extraction_events",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type, CAST(json_extract_string(props, '$.k') AS INT) % 10
+    """,
+    doc="JSON path extraction from a string column (get_json_object, "
+    "JVM-side — no UDF) feeding a grouped aggregate.",
+)
+def json_extraction_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", (k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("k").cast("int").alias("max_k"))
+    )
+
+
+# --------------------------------------------------------------------
+# UNPIVOT (melt): wide numeric columns -> (metric, value) rows.
+# --------------------------------------------------------------------
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE)
+    FROM part
+    """,
+    doc="UNPIVOT/melt via DataFrame.unpivot (the inverse of "
+    "pivot_order_status): wide columns to tall rows, no shuffle — "
+    "a per-row Expand.",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
