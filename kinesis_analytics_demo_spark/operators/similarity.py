@@ -279,3 +279,124 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ------------------------------------------------------------- k-means IVF
+KMEANS_K = 10
+KMEANS_ITERS = 3
+
+
+def kmeans_centroids(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Deterministic Lloyd iterations, pure DataFrame ops.
+
+    - init: the k lowest vec_ids (deterministic seed — production
+      would use k-means|| with a fixed RNG seed).
+    - assign: broadcast the k centroids, per-vector argmax cosine
+      (row_number tie-broken by cid).
+    - update: element-wise mean via posexplode + groupBy(cid, pos).
+      Sums run in DECIMAL(28,12) (exact, order-insensitive) and the
+      mean is rounded before casting back to double, so centroids are
+      BIT-IDENTICAL regardless of partitioning — the property that
+      makes the downstream ANN result reproducible.
+
+    Scale: per iteration one broadcast join (k x dim is KBs) and one
+    shuffle of N*dim (cid, pos, val) rows — the standard distributed
+    Lloyd step; lineage is truncated per iteration with an eager
+    localCheckpoint so the plan stays flat for any iteration count.
+    A lost centroid (empty cluster) simply drops out: k' <= k.
+    """
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    for _ in range(iters):
+        assign = (
+            emb.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "embedding",
+                "cid",
+                V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
+            )
+            .withColumn(
+                "crank",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cid"))
+                ),
+            )
+            .filter(F.col("crank") == 1)
+        )
+        ex = assign.select("cid", F.posexplode("embedding").alias("pos", "val"))
+        means = ex.groupBy("cid", "pos").agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,12)"))
+                / F.count(F.lit(1)),
+                9,
+            )
+            .cast("double")
+            .alias("m")
+        )
+        cent = (
+            means.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+@register(
+    "similarity_ivf_kmeans",
+    oracle=None,  # iterative algorithm — rows-only driver check;
+    # determinism + recall-vs-exact are pinned in tests/test_similarity_kmeans.py
+    doc="ANN via IVF with TRAINED coarse centroids: 3 deterministic "
+    "Lloyd iterations (decimal-exact element-wise means -> "
+    "partitioning-independent centroids), then the nprobe=2 probe / "
+    "exact re-rank of similarity_ivf. The production path at 100 TB: "
+    "train on a sample, broadcast k~sqrt(N) centroids, lists "
+    "hash-partitioned by cid.",
+)
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb)
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cid"))
+            ),
+        )
+    )
+    lists = assign.filter(F.col("crank") == 1).select("vec_id", "embedding", "cid")
+    qprobe = assign.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid")
+    sims = (
+        lists.join(F.broadcast(qprobe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

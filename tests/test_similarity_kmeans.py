@@ -1,0 +1,48 @@
+"""k-means IVF: determinism and recall pins. The operator has no SQL
+oracle (iterative algorithm — driver records a rows-only check), so
+these tests carry its correctness story instead:
+
+- centroids are bit-deterministic across runs / partitioning;
+- ANN recall@10 vs the exact brute-force top-k must beat the
+  untrained label-centroid IVF's floor.
+"""
+
+from __future__ import annotations
+
+from kinesis_analytics_demo_spark.plans.registry import all_queries
+from tests.conftest import SF_MEDIUM
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_kmeans_centroids_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from kinesis_analytics_demo_spark.operators.similarity import kmeans_centroids
+    from kinesis_analytics_demo_spark.session import read_table
+
+    emb = read_table(spark, SF_MEDIUM, "embeddings")
+    a = kmeans_centroids(emb).collect()
+    # different partitioning must not change a single bit
+    b = kmeans_centroids(emb.repartition(13, "vec_id")).collect()
+    am = {r.cid: list(r.cv) for r in a}
+    bm = {r.cid: list(r.cv) for r in b}
+    assert am == bm
+    assert len(am) >= 2  # clusters survived
+
+
+def test_kmeans_ivf_recall_beats_floor(spark):
+    qs = all_queries()
+    exact = _topk_sets(qs["similarity_cosine_topk"].fn(spark, SF_MEDIUM))
+    trained = _topk_sets(qs["similarity_ivf_kmeans"].fn(spark, SF_MEDIUM))
+    hits = sum(len(exact[q] & trained.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    # label-centroid IVF sits at 0.78 on this data; trained
+    # centroids measure 0.82 — pin a floor just under that.
+    assert recall >= 0.80, f"recall@10 = {recall:.2f}"
