@@ -372,3 +372,87 @@ def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Time-based RANGE frame: 30-day trailing revenue per customer. The
+# frame is defined by event-time distance, not row count — rows at
+# equal dates share a frame, unlike ROWS.
+# --------------------------------------------------------------------
+@register(
+    "range_frame_trailing_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW),
+               2) AS DOUBLE) AS trailing_30d
+    FROM orders
+    """,
+    doc="RANGE (time-distance) window frame: 30-day trailing sum per "
+    "customer — equal-date rows share a frame (unlike ROWS). Spark "
+    "expresses the interval frame as rangeBetween over the epoch-"
+    "seconds ordering key.",
+)
+def range_frame_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ; go through a UTC timestamp cast
+    # (session tz pinned to UTC) for the epoch-seconds ordering key.
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = W.partitionBy("o_custkey").orderBy(epoch).rangeBetween(-30 * 86400, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum(_dec("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("trailing_30d"),
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q22-shaped: high-balance customers with no URGENT orders,
+# summarized per market segment — scalar subquery (global avg over
+# positive balances) + anti join + aggregate in one query. (Anchored
+# on urgent orders because every customer in the test data has at
+# least one order — a plain no-orders variant is vacuously empty.)
+# --------------------------------------------------------------------
+@register(
+    "idle_high_balance_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_custs,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    doc="Q22 shape: scalar subquery threshold (avg positive balance), "
+    "NOT EXISTS anti join against urgent orders, grouped aggregate — "
+    "via the SQL front-end. The anti join build side is the filtered "
+    "custkey projection, not the orders table.",
+)
+def idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_q22")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q22")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_custs,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_bal
+        FROM customer_q22
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_q22
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders_q22
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        """
+    )
