@@ -43,6 +43,10 @@ HEADLINE = [
     # temporal joins
     "asof_join_events",
     "range_join_events",
+    # trained/probed ANN + time-range analytics
+    "similarity_ivf_kmeans",
+    "similarity_ann_lsh_multiprobe",
+    "range_frame_trailing_revenue",
 ]
 
 

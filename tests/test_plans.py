@@ -84,9 +84,10 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
     streaming corpus is the intended plan (corpus side never
     shuffles; the broadcast side is O(10) rows)."""
     INTENDED_BROADCAST_CROSS = {
-        "similarity_cosine_topk",  # 10 broadcast queries x corpus
-        "similarity_ivf",          # broadcast centroids x corpus
-        "dedup_embedding_cosine",  # broadcast block ids x corpus
+        "similarity_cosine_topk",    # 10 broadcast queries x corpus
+        "similarity_ivf",            # broadcast centroids x corpus
+        "similarity_ivf_kmeans",     # broadcast TRAINED centroids x corpus
+        "dedup_embedding_cosine",    # broadcast block ids x corpus
     }
     offenders = {}
     for name, spec in all_queries().items():
