@@ -43,6 +43,8 @@ HEADLINE = [
     # temporal joins
     "asof_join_events",
     "range_join_events",
+    # end-to-end corpus prep (the flagship LLM-data composition)
+    "corpus_prep_pipeline",
     # trained/probed ANN + time-range analytics
     "similarity_ivf_kmeans",
     "similarity_ann_lsh_multiprobe",

@@ -1,0 +1,160 @@
+"""End-to-end training-data corpus preparation — the composition the
+individual operators exist for: quality filter -> language filter ->
+exact dedup -> near-dup dedup -> per-source corpus stats, as ONE
+declarative plan.
+
+This is the query a 100 TB ingest actually runs nightly. Because every
+stage is a column expression or a keyed aggregate, the whole pipeline
+is: one corpus scan, one shuffle per dedup stage (on an 8/16-byte
+hash, never on text), one final stats shuffle — no UDFs, no driver
+round-trips, fully whole-stage-codegen'd. Filters run FIRST so the
+dedup shuffles only carry surviving documents (selectivity here:
+~500 -> ~270 docs; at 100 TB that ordering is the difference between
+shuffling 40 TB and 100 TB).
+
+Determinism: "keep the lowest doc_id" at both dedup stages; stats are
+counts/integer sums/min/max only (no float accumulation), so results
+are partitioning-independent and oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.functions import hashing as H
+from kinesis_analytics_demo_spark.operators.text import EN_STOPWORDS, LANG_ID_THRESHOLD
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+QUALITY_THRESHOLD = 0.5
+
+_SQL_TOKENS = "string_split_regex(text, '\\s+')"
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+def _sql_pipeline_ctes() -> str:
+    """Oracle CTE chain mirroring the Spark plan stage-for-stage."""
+    shingles = H.sql_word_shingles("text")
+    mh = ",\n               ".join(
+        f"{e} AS mh{i}"
+        for i, e in enumerate(H.sql_minhash_select("hashes"))
+    )
+    concat = " || ',' || ".join(f"mh{i}::VARCHAR" for i in range(len(H.MINHASH_PERMS)))
+    return f"""
+    scored AS (
+        SELECT doc_id, text, source,
+               len({_SQL_TOKENS}) AS n_tokens,
+               (0.4 * least(len({_SQL_TOKENS}) / 100.0, 1.0)
+                + 0.3 * (len(list_distinct({_SQL_TOKENS})) / len({_SQL_TOKENS}))
+                + 0.3 * least((len(list_filter({_SQL_TOKENS},
+                        w -> list_contains({_SQL_STOPLIST}, w))) /
+                        len({_SQL_TOKENS})) / 0.1, 1.0)) AS quality,
+               (len(list_filter({_SQL_TOKENS},
+                    w -> list_contains({_SQL_STOPLIST}, w)))
+                    / len({_SQL_TOKENS})) AS en_score
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM scored
+        WHERE quality >= {QUALITY_THRESHOLD} AND en_score >= {LANG_ID_THRESHOLD}
+    ),
+    exact AS (
+        SELECT * FROM kept
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    hashed AS (
+        SELECT *, {shingles} AS sh_list FROM exact
+    ),
+    sigs AS (
+        SELECT doc_id, source, n_tokens, quality,
+               CASE WHEN len(sh_list) = 0 THEN md5(text) ELSE (
+                   SELECT md5({concat}) FROM (
+                       SELECT {mh}
+                       FROM (SELECT [{H.sql_shingle_hash('s')} for s in sh_list]
+                                 AS hashes)
+                   )
+               ) END AS sig
+        FROM hashed
+    ),
+    uniq AS (
+        SELECT * FROM sigs
+        QUALIFY row_number() OVER (PARTITION BY sig ORDER BY doc_id) = 1
+    )"""
+
+
+@register(
+    "corpus_prep_pipeline",
+    oracle=f"""
+    WITH {_sql_pipeline_ctes()}
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           min(quality) AS min_quality,
+           max(quality) AS max_quality
+    FROM uniq GROUP BY source
+    """,
+    doc="END-TO-END corpus prep: quality filter (length saturation + "
+    "diversity + stopword density >= 0.5) -> language filter "
+    "(en_score >= 0.03) -> exact dedup (md5, keep lowest doc_id) -> "
+    "near-dup dedup (16-perm minhash signature; short docs fall back "
+    "to exact identity) -> per-source doc/token stats. One scan, "
+    "hash-keyed dedup shuffles only, filters pushed ahead of both "
+    "shuffles.",
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = H.words(F.col("text"))
+    stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n = F.size(toks).cast("bigint")
+    nd = F.size(F.array_distinct(toks)).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stoplist, w))).cast(
+        "bigint"
+    )
+    quality = (
+        F.lit(0.4) * F.least(n / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (nd / n)
+        + F.lit(0.3) * F.least((n_stop / n) / F.lit(0.1), F.lit(1.0))
+    )
+    en_score = n_stop / n
+
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        n.alias("n_tokens"),
+        quality.alias("quality"),
+        en_score.alias("en_score"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= QUALITY_THRESHOLD)
+        & (F.col("en_score") >= LANG_ID_THRESHOLD)
+    )
+
+    # exact dedup: keep lowest doc_id per md5(text)
+    from pyspark.sql import Window
+
+    w_exact = F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+    exact = kept.withColumn("__rn", w_exact).filter(F.col("__rn") == 1).drop("__rn")
+
+    # near-dup dedup: minhash signature; <3-word docs fall back to
+    # exact text identity (their shingle set is empty)
+    hashes = H.shingle_hashes(F.col("text"))
+    mins = H.minhash_columns(hashes)
+    sig = F.when(
+        F.size(H.word_shingles(F.col("text"))) == 0, F.md5("text")
+    ).otherwise(F.md5(F.concat_ws(",", *[m.cast("string") for m in mins])))
+    sigs = exact.withColumn("sig", sig)
+    uniq = (
+        sigs.withColumn(
+            "__rn", F.row_number().over(Window.partitionBy("sig").orderBy("doc_id"))
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )

@@ -54,6 +54,7 @@ def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.multimodal  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.pipeline  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational3  # noqa: F401
