@@ -138,13 +138,28 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = kept.withColumn("__rn", w_exact).filter(F.col("__rn") == 1).drop("__rn")
 
     # near-dup dedup: minhash signature; <3-word docs fall back to
-    # exact text identity (their shingle set is empty)
-    hashes = H.shingle_hashes(F.col("text"))
-    mins = H.minhash_columns(hashes)
-    sig = F.when(
-        F.size(H.word_shingles(F.col("text"))) == 0, F.md5("text")
-    ).otherwise(F.md5(F.concat_ws(",", *[m.cast("string") for m in mins])))
-    sigs = exact.withColumn("sig", sig)
+    # exact text identity (their shingle set is empty).
+    # Signatures use the explode -> codegen'd-min-aggregate shape
+    # (dedup.py::_minhash_banded): per-row higher-order array
+    # transforms are interpreted per element and re-derive the
+    # shingle array 16x — measured 40x slower on this corpus.
+    sh_rows = exact.select(
+        "doc_id", F.explode(H.word_shingles(F.col("text"))).alias("s")
+    ).select("doc_id", (H.md5_long(F.col("s")) % H.MERSENNE_P).alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % H.MERSENNE_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(H.MINHASH_PERMS)
+    ]
+    sig16 = sh_rows.groupBy("doc_id").agg(*mins)
+    mh_sig = F.md5(
+        F.concat_ws(
+            ",", *[F.col(f"mh{i}").cast("string") for i in range(len(H.MINHASH_PERMS))]
+        )
+    )
+    sig_by_doc = sig16.select("doc_id", mh_sig.alias("mh_sig"))
+    sigs = exact.join(sig_by_doc, "doc_id", "left").withColumn(
+        "sig", F.coalesce(F.col("mh_sig"), F.md5("text"))
+    )
     uniq = (
         sigs.withColumn(
             "__rn", F.row_number().over(Window.partitionBy("sig").orderBy("doc_id"))
