@@ -53,3 +53,46 @@ def streaming_minhash_dedup(
             ["minhash_sig"]
         )
     return sig_df.dropDuplicates(["minhash_sig"])
+
+
+def streaming_corpus_prep(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of operators/pipeline.py::corpus_prep_pipeline:
+    quality filter -> language filter -> near-exact dedup, on an
+    unbounded document stream.
+
+    The filters are the same row-local column expressions as the batch
+    plan (stateless, run before any state is touched, so dedup state
+    only holds SURVIVING documents). Dedup is the watermarked minhash
+    signature (first arrival wins). Row-local array expressions are
+    interpreted per element — acceptable here because a stream pays
+    per-record anyway; batch archives should use the explode/aggregate
+    plan in operators/pipeline.py.
+    """
+    from kinesis_analytics_demo_spark.operators.pipeline import (
+        LANG_ID_THRESHOLD,
+        QUALITY_THRESHOLD,
+    )
+    from kinesis_analytics_demo_spark.operators.text import EN_STOPWORDS
+
+    toks = H.words(F.col(text_col))
+    stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n = F.size(toks).cast("bigint")
+    nd = F.size(F.array_distinct(toks)).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stoplist, w))).cast(
+        "bigint"
+    )
+    quality = (
+        F.lit(0.4) * F.least(n / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (nd / n)
+        + F.lit(0.3) * F.least((n_stop / n) / F.lit(0.1), F.lit(1.0))
+    )
+    kept = df.filter(
+        (quality >= QUALITY_THRESHOLD) & ((n_stop / n) >= LANG_ID_THRESHOLD)
+    )
+    return streaming_minhash_dedup(kept, text_col=text_col, ts_col=ts_col,
+                                   watermark=watermark)

@@ -699,3 +699,60 @@ def test_state_v2_gated(spark):
     )
     with pytest.raises(RuntimeError, match="protobuf"):
         state_v2.running_candlestick(df)
+
+
+def test_streaming_corpus_prep(spark, tmp_path):
+    """Streaming corpus prep: quality + language filters run before
+    the watermarked dedup state, duplicates of surviving docs are
+    suppressed (first arrival wins)."""
+    from kinesis_analytics_demo_spark.streaming.dedup import streaming_corpus_prep
+
+    from datetime import timedelta
+
+    good0 = (
+        "the quick brown fox jumps over a lazy dog while the keen red "
+        "hen walks past a calm old barn and the wind turns for the mill "
+        "as it spins on and on in the bright cold morning for hours"
+    )
+    good3 = (
+        "a long train rolls down the valley and the river bends to the "
+        "east while it carries small boats for trade and the town wakes "
+        "to a slow warm light that is good for the fields in spring"
+    )
+    junk = "aaa aaa aaa aaa aaa"  # low diversity, no stopwords
+    src_dir = tmp_path / "corpus_stream"
+    src_dir.mkdir()
+
+    def doc(i, text, minute):
+        return json.dumps(
+            {"doc_id": i, "text": text,
+             "ts": (BASE + timedelta(minutes=minute)).isoformat()}
+        )
+
+    (src_dir / "b1.json").write_text(
+        doc(0, good0, 0) + "\n" + doc(1, junk, 1) + "\n"
+    )
+    (src_dir / "b2.json").write_text(
+        doc(2, good0, 2) + "\n" + doc(3, good3, 3) + "\n"  # 2 dups 0
+    )
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", "1").load(
+        str(src_dir)
+    )
+    docs = raw.select(F.from_json("value", schema).alias("r")).select(
+        "r.doc_id", "r.text", F.col("r.ts").cast("timestamp").alias("ts")
+    )
+    out = streaming_corpus_prep(docs)
+    _run_available_now(out, "corpus_prep_stream", tmp_path)
+    kept = sorted(r.doc_id for r in spark.table("corpus_prep_stream").collect())
+    assert kept == [0, 3]  # 1 fails quality, 2 is a near-exact dup of 0
