@@ -96,3 +96,66 @@ def test_candlestick_matches_naive_model(spark, rows):
         vals = [v for _, v in items]
         expect[key] = (items[0][1], items[-1][1], min(vals), max(vals))
     assert got == expect
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left rows: (offset_s, key)
+        st.tuples(
+            st.integers(min_value=0, max_value=600),
+            st.sampled_from(["A", "B"]),
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    st.lists(  # right rows: (offset_s, key, value)
+        st.tuples(
+            st.integers(min_value=0, max_value=600),
+            st.sampled_from(["A", "B"]),
+            st.floats(min_value=-1e6, max_value=1e6,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: (t[1], t[0]),  # unique (key, ts) on the right
+    ),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lr=asof_strategy)
+def test_asof_join_matches_naive_model(spark, lr):
+    """Model-based check of the union+window as-of join: for every
+    left row, the matched value must equal the latest right row with
+    right.ts <= left.ts of the same key (None when no such row)."""
+    from kinesis_analytics_demo_spark.operators.temporal import asof_join
+
+    left_rows, right_rows = lr
+    left = spark.createDataFrame(
+        [(BASE + timedelta(seconds=o), k, i) for i, (o, k) in enumerate(left_rows)],
+        "ts timestamp, key string, lid long",
+    )
+    right = spark.createDataFrame(
+        [(BASE + timedelta(seconds=o), k, v) for o, k, v in right_rows],
+        "ts timestamp, key string, v double",
+    ) if right_rows else spark.createDataFrame([], "ts timestamp, key string, v double")
+
+    got = {
+        r.lid: r.asof_v
+        for r in asof_join(left, right, on="key", ts="ts", value_cols=["v"]).collect()
+    }
+
+    expect = {}
+    for i, (o, k) in enumerate(left_rows):
+        lts = BASE + timedelta(seconds=o)
+        cands = [
+            (BASE + timedelta(seconds=ro), rv)
+            for ro, rk, rv in right_rows
+            if rk == k and BASE + timedelta(seconds=ro) <= lts
+        ]
+        expect[i] = max(cands)[1] if cands else None
+    assert got == expect
