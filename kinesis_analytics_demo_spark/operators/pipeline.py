@@ -173,3 +173,60 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("quality").alias("min_quality"),
         F.max("quality").alias("max_quality"),
     )
+
+
+# --------------------------------------------------------------------
+# Deterministic stratified sampling — the data-mixing primitive a
+# training pipeline runs after prep: per-source keep rates applied as
+# a pure hash predicate. No RNG state, no sort, no shuffle: a row is
+# kept iff md5(doc_id) lands under its source's threshold, so the
+# sample is reproducible across runs, engines, partitionings, and
+# even retries of individual tasks (the property RAND()-based
+# sampling lacks), and composes with predicate pushdown.
+# --------------------------------------------------------------------
+#: keep-rate percent per source bucket (sources hash into 4 tiers to
+#: keep the literal map small at any source cardinality)
+SAMPLE_TIER_PCT = (100, 50, 25, 10)
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle=f"""
+    WITH tiered AS (
+        SELECT doc_id, source,
+               (('0x' || substr(md5(source), 1, 15))::BIGINT % 4) AS tier,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100)
+                   AS slot
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_sampled
+    FROM tiered
+    WHERE slot < CASE tier WHEN 0 THEN 100 WHEN 1 THEN 50
+                           WHEN 2 THEN 25 ELSE 10 END
+    GROUP BY source
+    """,
+    doc="Deterministic stratified sampling: per-source keep rates "
+    "(tiered 100/50/25/10%) applied as an md5-hash predicate — "
+    "reproducible across runs/engines/partitionings and task "
+    "retries, unlike RAND() sampling; zero shuffle before the "
+    "final count.",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # md5-derived tier and slot, both engine-agnostic (H.md5_long)
+    tier = H.md5_long(F.col("source")) % 4
+    slot = H.md5_long(F.col("doc_id").cast("string")) % 100
+    rate = (
+        F.when(tier == 0, 100)
+        .when(tier == 1, 50)
+        .when(tier == 2, 25)
+        .otherwise(10)
+    )
+    return (
+        docs.select("doc_id", "source", tier.alias("tier"), slot.alias("slot"),
+                    rate.alias("rate"))
+        .filter(F.col("slot") < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
