@@ -163,6 +163,16 @@ def _make_decode_pipeline():
     return decode
 
 
+def decode_pipeline(docs: DataFrame) -> DataFrame:
+    """The typed-array decode pipeline (library surface): binary
+    payload -> fake decode -> thumbnail/frames/energy arrays, one
+    Arrow-batched mapInPandas pass."""
+    frame = with_binary_payload(docs)
+    return frame.select("doc_id", "payload").mapInPandas(
+        _make_decode_pipeline(), schema=DECODED_SCHEMA
+    )
+
+
 @register(
     "multimodal_decode_pipeline",
     oracle=f"""
@@ -175,15 +185,18 @@ def _make_decode_pipeline():
     )
     SELECT doc_id,
            CAST(len(pixels) AS INT) AS n_pixels,
-           [list_avg(pixels[(j - 1) * {THUMB_BLOCK} + 1 : j * {THUMB_BLOCK}])
-            for j in generate_series(1, CAST(ceil(len(pixels) / {THUMB_BLOCK}.0) AS INT))]
-               AS thumb,
-           [pixels[i] for i in generate_series(1, len(pixels), {FRAME_STRIDE})]
-               AS frames,
-           [list_sum([x * x for x in
-                      pixels[(j - 1) * {AUDIO_WINDOW} + 1 : j * {AUDIO_WINDOW}]])
-            for j in generate_series(1, CAST(ceil(len(pixels) / {AUDIO_WINDOW}.0) AS INT))]
-               AS energy
+           array_to_string(list_transform(
+               [list_avg(pixels[(j - 1) * {THUMB_BLOCK} + 1 : j * {THUMB_BLOCK}])
+                for j in generate_series(1, CAST(ceil(len(pixels) / {THUMB_BLOCK}.0) AS INT))],
+               x -> printf('%.3f', CAST(x AS DOUBLE))), ',') AS thumb,
+           array_to_string(list_transform(
+               [pixels[i] for i in generate_series(1, len(pixels), {FRAME_STRIDE})],
+               x -> CAST(x AS VARCHAR)), ',') AS frames,
+           array_to_string(list_transform(
+               [list_sum([x * x for x in
+                          pixels[(j - 1) * {AUDIO_WINDOW} + 1 : j * {AUDIO_WINDOW}]])
+                for j in generate_series(1, CAST(ceil(len(pixels) / {AUDIO_WINDOW}.0) AS INT))],
+               x -> CAST(x AS VARCHAR)), ',') AS energy
     FROM px
     """,
     doc="Multimodal decode pipeline: binary payload -> fake decode "
@@ -191,14 +204,25 @@ def _make_decode_pipeline():
     "image/audio codec) -> resize (8-px block-mean thumbnail), "
     "video frame-sampling (stride 7), audio energy windows (sum of "
     "squares per 16 samples), all inside one Arrow-batched "
-    "mapInPandas pass. Array outputs verified element-exact against "
-    "DuckDB list comprehensions.",
+    "mapInPandas pass. Array outputs serialized to canonical strings "
+    "(thumb at %.3f — block means over power-of-2 blocks are exact "
+    "multiples of 1/8, so 3 decimals is lossless) because the "
+    "driver's pandas canonicalizer cannot sort/hash list cells.",
 )
 def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    frame = with_binary_payload(docs)
-    return frame.select("doc_id", "payload").mapInPandas(
-        _make_decode_pipeline(), schema=DECODED_SCHEMA
+    decoded = decode_pipeline(_t(spark, sf_dir, "documents"))
+    return decoded.select(
+        "doc_id",
+        "n_pixels",
+        F.array_join(
+            F.transform("thumb", lambda x: F.format_string("%.3f", x)), ","
+        ).alias("thumb"),
+        F.array_join(
+            F.transform("frames", lambda x: x.cast("string")), ","
+        ).alias("frames"),
+        F.array_join(
+            F.transform("energy", lambda x: x.cast("string")), ","
+        ).alias("energy"),
     )
 
 

@@ -305,6 +305,24 @@ def ema_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 # Array function surface over the embedding column.
 # --------------------------------------------------------------------
+def _canon_float_array(col) -> "F.Column":
+    """Canonicalize an array<float> to a comparison-stable string:
+    widen to double (exact), scale to micro-units, round to BIGINT,
+    comma-join. Array-typed result columns crash the driver's pandas
+    canonicalizer (`sort_values` -> "unhashable type: 'list'"), so
+    every registered query must emit scalars/strings at the top level
+    (enforced by tests/test_plans.py)."""
+    return F.array_join(
+        F.transform(
+            col,
+            lambda x: F.round(x.cast("double") * 1000000)
+            .cast("bigint")
+            .cast("string"),
+        ),
+        ",",
+    )
+
+
 @register(
     "array_functions",
     oracle="""
@@ -312,14 +330,20 @@ def ema_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(embedding) AS dim,
            embedding[1] AS first_component,
            embedding[64] AS last_component,
-           list_slice(embedding, 1, 4) AS head4,
-           list_reverse(list_slice(embedding, 61, 64)) AS tail4_rev,
+           array_to_string(list_transform(list_slice(embedding, 1, 4),
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',')
+               AS head4,
+           array_to_string(list_transform(list_reverse(list_slice(embedding, 61, 64)),
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',')
+               AS tail4_rev,
            list_contains([CAST(label AS BIGINT)], 5) AS is_label5
     FROM embeddings
     """,
     doc="Array function surface: size, element_at, slice, reverse, "
-    "contains — on the embedding column (no arithmetic: float values "
-    "pass through bit-exact).",
+    "contains — on the embedding column. Array outputs are serialized "
+    "to canonical micro-unit strings (exact float->double widening, "
+    "x1e6, round-half-away, comma-join) because the driver's pandas "
+    "canonicalizer cannot sort/hash list-valued cells.",
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -328,8 +352,10 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("first_component"),
         F.element_at("embedding", 64).alias("last_component"),
-        F.slice("embedding", 1, 4).alias("head4"),
-        F.reverse(F.slice("embedding", 61, 4)).alias("tail4_rev"),
+        _canon_float_array(F.slice("embedding", 1, 4)).alias("head4"),
+        _canon_float_array(F.reverse(F.slice("embedding", 61, 4))).alias(
+            "tail4_rev"
+        ),
         F.array_contains(
             F.array(F.col("label").cast("bigint")), F.lit(5).cast("bigint")
         ).alias("is_label5"),
@@ -379,10 +405,13 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # Quartiles as two scalar columns (not one array column): the
+    # driver's pandas canonicalizer cannot hash list-valued cells.
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_iqr"),
+        F.percentile_approx("l_extendedprice", 0.25).alias("approx_p25"),
+        F.percentile_approx("l_extendedprice", 0.75).alias("approx_p75"),
     )
 
 
