@@ -1,0 +1,89 @@
+"""Bucketed (sub-quadratic) embedding near-dup: recall vs the exact
+all-pairs query, recall at realistic near-dup similarity, and the
+no-O(N^2)-stage plan audit VERDICT.md round 1 asked for."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.operators.dedup import (
+    EMBEDDING_NEAR_DUP_COSINE,
+    embedding_near_dup_bucketed,
+)
+from kinesis_analytics_demo_spark.plans.registry import all_queries
+from tests.conftest import SF_MEDIUM
+
+
+def _pairs(df):
+    return {(r["vec_a"], r["vec_b"]) for r in df.collect()}
+
+
+def test_bucketed_subset_of_exact_with_pinned_recall(spark):
+    """Every bucketed pair is a true near-dup (verify stage is exact),
+    and blocking recall at this corpus's pathological 0.45 threshold
+    (max pairwise sim ~0.51 — essentially random vectors, the hardest
+    possible case for any blocking scheme) stays at the measured
+    11/14 floor."""
+    exact = _pairs(all_queries()["dedup_embedding_cosine"].fn(spark, SF_MEDIUM))
+    bucketed = _pairs(
+        all_queries()["dedup_embedding_cosine_bucketed"].fn(spark, SF_MEDIUM)
+    )
+    assert bucketed <= exact
+    assert len(exact) == 14
+    assert len(bucketed) >= 11
+
+
+def test_bucketed_recall_at_real_near_dup_threshold(spark):
+    """At a realistic near-dup threshold (0.9) on a corpus with
+    planted jittered duplicates, IVF-list blocking finds every
+    planted pair: near-identical vectors land in the same probed
+    lists essentially always."""
+    rng = random.Random(7)
+    dim, n_base, n_dup = 16, 120, 30
+
+    def unit(v):
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    base = [unit([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(n_base)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    planted = set()
+    for d in range(n_dup):
+        src = rng.randrange(n_base)
+        jitter = unit(
+            [x + rng.gauss(0, 0.02) for x in base[src]]
+        )  # cosine vs src ~0.999
+        rows.append((n_base + d, [float(x) for x in jitter]))
+        planted.add((src, n_base + d))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    found = _pairs(embedding_near_dup_bucketed(emb, cent, 0.9, nprobe=2))
+    hit = {p for p in planted if p in found}
+    assert len(hit) / len(planted) >= 0.95
+
+
+def test_bucketed_plan_has_no_quadratic_stage(spark):
+    """The bucketed path must never plan an all-pairs product over the
+    corpus: the only nested-loop is the BROADCAST centroid cross
+    (O(N*k)); candidate generation and verify join-backs are
+    hash-keyed equi-joins."""
+    df = all_queries()["dedup_embedding_cosine_bucketed"].fn(spark, SF_MEDIUM)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only nested loops are the O(N*k) broadcast centroid cross
+    # (appearing twice: the candidate self-join recomputes the member
+    # assignment subtree), each with the TINY side broadcast
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj <= 2
+    assert plan.count("IdentityBroadcastMode") >= bnlj
+    # candidate self-join + two embedding join-backs are hash joins
+    n_hash = plan.count("ShuffledHashJoin") + plan.count(
+        "SortMergeJoin"
+    ) + plan.count("BroadcastHashJoin")
+    assert n_hash >= 3
