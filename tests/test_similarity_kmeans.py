@@ -36,13 +36,28 @@ def test_kmeans_centroids_deterministic(spark):
     assert len(am) >= 2  # clusters survived
 
 
+def _recall(exact, approx):
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    return hits / sum(len(v) for v in exact.values())
+
+
 def test_kmeans_ivf_recall_beats_floor(spark):
     qs = all_queries()
     exact = _topk_sets(qs["similarity_cosine_topk"].fn(spark, SF_MEDIUM))
     trained = _topk_sets(qs["similarity_ivf_kmeans"].fn(spark, SF_MEDIUM))
-    hits = sum(len(exact[q] & trained.get(q, set())) for q in exact)
-    total = sum(len(v) for v in exact.values())
-    recall = hits / total
-    # label-centroid IVF sits at 0.78 on this data; trained
-    # centroids measure 0.82 — pin a floor just under that.
-    assert recall >= 0.80, f"recall@10 = {recall:.2f}"
+    recall = _recall(exact, trained)
+    # trained centroids at nprobe=4 measure 0.93 (0.82 at nprobe=2);
+    # pin a floor just under.
+    assert recall >= 0.90, f"recall@10 = {recall:.2f}"
+
+
+def test_multitable_lsh_recall_beats_floor(spark):
+    """OR-construction multi-table LSH: the round-1 single-table
+    multiprobe sat at 0.47 recall@10 — the 8x6-plane multi-table
+    variant measures 0.86 on this near-random corpus (true top-10
+    sims only 0.24-0.49). Pin a floor just under."""
+    qs = all_queries()
+    exact = _topk_sets(qs["similarity_cosine_topk"].fn(spark, SF_MEDIUM))
+    mt = _topk_sets(qs["similarity_ann_lsh_multitable"].fn(spark, SF_MEDIUM))
+    recall = _recall(exact, mt)
+    assert recall >= 0.84, f"recall@10 = {recall:.2f}"
