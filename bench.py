@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash_fingerprints",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_bucketed",
     "similarity_cosine_topk",
     "similarity_ann_lsh",
     "text_token_stats",
@@ -47,8 +48,10 @@ HEADLINE = [
     "corpus_prep_pipeline",
     # trained/probed ANN + time-range analytics
     "similarity_ivf_kmeans",
-    "similarity_ann_lsh_multiprobe",
+    "similarity_ann_lsh_multitable",
     "range_frame_trailing_revenue",
+    # two-level hop decomposition (the 480-pane sliding scale fix)
+    "sliding_window_min_twolevel",
 ]
 
 

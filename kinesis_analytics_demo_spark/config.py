@@ -88,6 +88,22 @@ def canonical_duration(value: str) -> str:
     return f"{n} {base}" if n == "1" else f"{n} {base}s"
 
 
+_UNIT_MILLIS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def duration_millis(value: str) -> int:
+    """Duration in milliseconds, accepting every form
+    ``canonical_duration`` does."""
+    n, base = canonical_duration(value).split(" ", 1)
+    return int(n) * _UNIT_MILLIS[base.rstrip("s")]
+
+
 class AppConfig:
     """Typed view over the reference's property groups, with its
     defaults (reference flink/tumbling_window.py:201-223 and

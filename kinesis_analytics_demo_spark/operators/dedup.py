@@ -293,7 +293,9 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(dup.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     edges = edges.persist()
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
-    for _ in range(20):  # diameter cap; these graphs are tiny chains
+    max_rounds = 20  # safety cap only — convergence is asserted below
+    changed = -1
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -320,6 +322,15 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # never return silently-unconverged labels: a duplicate-graph
+        # diameter past the cap would diverge from the recursive-CTE
+        # oracle on long chain-shaped clusters
+        raise RuntimeError(
+            f"label propagation did not converge within {max_rounds} "
+            f"rounds ({changed} labels still changing) — duplicate "
+            "graph diameter exceeds the cap; raise max_rounds"
+        )
     return labels.select("doc_id", "cluster_id")
 
 

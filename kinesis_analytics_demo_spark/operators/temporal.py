@@ -40,11 +40,20 @@ def asof_join(
     on: str,
     ts: str,
     value_cols: list[str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Generic as-of join: for every left row, attach the `value_cols`
     of the most recent right row with right.ts <= left.ts, per `on`
     key. Returns the left rows plus matched columns (null when no
-    prior right row exists). One shuffle on `on`."""
+    prior right row exists). One shuffle on `on`.
+
+    When the right side can contain duplicate (key, ts) rows, pass
+    ``right_tiebreak`` (a right-side column name): among equal-ts
+    right rows the one with the LARGEST tiebreak value wins,
+    deterministically. Without it, duplicate (key, ts) right rows make
+    the pick partition-order-dependent — the right side must then be
+    unique on (key, ts) (the property test generates exactly that).
+    """
     struct_t = F.struct(*[F.col(c) for c in value_cols])
     l_marked = left.select(
         *[F.col(c) for c in left.columns],
@@ -52,6 +61,9 @@ def asof_join(
             right.select(struct_t.alias("s")).schema["s"].dataType
         ).alias("__r"),
         F.lit(1).alias("__side"),
+        F.lit(None)
+        .cast(right.schema[right_tiebreak].dataType if right_tiebreak else "int")
+        .alias("__tb"),
     )
     r_marked = right.select(
         *[
@@ -60,11 +72,18 @@ def asof_join(
         ],
         struct_t.alias("__r"),
         F.lit(0).alias("__side"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(None).cast("int")).alias(
+            "__tb"
+        ),
     )
     unioned = l_marked.unionByName(r_marked)
+    # Right rows (side 0) sort before left rows (side 1) at equal ts;
+    # among equal-ts right rows the tiebreak orders ascending, so
+    # last() picks the max-tiebreak row. Left rows' null __tb sorts
+    # first within side 1 — irrelevant, they carry no __r.
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts), F.col("__side"))
+        .orderBy(F.col(ts), F.col("__side"), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # last(struct, ignorenulls) is atomic: all matched columns come

@@ -158,6 +158,18 @@ class FluentTable:
             elif walias and base == walias:
                 if method not in ("start", "end"):
                     raise ValueError(f"unknown window accessor: {p!r}")
+            elif method in ("first", "last"):
+                # event-time first/last: min_by/max_by over the
+                # window's .on() column — deterministic when (key, ts)
+                # is unique (streaming/windows.py's fast path; its
+                # struct-tiebreak variant covers duplicate-ts data)
+                if win is None or win._on is None:
+                    raise ValueError(
+                        f"{method!r} needs a window with .on(<event-time "
+                        f"column>) to order by"
+                    )
+                fn = F.min_by if method == "first" else F.max_by
+                aggs.append(fn(base, win._on).alias(alias or f"{method}_{base}"))
             elif method not in _AGGS:
                 raise ValueError(f"unknown aggregate: {p!r}")
             else:

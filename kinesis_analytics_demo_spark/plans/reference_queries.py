@@ -33,6 +33,7 @@ from kinesis_analytics_demo_spark.plans.registry import register
 from kinesis_analytics_demo_spark.session import read_table as tbl
 from kinesis_analytics_demo_spark.streaming.windows import (
     sliding_window_agg,
+    sliding_window_agg_twolevel,
     tumbling_candlestick,
 )
 
@@ -154,6 +155,82 @@ def sliding_window_min_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .window(Slide.over("2.minutes").every("1.minutes").on("ts").alias("w"))
         .group_by("event_type, w")
         .select("event_type, value.min as p, w.end as t")
+    )
+
+
+@register(
+    "streaming_candlestick_replay",
+    oracle=_CANDLE_ORACLE_FAST,
+    doc="The tumbling candlestick run as a TRUE STRUCTURED-STREAMING "
+    "job: the events table replayed as a file micro-batch stream "
+    "through the SQL front-end, complete-output mode into a memory "
+    "sink. Complete mode emits the full aggregate at stream end, so "
+    "the result equals the batch candlestick exactly — giving the "
+    "streaming execution path a value-checked CORRECTNESS row, not "
+    "just pytest equivalence (VERDICT round-1 item 6).",
+)
+def streaming_candlestick_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from kinesis_analytics_demo_spark.sinks.factory import write_stream
+    from kinesis_analytics_demo_spark.sources.factory import create_stream_source
+
+    from kinesis_analytics_demo_spark.streaming.jobs import tumbling_window_job
+
+    name = f"replay_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="kads_replay_")
+    stage = os.path.join(tmp, "events_stream")
+    os.makedirs(stage)
+    # file streams take a directory; stage the single-file table
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    stream = create_stream_source(
+        spark, "file-parquet", path=stage, max_files_per_trigger=1000
+    )
+    result = tumbling_window_job(
+        spark,
+        stream,
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        view_name=f"view_{name}",
+    )
+    q = write_stream(
+        result,
+        "memory",
+        query_name=name,
+        checkpoint=os.path.join(tmp, "ck"),
+        output_mode="complete",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
+@register(
+    "sliding_window_min_twolevel",
+    oracle=_SLIDING_ORACLE,
+    doc="The SAME sliding-min via two-level hop decomposition "
+    "(aggregate per 1-minute hop, then merge hop aggregates per "
+    "window) — no over/every pane explosion on raw rows, both "
+    "aggregations codegen'd. Must equal sliding_window_min exactly; "
+    "the scale fix for the reference's 8h/1m configuration (480 "
+    "panes/event otherwise).",
+)
+def sliding_window_min_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    return sliding_window_agg_twolevel(
+        events,
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        over="2 minutes",
+        every="1 minute",
+        agg="min",
     )
 
 

@@ -38,12 +38,16 @@ class KinesisBatchWriter:
         partition_key_col: str = "ticker",
         collection_max_count: int = 100,
         client_factory: Callable | None = None,
+        max_retries: int = 5,
+        backoff_base_s: float = 0.2,
     ):
         self.stream_name = stream_name
         self.region = region
         self.partition_key_col = partition_key_col
         self.collection_max_count = collection_max_count
         self.client_factory = client_factory
+        self.max_retries = max_retries
+        self.backoff_base_s = backoff_base_s
 
     def _default_client_factory(self):
         import boto3  # gated: only needed on the production path
@@ -60,9 +64,44 @@ class KinesisBatchWriter:
         stream = self.stream_name
         key_col = self.partition_key_col
         max_count = self.collection_max_count
+        max_retries = self.max_retries
+        backoff_base = self.backoff_base_s
 
         def put_partition(rows):
+            import time
+
             client = factory()
+
+            def put_with_retry(records):
+                # put_records does NOT raise on partial failure: a 200
+                # response can still carry FailedRecordCount > 0
+                # (throttled/failed entries). Retry only the failed
+                # records with exponential backoff; give up loudly
+                # after max_retries so records are never silently
+                # dropped (the reference's per-record put_record
+                # raises — this keeps that delivery guarantee at
+                # batched throughput).
+                pending = records
+                first_err = None
+                for attempt in range(max_retries + 1):
+                    resp = client.put_records(StreamName=stream, Records=pending)
+                    if not (resp or {}).get("FailedRecordCount"):
+                        return
+                    failed = [
+                        (rec, res)
+                        for rec, res in zip(pending, resp["Records"])
+                        if "ErrorCode" in res
+                    ]
+                    pending = [rec for rec, _ in failed]
+                    first_err = failed[0][1].get("ErrorCode") if failed else None
+                    if attempt < max_retries:
+                        time.sleep(backoff_base * (2**attempt))
+                raise RuntimeError(
+                    f"kinesis put_records: {len(pending)} records still "
+                    f"failing after {max_retries} retries "
+                    f"(first error: {first_err})"
+                )
+
             buf = []
             for row in rows:
                 d = row.asDict(recursive=True)
@@ -73,10 +112,10 @@ class KinesisBatchWriter:
                     }
                 )
                 if len(buf) >= max_count:
-                    client.put_records(StreamName=stream, Records=buf)
+                    put_with_retry(buf)
                     buf = []
             if buf:
-                client.put_records(StreamName=stream, Records=buf)
+                put_with_retry(buf)
 
         batch_df.rdd.foreachPartition(put_partition)
 

@@ -134,17 +134,12 @@ def running_candlestick(
             "transformWithStateInPandas needs the protobuf package; "
             "use streaming.stateful (applyInPandasWithState) instead"
         )
-    ttl_ms: int | None = None
-    if ttl is not None:
-        num, unit = ttl.split()
-        ttl_ms = int(num) * {
-            "second": 1000,
-            "seconds": 1000,
-            "minute": 60_000,
-            "minutes": 60_000,
-            "hour": 3_600_000,
-            "hours": 3_600_000,
-        }[unit]
+    # canonical_duration accepts every duration syntax the config
+    # layer does (day/millisecond included) and raises a descriptive
+    # ValueError on garbage — no bare KeyError for '1 day' etc.
+    from kinesis_analytics_demo_spark.config import duration_millis
+
+    ttl_ms = duration_millis(ttl) if ttl is not None else None
     return df.groupBy(key_col).transformWithStateInPandas(
         _make_ohlc_processor(ts_col, value_col, ttl_ms),
         outputStructType=OHLC_OUTPUT_SCHEMA,

@@ -150,3 +150,86 @@ def sliding_window_agg(
         .agg(agg_fn(value_col).alias("p"))
         .select(key_col, "p", F.col("window.end").alias("t"))
     )
+
+
+#: merge function per decomposable aggregate: how per-hop partials
+#: combine into the full-window value.
+_HOP_MERGE = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
+
+
+def sliding_window_agg_twolevel(
+    df: DataFrame,
+    ts_col: str = "utc",
+    key_col: str = "ticker",
+    value_col: str = "price",
+    over: str = "2 minutes",
+    every: str = "1 minute",
+    watermark: str | None = None,
+    agg: str = "min",
+) -> DataFrame:
+    """``sliding_window_agg`` without the pane explosion: aggregate
+    per HOP first (a tumbling window of ``every`` — one window per
+    row), then merge each hop aggregate into the ``over/every``
+    sliding windows it feeds.
+
+    Why: Spark's ``window(ts, over, every)`` expands every input row
+    into over/every panes BEFORE the partial aggregate. At the
+    reference's configured 8h/1m ratio that is 480 output rows per
+    event — 480x pre-shuffle row amplification, and the generated
+    expansion code blows janino's method-size limit, silently dropping
+    the stage to interpreted execution (module docstring, scale note
+    2). Two-level decomposition sends each raw row into exactly ONE
+    hop; the 480-way fan-out happens on hop AGGREGATES — O(keys x
+    hops) rows — and both aggregations stay in codegen'd
+    HashAggregates.
+
+    Exact-equivalence argument (pinned by tests/test_twolevel.py):
+    hop and window boundaries share the ``every`` grid, so a row at
+    ``ts`` (hop ``h = floor(ts/every)*every``) lies in sliding window
+    ``[s, s+over)`` iff the whole hop does — the window sets coincide,
+    and min/max/sum/count are associative over the hop partition.
+    Restricted to decomposable aggregates (``_HOP_MERGE``); avg needs
+    a sum+count pair, percentiles need the full pane — use
+    ``sliding_window_agg`` for those.
+
+    Streaming: batch-only for now — chaining two stateful aggregations
+    needs Spark's ``window_time``-chained aggregation support and a
+    different watermark propagation; the single-level path remains the
+    streaming route (at streaming's per-ratio state cost).
+    """
+    if agg not in _HOP_MERGE:
+        raise ValueError(
+            f"two-level decomposition needs a decomposable aggregate "
+            f"(one of {sorted(_HOP_MERGE)}), got {agg!r}"
+        )
+    from kinesis_analytics_demo_spark.config import duration_millis
+
+    over_ms, every_ms = duration_millis(over), duration_millis(every)
+    if over_ms % every_ms:
+        raise ValueError(
+            f"over ({over}) must be a multiple of every ({every}) "
+            "for hop decomposition"
+        )
+    n = over_ms // every_ms
+    agg_fn = getattr(F, agg)
+    merge_fn = getattr(F, _HOP_MERGE[agg])
+    hops = (
+        df.groupBy(F.window(F.col(ts_col), every), F.col(key_col))
+        .agg(agg_fn(value_col).alias("hp"))
+        .select(F.col("window.start").alias("hop_start"), key_col, "hp")
+    )
+    # every hop feeds the n windows ending at hop_start + i*every,
+    # i in 1..n (window starts walk back along the every-grid)
+    ends = F.array(
+        *[
+            F.col("hop_start")
+            + F.expr(f"INTERVAL {i * every_ms} MILLISECOND")
+            for i in range(1, n + 1)
+        ]
+    )
+    return (
+        hops.select(key_col, "hp", F.explode(ends).alias("t"))
+        .groupBy(key_col, "t")
+        .agg(merge_fn("hp").alias("p"))
+        .select(key_col, "p", "t")
+    )

@@ -63,6 +63,41 @@ def test_tumble_chain_window_bounds(spark, env):
     assert got == exp
 
 
+def test_first_last_aggregates_match_candlestick(spark, env):
+    """'price.first as o / price.last as c' (advertised in the module
+    docstring, missing from _AGGS in round 1): event-time
+    min_by/max_by over the window's .on() column — must equal the
+    candlestick's deterministic open/close."""
+    fluent = (
+        env.from_path("ev")
+        .window(Tumble.over("1 minute").on("ts").alias("w"))
+        .group_by("event_type, w")
+        .select(
+            "event_type, w.start as ws, value.first as o, value.last as c"
+        )
+    )
+    batch = tumbling_candlestick(
+        read_table(spark, SF_SMALL, "events"),
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        window_duration="1 minute",
+    )
+    got = {(r.event_type, r.ws): (r.o, r.c) for r in fluent.collect()}
+    exp = {
+        (r.event_type, r.window_start): (r.first_value, r.last_value)
+        for r in batch.collect()
+    }
+    assert got == exp
+
+
+def test_first_without_window_raises(env):
+    with pytest.raises(ValueError, match="event-time"):
+        env.from_path("ev").group_by("event_type").select(
+            "event_type, value.first as o"
+        )
+
+
 def test_plain_projection_with_rename(env):
     df = env.from_path("ev").select("event_type as ticker, value as p")
     assert df.columns == ["ticker", "p"]

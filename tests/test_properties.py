@@ -159,3 +159,153 @@ def test_asof_join_matches_naive_model(spark, lr):
         ]
         expect[i] = max(cands)[1] if cands else None
     assert got == expect
+
+
+asof_dup_strategy = st.tuples(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=120),
+            st.sampled_from(["A", "B"]),
+        ),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    ),
+    st.lists(  # right rows: (offset_s, key) — DUPLICATES allowed
+        st.tuples(
+            st.integers(min_value=0, max_value=120),
+            st.sampled_from(["A", "B"]),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lr=asof_dup_strategy)
+def test_asof_join_tiebreak_on_duplicate_right_ts(spark, lr):
+    """With duplicate (key, ts) right rows, the explicit tiebreak
+    column must make the pick deterministic: max rid among the
+    latest-ts candidates."""
+    from kinesis_analytics_demo_spark.operators.temporal import asof_join
+
+    left_rows, right_rows = lr
+    left = spark.createDataFrame(
+        [(BASE + timedelta(seconds=o), k, i) for i, (o, k) in enumerate(left_rows)],
+        "ts timestamp, key string, lid long",
+    )
+    right = spark.createDataFrame(
+        [(BASE + timedelta(seconds=o), k, i) for i, (o, k) in enumerate(right_rows)],
+        "ts timestamp, key string, rid long",
+    )
+    got = {
+        r.lid: r.asof_rid
+        for r in asof_join(
+            left, right, on="key", ts="ts", value_cols=["rid"],
+            right_tiebreak="rid",
+        ).collect()
+    }
+
+    expect = {}
+    for i, (o, k) in enumerate(left_rows):
+        lts = BASE + timedelta(seconds=o)
+        cands = [
+            (BASE + timedelta(seconds=ro), rid)
+            for rid, (ro, rk) in enumerate(right_rows)
+            if rk == k and BASE + timedelta(seconds=ro) <= lts
+        ]
+        # deterministic pick: latest ts, then max tiebreak
+        expect[i] = max(cands)[1] if cands else None
+    assert got == expect
+
+
+range_strategy = st.tuples(
+    st.lists(  # intervals: (offset_s, key)
+        st.tuples(
+            st.integers(min_value=0, max_value=900),
+            st.sampled_from(["A", "B"]),
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    st.lists(  # points: (offset_s, key, value)
+        st.tuples(
+            st.integers(min_value=0, max_value=900),
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=0,
+        max_size=25,
+        unique=True,
+    ),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ip=range_strategy)
+def test_range_join_matches_naive_model(spark, ip):
+    """Model check of the bucketized range join (mirrors the as-of
+    model check, VERDICT round-1 item 8): every (interval, point)
+    pair with point.ts in [start, start+W) and equal key must appear
+    exactly once — bucketization must neither drop boundary-crossing
+    pairs nor double-count points in overlapping candidate buckets."""
+    from pyspark.sql import functions as F
+
+    from kinesis_analytics_demo_spark.operators.temporal import (
+        INCIDENT_WINDOW_SEC as W,
+    )
+
+    intervals, points = ip
+    iv = spark.createDataFrame(
+        [(BASE + timedelta(seconds=o), k, i) for i, (o, k) in enumerate(intervals)],
+        "ts timestamp, key string, iid long",
+    )
+    pt = spark.createDataFrame(
+        [(BASE + timedelta(seconds=o), k, v) for o, k, v in points]
+        or [],
+        "ts timestamp, key string, v long",
+    )
+    bucket = lambda c: F.floor(c.cast("long") / W)  # noqa: E731
+    ivb = iv.withColumn(
+        "bucket", F.explode(F.array(bucket(F.col("ts")), bucket(F.col("ts")) + 1))
+    )
+    ptb = pt.withColumn("bucket", bucket(F.col("ts")))
+    joined = (
+        ivb.alias("i")
+        .join(
+            ptb.alias("p"),
+            on=[
+                F.col("i.key") == F.col("p.key"),
+                F.col("i.bucket") == F.col("p.bucket"),
+                F.col("p.ts") >= F.col("i.ts"),
+                F.col("p.ts") < F.col("i.ts") + F.expr(f"INTERVAL {W} SECOND"),
+            ],
+            how="left",
+        )
+        .groupBy("iid")
+        .agg(
+            F.count("v").alias("n"),
+            F.coalesce(F.sum("v"), F.lit(0)).alias("s"),
+        )
+    )
+    got = {r.iid: (r.n, r.s) for r in joined.collect()}
+
+    expect = {}
+    for i, (o, k) in enumerate(intervals):
+        hits = [
+            v
+            for po, pk, v in points
+            if pk == k and o <= po < o + W
+        ]
+        expect[i] = (len(hits), sum(hits))
+    assert got == expect

@@ -223,6 +223,62 @@ def test_kinesis_sink_batching(spark, tmp_path):
     assert rec["PartitionKey"] == body["ticker"]
 
 
+def test_kinesis_writer_retries_partial_failures(spark, tmp_path):
+    """put_records does NOT raise on partial failure — a 200 response
+    can carry FailedRecordCount > 0. The writer must retry exactly the
+    failed records (ADVICE round 1: silent-drop regression vs the
+    reference's raising per-record put_record), and raise once retries
+    are exhausted."""
+    capture = tmp_path / "retry_puts.jsonl"
+    cap_path = str(capture)
+
+    class FlakyClient:
+        """Fails the LAST record of every first-attempt batch; retried
+        batches (len 1) succeed. Counts attempts via the capture file."""
+
+        def put_records(self, StreamName, Records):
+            with open(cap_path, "a") as fh:
+                fh.write(json.dumps({"n": len(Records)}) + "\n")
+            if len(Records) > 1:
+                results = [{"SequenceNumber": "1"} for _ in Records]
+                results[-1] = {
+                    "ErrorCode": "ProvisionedThroughputExceededException"
+                }
+                return {"FailedRecordCount": 1, "Records": results}
+            return {"FailedRecordCount": 0, "Records": [{"SequenceNumber": "1"}]}
+
+    df = spark.range(40).selectExpr(
+        "concat('T', cast(id % 4 as string)) AS ticker", "cast(id as double) AS price"
+    ).coalesce(1)
+    writer = KinesisBatchWriter(
+        "out-stream",
+        collection_max_count=20,
+        client_factory=lambda: FlakyClient(),
+        backoff_base_s=0.01,
+    )
+    writer(df, batch_id=0)
+    calls = [json.loads(line)["n"] for line in capture.read_text().splitlines()]
+    # two 20-record batches, each retrying its single failed record
+    assert sorted(calls) == [1, 1, 20, 20]
+
+    class AlwaysFails:
+        def put_records(self, StreamName, Records):
+            return {
+                "FailedRecordCount": len(Records),
+                "Records": [{"ErrorCode": "InternalFailure"} for _ in Records],
+            }
+
+    hopeless = KinesisBatchWriter(
+        "out-stream",
+        collection_max_count=20,
+        client_factory=lambda: AlwaysFails(),
+        max_retries=2,
+        backoff_base_s=0.0,
+    )
+    with pytest.raises(Exception, match="still\\s+failing|InternalFailure"):
+        hopeless(df, batch_id=0)
+
+
 def test_stateful_ema_streaming_equals_batch_fold(spark, tmp_path):
     """applyInPandasWithState: the per-key EMA carried across micro-
     batches must equal one batch fold over the full (event-time

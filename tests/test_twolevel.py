@@ -1,0 +1,99 @@
+"""Two-level hop aggregation: exact equivalence with the single-level
+sliding window at the reference's configurations, and the plan audit
+showing raw rows are never pane-exploded (VERDICT.md round-1 item 5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_analytics_demo_spark.session import read_table
+from kinesis_analytics_demo_spark.streaming.windows import (
+    sliding_window_agg,
+    sliding_window_agg_twolevel,
+)
+from tests.conftest import SF_MEDIUM
+
+
+def _rows(df):
+    return sorted(
+        (r["event_type"], r["p"], r["t"].isoformat()) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize(
+    "over,every",
+    [
+        ("2 minutes", "1 minute"),  # README run configuration
+        ("8 hours", "1 minute"),    # application_properties 480-pane ratio
+        ("10 minutes", "2 minutes"),
+    ],
+)
+@pytest.mark.parametrize("agg", ["min", "max", "sum", "count"])
+def test_twolevel_equals_single_level(spark, over, every, agg):
+    events = read_table(spark, SF_MEDIUM, "events")
+    kw = dict(
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        over=over,
+        every=every,
+        agg=agg,
+    )
+    two = _rows(sliding_window_agg_twolevel(events, **kw))
+    one = _rows(sliding_window_agg(events, **kw))
+    if agg == "sum":
+        # float sum is non-associative: hop-partials regroup the adds,
+        # so sums agree only to rounding (min/max/count are exact)
+        two_m = {(k, t): v for k, v, t in two}
+        one_m = {(k, t): v for k, v, t in one}
+        assert two_m.keys() == one_m.keys()
+        for key in two_m:
+            assert two_m[key] == pytest.approx(one_m[key], rel=1e-12)
+    else:
+        assert two == one
+
+
+def test_twolevel_rejects_non_decomposable_and_ragged(spark):
+    events = read_table(spark, SF_MEDIUM, "events")
+    with pytest.raises(ValueError, match="decomposable"):
+        sliding_window_agg_twolevel(events, ts_col="ts", agg="avg")
+    with pytest.raises(ValueError, match="multiple"):
+        sliding_window_agg_twolevel(
+            events, ts_col="ts", over="3 minutes", every="2 minutes"
+        )
+
+
+def test_twolevel_plan_no_pane_explosion_before_partial_agg(spark):
+    """At 8h/1m the single-level plan expands every raw row into 480
+    panes before its partial aggregate. The two-level plan must show
+    (bottom-up): partial agg over the 1-per-row hop window FIRST, and
+    the 480-way Generate(explode) only above it, operating on hop
+    aggregates."""
+    events = read_table(spark, SF_MEDIUM, "events")
+    df = sliding_window_agg_twolevel(
+        events,
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        over="8 hours",
+        every="1 minute",
+        agg="min",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # bottom-most aggregate (the hop partial) sits BELOW the explode
+    gen = max(i for i, l in enumerate(lines) if "Generate explode" in l)
+    bottom_agg = max(i for i, l in enumerate(lines) if "HashAggregate" in l)
+    assert bottom_agg > gen, "hop partial aggregate must run before explode"
+    # single-level at the same ratio pane-expands raw rows instead
+    single = sliding_window_agg(
+        events,
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        over="8 hours",
+        every="1 minute",
+        agg="min",
+    )
+    splan = single._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in splan or "Generate" in splan
