@@ -614,35 +614,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_NPROBE = 2
 
 
-def _pair_cosine_kernel(threshold: float):
-    """Vectorized exact-cosine verify over candidate pairs: per Arrow
-    batch, stack both embedding columns and accumulate dots/norms
-    dimension-by-dimension in float64 (LTR fold order == the DuckDB
-    oracle's list_sum), then filter at the threshold."""
+def _list_pair_sims(threshold: float):
+    """mapInPandas kernel: per IVF list, stack the member vectors once
+    and compute the upper-triangle cosine sub-matrix with vectorized
+    numpy — dimension-by-dimension float64 accumulation (LTR fold
+    order == the DuckDB oracle's list_sum). One matrix product per
+    list instead of materializing candidate PAIRS through a shuffle
+    (the pair-row form shipped ~N^2*nprobe^2/2k rows x 2 embeddings
+    through Arrow — 7x slower at sf0.1)."""
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["ea"]])
-            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["eb"]])
-            dots = np.zeros(len(A))
-            na = np.zeros(len(A))
-            nb = np.zeros(len(B))
-            for j in range(A.shape[1]):  # LTR accumulation == fold order
-                dots += A[:, j] * B[:, j]
-                na += A[:, j] * A[:, j]
-                nb += B[:, j] * B[:, j]
-            sims = dots / (np.sqrt(na) * np.sqrt(nb))
-            mask = sims >= threshold
+            out_a, out_b, out_s = [], [], []
+            for _, row in pdf.iterrows():
+                cell = row["vecs"]
+                ids = np.fromiter((v["vec_id"] for v in cell), dtype=np.int64)
+                A = np.stack(
+                    [np.asarray(v["embedding"], dtype=np.float64) for v in cell]
+                )
+                dots = np.zeros((len(ids), len(ids)))
+                nrm = np.zeros(len(ids))
+                for j in range(A.shape[1]):  # LTR accumulation == fold order
+                    dots += A[:, j][:, None] * A[None, :, j]
+                    nrm += A[:, j] * A[:, j]
+                sims = dots / (np.sqrt(nrm)[:, None] * np.sqrt(nrm)[None, :])
+                ia, ib = np.meshgrid(ids, ids, indexing="ij")
+                mask = (ia < ib) & (sims >= threshold)
+                out_a.append(ia[mask])
+                out_b.append(ib[mask])
+                out_s.append(sims[mask])
             yield pd.DataFrame(
                 {
-                    "vec_a": pdf["vec_a"].to_numpy()[mask],
-                    "vec_b": pdf["vec_b"].to_numpy()[mask],
-                    "sim": sims[mask],
+                    "vec_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+                    "vec_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+                    "sim": np.concatenate(out_s) if out_s else np.array([], np.float64),
                 }
             )
 
@@ -656,21 +664,23 @@ def embedding_near_dup_bucketed(
     nprobe: int = NEAR_DUP_NPROBE,
 ) -> DataFrame:
     """Sub-quadratic embedding near-dup: IVF-list blocking + exact
-    verify within candidates (the SemDeDup-style cluster-then-compare
+    verify within lists (the SemDeDup-style cluster-then-compare
     shape).
 
     - assign each vector to its ``nprobe`` nearest centroids
       (broadcast centroid cross — O(N*k), k rows broadcast);
-    - candidate pairs = vectors sharing a probed list (hash equi-join
-      on cid; ~N^2*nprobe^2/(2k) pairs vs N^2/2 all-pairs — with
-      k ~ sqrt(N) in production this is O(N^1.5) compute);
-    - exact cosine verify restricted to candidates (two hash
-      join-backs on vec_id + a vectorized Arrow/numpy kernel).
+    - per probed list, compute the intra-list cosine sub-matrix with
+      one vectorized kernel (~(N*nprobe/k)^2 work per list, k lists:
+      N^2*nprobe^2/k total vs N^2 all-pairs — with k ~ sqrt(N) in
+      production this is O(N^1.5));
+    - a pair sharing several probed lists is verified in each
+      (identical bits) and deduplicated by the final distinct.
 
-    No stage is O(N^2): every join is hash-keyed, nothing collects.
-    Recall is the standard blocked-dedup trade: at real near-dup
-    thresholds (>= 0.9) probed lists capture near-identical vectors
-    essentially always (tests/test_bucketed_dedup.py pins ~1.0 on a
+    No stage is O(N^2) over the corpus: the only shuffles carry
+    member rows (collect_list by cid) and surviving pairs. Recall is
+    the standard blocked-dedup trade: at real near-dup thresholds
+    (>= 0.9) probed lists capture near-identical vectors essentially
+    always (tests/test_bucketed_dedup.py pins ~1.0 on a
     jittered-duplicate corpus); at this corpus's pathological 0.45
     threshold (max pairwise sim ~0.51 — random-ish vectors) measured
     recall is 11/14 vs the exact all-pairs query.
@@ -681,6 +691,7 @@ def embedding_near_dup_bucketed(
         emb.crossJoin(F.broadcast(centroids))
         .select(
             "vec_id",
+            "embedding",
             "cid",
             V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
         )
@@ -691,22 +702,11 @@ def embedding_near_dup_bucketed(
             ),
         )
         .filter(F.col("crank") <= nprobe)
-        .select("vec_id", "cid")
+        .select("vec_id", "embedding", "cid")
     )
-    a, b = member.alias("a"), member.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()  # a pair may share up to nprobe lists
+    lists = member.groupBy("cid").agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("vecs")
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     schema = T.StructType(
         [
             T.StructField("vec_a", T.LongType()),
@@ -714,11 +714,11 @@ def embedding_near_dup_bucketed(
             T.StructField("sim", T.DoubleType()),
         ]
     )
+    n_lists = max(centroids.count(), 1)
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", "ea", "eb")
-        .mapInPandas(_pair_cosine_kernel(threshold), schema=schema)
+        lists.repartition(n_lists)  # one list per task: spread the matmuls
+        .mapInPandas(_list_pair_sims(threshold), schema=schema)
+        .distinct()
     )
 
 

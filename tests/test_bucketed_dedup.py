@@ -76,14 +76,12 @@ def test_bucketed_plan_has_no_quadratic_stage(spark):
     df = all_queries()["dedup_embedding_cosine_bucketed"].fn(spark, SF_MEDIUM)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    # the only nested loops are the O(N*k) broadcast centroid cross
-    # (appearing twice: the candidate self-join recomputes the member
-    # assignment subtree), each with the TINY side broadcast
+    # the only nested loop is the O(N*k) broadcast centroid cross,
+    # with the TINY centroid side broadcast
     bnlj = plan.count("BroadcastNestedLoopJoin")
-    assert bnlj <= 2
+    assert bnlj <= 1
     assert plan.count("IdentityBroadcastMode") >= bnlj
-    # candidate self-join + two embedding join-backs are hash joins
-    n_hash = plan.count("ShuffledHashJoin") + plan.count(
-        "SortMergeJoin"
-    ) + plan.count("BroadcastHashJoin")
-    assert n_hash >= 3
+    # verify runs as per-list matrix kernels (one mapInPandas), fed by
+    # a hash-partitioned collect_list — no pair-row join anywhere
+    assert plan.count("MapInPandas") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
