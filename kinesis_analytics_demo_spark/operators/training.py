@@ -1,0 +1,198 @@
+"""Training-data pipeline operators beyond cleaning/dedup: benchmark
+decontamination and sequence packing — the two steps between a cleaned
+corpus and a training run.
+
+- ``decontamination_ngram_overlap`` — flag training documents that
+  share any word 3-gram with a held-out benchmark set (the standard
+  n-gram-overlap decontamination used for LLM eval hygiene). The whole
+  check is ONE hash equi-join on 60-bit shingle hashes: the benchmark
+  side is tiny (broadcast), the training side streams — at 100 TB the
+  corpus pays one scan and shuffles nothing (broadcast join), and the
+  shuffle-free shingle hashing reuses the dedup layer's expressions
+  (operators/dedup.py, functions/hashing.py).
+
+- ``pack_sequences`` — deterministic greedy packing of documents into
+  fixed-token-budget training sequences. Documents are hash-sharded
+  (packing is per-shard, the way per-worker packing works in real
+  loaders — a GLOBAL running sum would serialize on one partition at
+  100 TB), then within a shard a running token total assigns each doc
+  to batch floor(prev_cumsum / budget). One shuffle on the shard id;
+  the window runs partition-parallel.
+
+Both have exact DuckDB oracle twins (same hashes, same window
+arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.functions import hashing as H
+from kinesis_analytics_demo_spark.operators.dedup import _distinct_shingles
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+#: Held-out "benchmark" slice of the corpus: doc_id < 50 stands in for
+#: an eval set (MMLU/GSM-style) whose n-grams must not leak into
+#: training data.
+BENCHMARK_MAX_DOC_ID = 50
+
+_SQL_SHINGLES = H.sql_word_shingles("text")
+
+
+@register(
+    "decontamination_ngram_overlap",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents
+    ),
+    dsh AS (
+        SELECT DISTINCT doc_id, {H.sql_shingle_hash('s')} AS h FROM sh
+    ),
+    bench AS (
+        SELECT doc_id AS bench_doc, h FROM dsh
+        WHERE doc_id < {BENCHMARK_MAX_DOC_ID}
+    ),
+    train AS (
+        SELECT doc_id, h FROM dsh WHERE doc_id >= {BENCHMARK_MAX_DOC_ID}
+    ),
+    hits AS (
+        SELECT t.doc_id,
+               count(DISTINCT t.h) AS n_shared_shingles,
+               count(DISTINCT b.bench_doc) AS n_benchmark_docs
+        FROM train t JOIN bench b ON t.h = b.h
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_shared_shingles, 0) AS n_shared_shingles,
+           COALESCE(n_benchmark_docs, 0) AS n_benchmark_docs,
+           n_shared_shingles IS NOT NULL AS contaminated
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id >= {BENCHMARK_MAX_DOC_ID}) d
+    LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
+    doc="Benchmark decontamination: training docs sharing any word "
+    "3-gram (60-bit md5 shingle hash) with the held-out benchmark "
+    "slice. One broadcast hash join on shingle hashes — the benchmark "
+    "side is small by construction; the corpus side never shuffles.",
+)
+def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dsh = _distinct_shingles(docs)
+    bench = dsh.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID).select(
+        F.col("doc_id").alias("bench_doc"), "h"
+    )
+    train = dsh.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID)
+    hits = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("h").alias("n_shared_shingles"),
+            F.count_distinct("bench_doc").alias("n_benchmark_docs"),
+        )
+    )
+    return (
+        docs.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
+            F.coalesce("n_benchmark_docs", F.lit(0)).alias("n_benchmark_docs"),
+            F.col("n_shared_shingles").isNotNull().alias("contaminated"),
+        )
+    )
+
+
+SHUFFLE_SEED = "epoch0"
+SHUFFLE_SHARDS = 8
+
+
+@register(
+    "shuffle_deterministic",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id,
+               {H.sql_md5_long("doc_id::VARCHAR || '" + SHUFFLE_SEED + "'")} AS key
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(key % {SHUFFLE_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY key % {SHUFFLE_SHARDS}
+               ORDER BY key, doc_id
+           ) AS BIGINT) AS shuffle_rank
+    FROM k
+    """,
+    doc="Seeded deterministic corpus shuffle (training-order "
+    "randomization): md5(doc_id || seed) both assigns a shard and "
+    "orders documents within it — the per-shard shuffle real data "
+    "loaders use (a GLOBAL rank window would serialize on one "
+    "reducer). Per-shard windows run partition-parallel; changing the "
+    "seed string reshuffles every epoch reproducibly.",
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    key = H.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(SHUFFLE_SEED)))
+    t = docs.select(
+        "doc_id",
+        key.alias("key"),
+        (key % SHUFFLE_SHARDS).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return t.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("shuffle_rank"),
+    )
+
+
+PACK_TOKEN_BUDGET = 512  # tokens per packed training sequence
+PACK_SHARDS = 8  # packing parallelism (one packer per shard)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               {H.sql_md5_long('doc_id::VARCHAR')} % {PACK_SHARDS} AS shard,
+               len(string_split_regex(text, '\\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) / {PACK_TOKEN_BUDGET}) AS BIGINT) AS pack_id
+    FROM t
+    """,
+    doc="Deterministic greedy sequence packing: hash-shard documents "
+    "(md5 of doc_id — reproducible), then within each shard assign "
+    "doc -> pack floor(preceding-token-cumsum / budget). Per-shard "
+    "packing windows run partition-parallel (a global cumsum would "
+    "serialize); one shuffle on the shard id.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (H.md5_long(F.col("doc_id").cast("string")) % PACK_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        F.size(H.words(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(prev_cum / PACK_TOKEN_BUDGET).alias("pack_id"),
+    )

@@ -61,6 +61,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.similarity  # noqa: F401
     import kinesis_analytics_demo_spark.operators.temporal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.training  # noqa: F401
     import kinesis_analytics_demo_spark.plans.reference_queries  # noqa: F401
 
 

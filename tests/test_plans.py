@@ -107,6 +107,44 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
     assert offenders == {}
 
 
+def test_salted_agg_spreads_hot_key(spark):
+    """Skew audit (VERDICT round-1 item 8): the two-phase salted
+    aggregate must (a) shuffle phase 1 on (key, salt) — visible in the
+    first Exchange — and (b) actually split a hot key across all salt
+    buckets with no residual hot partition."""
+    from pyspark.sql import functions as F
+
+    df = all_queries()["skewed_agg_salted"].fn(spark, SF_MEDIUM)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # phase-1 shuffle partitions on (event_type, salt)
+    assert any(
+        "hashpartitioning" in l and "salt" in l and "event_type" in l
+        for l in plan.splitlines()
+    )
+
+    # synthetic 90%-hot-key frame through the same salting scheme
+    hot = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT"))
+        .otherwise(F.lit("COLD"))
+        .alias("event_type"),
+        F.col("id").alias("event_id"),
+    )
+    salted = hot.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(16)).cast("int")
+    )
+    partial = (
+        salted.groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .filter(F.col("event_type") == "HOT")
+        .collect()
+    )
+    assert len(partial) == 16  # hot key lands in every salt bucket
+    counts = sorted(r.pn for r in partial)
+    # xxhash64 spreads near-uniformly: the largest bucket holds ~1/16,
+    # nowhere near a hot-reducer share
+    assert counts[-1] < sum(counts) * 0.15
+
+
 def test_no_complex_typed_result_columns(spark):
     """Driver-canonicalizer compatibility: the grading driver loads
     every query's result into pandas and sort_values() it — list/dict
