@@ -142,10 +142,12 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Signatures use the explode -> codegen'd-min-aggregate shape
     # (dedup.py::_minhash_banded): per-row higher-order array
     # transforms are interpreted per element and re-derive the
-    # shingle array 16x — measured 40x slower on this corpus.
-    sh_rows = exact.select(
-        "doc_id", F.explode(H.word_shingles(F.col("text"))).alias("s")
-    ).select("doc_id", (H.md5_long(F.col("s")) % H.MERSENNE_P).alias("h"))
+    # shingle array 16x — measured 40x slower on this corpus. Shingle
+    # rows come from the lead-window shape (dedup._shingle_hash_rows),
+    # all-JVM and pre-partitioned by doc_id for the groupBy below.
+    from kinesis_analytics_demo_spark.operators.dedup import _shingle_hash_rows
+
+    sh_rows = _shingle_hash_rows(exact)
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % H.MERSENNE_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(H.MINHASH_PERMS)
