@@ -212,6 +212,55 @@ def streaming_candlestick_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_replay",
+    oracle=_SLIDING_ORACLE,
+    doc="The sliding(2m/1m)-min job as a true streaming replay "
+    "(complete mode -> memory sink == the batch result exactly): the "
+    "reference's SECOND job (flink/sliding_window.py) value-checked "
+    "on the streaming execution path.",
+)
+def streaming_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from kinesis_analytics_demo_spark.sinks.factory import write_stream
+    from kinesis_analytics_demo_spark.sources.factory import create_stream_source
+    from kinesis_analytics_demo_spark.streaming.jobs import sliding_window_job
+
+    name = f"sreplay_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="kads_sreplay_")
+    stage = os.path.join(tmp, "events_stream")
+    os.makedirs(stage)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    stream = create_stream_source(
+        spark, "file-parquet", path=stage, max_files_per_trigger=1000
+    )
+    result = sliding_window_job(
+        spark,
+        stream,
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        over="2 minutes",
+        every="1 minute",
+    )
+    q = write_stream(
+        result,
+        "memory",
+        query_name=name,
+        checkpoint=os.path.join(tmp, "ck"),
+        output_mode="complete",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
+@register(
     "sliding_window_min_twolevel",
     oracle=_SLIDING_ORACLE,
     doc="The SAME sliding-min via two-level hop decomposition "
