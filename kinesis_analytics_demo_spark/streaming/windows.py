@@ -192,10 +192,13 @@ def sliding_window_agg_twolevel(
     a sum+count pair, percentiles need the full pane — use
     ``sliding_window_agg`` for those.
 
-    Streaming: batch-only for now — chaining two stateful aggregations
-    needs Spark's ``window_time``-chained aggregation support and a
-    different watermark propagation; the single-level path remains the
-    streaming route (at streaming's per-ratio state cost).
+    Streaming: supported via chained stateful window aggregations —
+    the hop aggregate watermarks on the event time, the merge phase
+    re-windows ``window_time(hop_window)`` (the hop's event-time
+    representative) into the over/every hopping windows. Same
+    480x-state reduction as batch: per-key state is hops + emitted
+    windows, not panes x rows. Verified against the single-level
+    streaming job in tests/test_twolevel.py.
     """
     if agg not in _HOP_MERGE:
         raise ValueError(
@@ -213,6 +216,19 @@ def sliding_window_agg_twolevel(
     n = over_ms // every_ms
     agg_fn = getattr(F, agg)
     merge_fn = getattr(F, _HOP_MERGE[agg])
+    if df.isStreaming:
+        if watermark is not None:
+            df = df.withWatermark(ts_col, watermark)
+        hops = df.groupBy(F.window(F.col(ts_col), every), F.col(key_col)).agg(
+            agg_fn(value_col).alias("hp")
+        )
+        return (
+            hops.groupBy(
+                F.window(F.window_time("window"), over, every), F.col(key_col)
+            )
+            .agg(merge_fn("hp").alias("p"))
+            .select(key_col, "p", F.col("window.end").alias("t"))
+        )
     hops = (
         df.groupBy(F.window(F.col(ts_col), every), F.col(key_col))
         .agg(agg_fn(value_col).alias("hp"))

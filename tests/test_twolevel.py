@@ -53,6 +53,57 @@ def test_twolevel_equals_single_level(spark, over, every, agg):
         assert two == one
 
 
+def test_twolevel_streaming_equals_single_level_streaming(spark, tmp_path):
+    """STREAMING two-level (chained stateful window aggregations via
+    window_time) must emit exactly the rows the single-level streaming
+    sliding job emits on the same replay — same watermark-closed
+    windows, same values — while keeping per-key state at hops +
+    windows instead of panes x rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_analytics_demo_spark.sinks.factory import write_stream
+    from kinesis_analytics_demo_spark.sources.factory import create_stream_source
+
+    stage = tmp_path / "ev"
+    stage.mkdir()
+    os.symlink(
+        "/root/testdata/sf0.001/events.parquet",
+        str(stage / "events.parquet"),
+    )
+
+    def run(two_level: bool, name: str):
+        stream = create_stream_source(
+            spark, "file-parquet", path=str(stage), max_files_per_trigger=1000
+        )
+        fn = sliding_window_agg_twolevel if two_level else sliding_window_agg
+        out = fn(
+            stream,
+            ts_col="ts",
+            key_col="event_type",
+            value_col="value",
+            over="2 minutes",
+            every="1 minute",
+            watermark="20 seconds",
+            agg="min",
+        )
+        q = write_stream(
+            out,
+            "memory",
+            query_name=name,
+            checkpoint=str(tmp_path / f"ck_{name}"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        return {tuple(r) for r in spark.table(name).collect()}
+
+    got_two = run(True, "tl_stream")
+    got_one = run(False, "sl_stream")
+    assert got_two == got_one
+    assert len(got_two) > 100
+
+
 def test_twolevel_rejects_non_decomposable_and_ragged(spark):
     events = read_table(spark, SF_MEDIUM, "events")
     with pytest.raises(ValueError, match="decomposable"):
