@@ -237,3 +237,51 @@ def text_token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(H.words(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
     )
+
+
+HIST_BUCKET_TOKENS = 32  # fixed-width token-count histogram buckets
+
+
+@register(
+    "text_length_histogram",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               len({_SQL_TOKENS}) AS n_tokens,
+               len({_SQL_TOKENS}) // {HIST_BUCKET_TOKENS} AS bucket
+        FROM documents
+    )
+    SELECT source,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * {HIST_BUCKET_TOKENS} AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM t
+    GROUP BY source, bucket
+    """,
+    doc="Corpus length distribution: fixed-width token-count histogram "
+    "per source — the pre-training length audit (truncation budgets, "
+    "mix weighting). One scan + one shuffle of source x bucket keys.",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(H.words(F.col("text"))).cast("bigint")
+    bucket = F.floor(n / HIST_BUCKET_TOKENS).cast("bigint")
+    return (
+        docs.select("source", n.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .select(
+            "source",
+            "bucket",
+            (F.col("bucket") * HIST_BUCKET_TOKENS).alias("bucket_lo"),
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+        )
+    )
