@@ -1,0 +1,179 @@
+"""Deterministic sketches: KMV (k-minimum-values) distinct counting
+and sketch-merge set estimation.
+
+Spark's built-in ``approx_count_distinct`` (HyperLogLog++) is
+engine-specific — no cross-engine value oracle is possible
+(``approx_aggregates`` carries a rows-only check for it). KMV closes
+that gap: the sketch is the k smallest DISTINCT md5-derived hashes,
+a pure deterministic function of the data, identical on any engine —
+so the estimates themselves are oracle-checked to the last bit.
+
+Estimator: with hashes uniform on [0, M) and h_k the k-th smallest
+distinct hash, distinct-count ~= (k-1) * M / h_k (the classic KMV /
+bottom-k estimator). Error ~ 1/sqrt(k-2) (~6% at k=256).
+
+Scale shape: the per-group sketch is a bounded top-k — Spark plans the
+row_number window with WindowGroupLimit (partial top-k BEFORE the
+shuffle), so the exchange carries at most groups x k rows, never the
+corpus; merging sketches (set union/intersection estimation) unions
+two bounded sketches and re-truncates — O(k), the way sketch stores
+merge shards at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.functions import hashing as H
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+KMV_K = 256
+HASH_SPACE = 1 << 60  # md5_long draws 60 bits
+
+
+@register(
+    "approx_distinct_kmv",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT l_returnflag,
+               {H.sql_md5_long('l_partkey::VARCHAR')} AS h
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT l_returnflag, h,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY h)
+                   AS rn
+        FROM h
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS sketch_size,
+           max(h) AS kth_min_hash,
+           CAST(ROUND(({KMV_K} - 1) * {HASH_SPACE}.0 / max(h), 4) AS DOUBLE)
+               AS approx_distinct
+    FROM ranked
+    WHERE rn <= {KMV_K}
+    GROUP BY l_returnflag
+    """,
+    doc="KMV (bottom-k) distinct-count estimation, fully "
+    "deterministic: sketch = the k=256 smallest distinct 60-bit md5 "
+    "hashes per group, estimate = (k-1)*M/h_k. Unlike HLL the result "
+    "is a pure function of the data, so the ESTIMATE itself is "
+    "oracle-checked bit-for-bit. WindowGroupLimit keeps the top-k "
+    "partial before the shuffle: the exchange carries groups x k "
+    "rows, never the corpus.",
+)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    h = li.select(
+        "l_returnflag",
+        H.md5_long(F.col("l_partkey").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("sketch_size"),
+            F.max("h").alias("kth_min_hash"),
+            F.round((KMV_K - 1) * float(HASH_SPACE) / F.max("h"), 4)
+            .cast("double")
+            .alias("approx_distinct"),
+        )
+    )
+
+
+@register(
+    "kmv_source_overlap",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT source, {H.sql_md5_long('text')} AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM h
+    ),
+    sk AS (SELECT source, h FROM ranked WHERE rn <= {KMV_K}),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b, a.h, 'a' AS side
+        FROM sk a JOIN (SELECT DISTINCT source FROM sk) b
+          ON a.source < b.source
+        UNION ALL
+        SELECT a.source AS source_a, b.source AS source_b, b.h, 'b' AS side
+        FROM (SELECT DISTINCT source FROM sk) a JOIN sk b
+          ON a.source < b.source
+    ),
+    merged AS (
+        SELECT source_a, source_b, h,
+               count(DISTINCT side) AS n_sides,
+               row_number() OVER (PARTITION BY source_a, source_b
+                                  ORDER BY h) AS rn
+        FROM pairs
+        GROUP BY source_a, source_b, h
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS union_sketch_size,
+           CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_common_in_sketch
+    FROM merged
+    WHERE rn <= {KMV_K}
+    GROUP BY source_a, source_b
+    """,
+    doc="Sketch MERGE: per-source KMV sketches of document-text hashes "
+    "unioned pairwise and re-truncated to k — n_common_in_sketch / k "
+    "estimates the Jaccard overlap between sources (cross-source "
+    "contamination signal). All O(sources^2 x k) work happens on "
+    "bounded sketches, never the corpus.",
+)
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        "source", H.md5_long(F.col("text")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+    )
+    srcs = sk.select("source").distinct()
+    a = sk.alias("a")
+    b = sk.alias("b")
+    left = a.join(
+        F.broadcast(srcs.alias("sb")), F.col("a.source") < F.col("sb.source")
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("sb.source").alias("source_b"),
+        F.col("a.h").alias("h"),
+        F.lit("a").alias("side"),
+    )
+    right = b.join(
+        F.broadcast(srcs.alias("sa")), F.col("sa.source") < F.col("b.source")
+    ).select(
+        F.col("sa.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("b.h").alias("h"),
+        F.lit("b").alias("side"),
+    )
+    merged = (
+        left.unionByName(right)
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.count_distinct("side").alias("n_sides"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source_a", "source_b").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= KMV_K)
+    )
+    return merged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("union_sketch_size"),
+        F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0)).alias(
+            "n_common_in_sketch"
+        ),
+    )

@@ -59,6 +59,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.relational2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational3  # noqa: F401
     import kinesis_analytics_demo_spark.operators.similarity  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.sketches  # noqa: F401
     import kinesis_analytics_demo_spark.operators.temporal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text  # noqa: F401
     import kinesis_analytics_demo_spark.operators.training  # noqa: F401
