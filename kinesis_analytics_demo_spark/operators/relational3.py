@@ -269,6 +269,59 @@ def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skewed_join_salted",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               CASE event_type
+                   WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.1
+                   WHEN 'purchase' THEN 10.0 ELSE 0.5 END AS weight
+        FROM events
+    )
+    SELECT e.event_type,
+           CAST(ROUND(SUM(CAST(e.value * d.weight AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS weighted_value,
+           count(*) AS n_events
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    doc="SALTED JOIN for skewed keys: events.event_type has 5 values, "
+    "so a shuffle join would send whole key-partitions to 5 reducers. "
+    "The small dim side is replicated SALT_BUCKETS times (one copy per "
+    "salt), the fact side derives its salt from a high-cardinality "
+    "column, and the join runs on (key, salt) — every reducer gets "
+    "1/16th of each hot key. Same rows as the unsalted join (the "
+    "oracle); the post-join salted aggregate reuses the two-phase "
+    "combine.",
+)
+def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    weight = (
+        F.when(F.col("event_type") == "click", 1.0)
+        .when(F.col("event_type") == "view", 0.1)
+        .when(F.col("event_type") == "purchase", 10.0)
+        .otherwise(0.5)
+    )
+    dim = ev.select("event_type").distinct().select(
+        "event_type", weight.alias("weight")
+    )
+    salts = spark.range(SALT_BUCKETS).select(F.col("id").cast("int").alias("salt"))
+    dim_salted = dim.crossJoin(salts)  # 5 x 16 rows — replicated dim
+    fact = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).cast("int")
+    )
+    joined = fact.join(dim_salted, ["event_type", "salt"])
+    partial = joined.groupBy("event_type", "salt").agg(
+        F.sum((F.col("value") * F.col("weight")).cast("decimal(18,6)")).alias("pv"),
+        F.count(F.lit(1)).alias("pn"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.round(F.sum("pv"), 2).cast("double").alias("weighted_value"),
+        F.sum("pn").alias("n_events"),
+    )
+
+
 # --------------------------------------------------------------------
 # Monthly revenue time series (date bucketing at scale: partition-
 # friendly group key, one shuffle).
