@@ -52,6 +52,10 @@ HEADLINE = [
     "range_frame_trailing_revenue",
     # two-level hop decomposition (the 480-pane sliding scale fix)
     "sliding_window_min_twolevel",
+    # training-run boundary + deterministic sketches
+    "decontamination_ngram_overlap",
+    "pack_sequences",
+    "approx_distinct_kmv",
 ]
 
 
