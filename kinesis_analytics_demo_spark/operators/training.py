@@ -105,6 +105,65 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+MIX_TEMPERATURE = 2.0  # T>1 flattens the source distribution
+
+
+@register(
+    "corpus_mix_temperature",
+    oracle=f"""
+    WITH stats AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang, n,
+               pow(n, 1.0 / {MIX_TEMPERATURE}) / n AS raw_q
+        FROM stats
+    ),
+    normed AS (
+        SELECT lang, n,
+               round(raw_q / max(raw_q) OVER (), 9) AS keep_q
+        FROM rates
+    )
+    SELECT d.doc_id, d.lang, nm.keep_q
+    FROM documents d JOIN normed nm ON d.lang = nm.lang
+    WHERE ({H.sql_md5_long('d.doc_id::VARCHAR')} % 1000000) / 1000000.0
+          < nm.keep_q
+    """,
+    doc="Temperature-based corpus mixing (the multilingual rebalancing "
+    "step): per-language keep probability proportional to n^(1/T)/n "
+    "(T=2 downsamples the dominant language toward a flatter mix — "
+    "here en keeps ~54%, the smallest language 100%), applied as a "
+    "deterministic md5 hash predicate — reproducible across runs, "
+    "engines, and task retries, unlike RAND() sampling. Language "
+    "stats aggregate in one tiny shuffle, then broadcast back; the "
+    "corpus itself is filtered in place, no second shuffle.",
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    rates = stats.select(
+        "lang",
+        (F.pow(F.col("n"), 1.0 / MIX_TEMPERATURE) / F.col("n")).alias("raw_q"),
+    )
+    # keep_q rounded to 9 decimals: libm pow can differ by an ulp
+    # between engines; rounding makes the rate (an output column and
+    # the filter bound) bit-stable cross-engine
+    normed = rates.select(
+        "lang",
+        F.round(
+            F.col("raw_q") / F.max("raw_q").over(Window.partitionBy()), 9
+        ).alias("keep_q"),
+    )
+    frac = (
+        H.md5_long(F.col("doc_id").cast("string")) % 1_000_000
+    ) / 1_000_000.0
+    return (
+        docs.join(F.broadcast(normed), "lang")
+        .filter(frac < F.col("keep_q"))
+        .select("doc_id", "lang", "keep_q")
+    )
+
+
 SHUFFLE_SEED = "epoch0"
 SHUFFLE_SHARDS = 8
 
