@@ -136,6 +136,75 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "resample_ffill_events",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               date_trunc('minute', min(ts)) AS t0,
+               date_trunc('minute', max(ts)) AS t1
+        FROM events GROUP BY event_type
+    ),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS minute
+        FROM bounds
+    ),
+    lastv AS (
+        SELECT event_type, date_trunc('minute', ts) AS minute,
+               arg_max(value, ts) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT g.event_type, g.minute, l.v
+        FROM grid g LEFT JOIN lastv l
+          ON g.event_type = l.event_type AND g.minute = l.minute
+    )
+    SELECT event_type, minute,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS price
+    FROM j
+    """,
+    doc="Time-series resampling with forward fill (gap filling): a "
+    "dense per-key 1-minute grid, each minute carrying the last "
+    "observed value at-or-before it. Grid generation is keys x "
+    "minutes rows (sequence + explode, no shuffle beyond the "
+    "per-key bounds agg); the fill is one per-key ordered window — "
+    "partition-parallel across keys, linear within. (key, ts) is "
+    "unique in this data, so arg_max(value, ts) picks are "
+    "well-defined on both engines.",
+)
+def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    minute = F.date_trunc("minute", F.col("ts"))
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("minute", F.min("ts")).alias("t0"),
+        F.date_trunc("minute", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("minute"),
+    )
+    lastv = ev.groupBy("event_type", minute.alias("minute")).agg(
+        F.max_by("value", "ts").alias("v")
+    )
+    j = grid.join(lastv, ["event_type", "minute"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "minute",
+        F.last("v", ignorenulls=True).over(w).alias("price"),
+    )
+
+
 #: Incident window length; also the time-bucket width for the range
 #: join (bucket width == max interval length -> each interval overlaps
 #: at most 2 buckets).
