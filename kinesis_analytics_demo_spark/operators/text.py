@@ -239,6 +239,49 @@ def text_token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Conservative PII patterns sharing Java-regex / RE2 syntax (no
+#: backrefs, no lookaround) so both engines match identically.
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_PHONE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+PII_SSNISH = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@register(
+    "text_pii_scan",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(text, '{PII_SSNISH}')) AS BIGINT)
+               AS n_ssnish,
+           (len(regexp_extract_all(text, '{PII_EMAIL}')) > 0
+            OR len(regexp_extract_all(text, '{PII_PHONE}')) > 0
+            OR len(regexp_extract_all(text, '{PII_SSNISH}')) > 0)
+               AS has_pii
+    FROM documents
+    """,
+    doc="PII scan (pre-training scrubbing audit): per-document counts "
+    "of email-, phone-, and SSN-shaped matches plus a has_pii flag. "
+    "Pure JVM regexp_count expressions — one scan, no shuffle; the "
+    "patterns avoid backrefs/lookaround so Java regex and RE2 match "
+    "identically.",
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_emails = F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("bigint")
+    n_phones = F.regexp_count(F.col("text"), F.lit(PII_PHONE)).cast("bigint")
+    n_ssnish = F.regexp_count(F.col("text"), F.lit(PII_SSNISH)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ssnish.alias("n_ssnish"),
+        ((n_emails > 0) | (n_phones > 0) | (n_ssnish > 0)).alias("has_pii"),
+    )
+
+
 HIST_BUCKET_TOKENS = 32  # fixed-width token-count histogram buckets
 
 
