@@ -1,0 +1,89 @@
+"""Semantic checks for the training-boundary operators beyond oracle
+parity: packing respects budgets, mixing flattens the distribution,
+decontamination catches planted leaks."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.plans.registry import all_queries
+from kinesis_analytics_demo_spark.session import read_table
+from tests.conftest import SF_MEDIUM
+
+
+def test_pack_sequences_matches_naive_model(spark):
+    """Within each shard, pack assignment must equal the sequential
+    greedy floor(prev_cumsum/budget) fold over doc_id order."""
+    from kinesis_analytics_demo_spark.operators.training import PACK_TOKEN_BUDGET
+
+    rows = all_queries()["pack_sequences"].fn(spark, SF_MEDIUM).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append((r.doc_id, r.n_tokens, r.pack_id))
+    assert len(by_shard) > 1
+    for shard, docs in by_shard.items():
+        docs.sort()
+        cum = 0
+        for doc_id, n_tokens, pack_id in docs:
+            assert pack_id == cum // PACK_TOKEN_BUDGET, (shard, doc_id)
+            cum += n_tokens
+        # pack ids are dense from 0
+        packs = {p for _, _, p in docs}
+        assert packs == set(range(max(packs) + 1))
+
+
+def test_corpus_mix_flattens_language_distribution(spark):
+    """T=2 mixing must shrink the dominant language's share toward the
+    mean while keeping the smallest language intact."""
+    docs = read_table(spark, SF_MEDIUM, "documents")
+    before = Counter(
+        {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    )
+    mixed = all_queries()["corpus_mix_temperature"].fn(spark, SF_MEDIUM)
+    after = Counter(
+        {r.lang: r.n for r in mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    )
+    assert set(after) == set(before)
+
+    def spread(c):
+        return max(c.values()) / min(c.values())
+
+    assert spread(after) < spread(before)  # flatter
+    smallest = min(before, key=before.get)
+    assert after[smallest] == before[smallest]  # smallest kept whole
+    dominant = max(before, key=before.get)
+    assert after[dominant] < before[dominant]  # dominant downsampled
+
+
+def test_decontamination_catches_planted_leak(spark):
+    """A training doc sharing its text with a benchmark doc must be
+    flagged; every flagged doc must genuinely share a 3-gram."""
+    from kinesis_analytics_demo_spark.operators.training import (
+        BENCHMARK_MAX_DOC_ID,
+    )
+
+    docs = read_table(spark, SF_MEDIUM, "documents")
+    # plant: copy benchmark doc 0's text into a fake training doc
+    bench_text = (
+        docs.filter(F.col("doc_id") == 0).select("text").collect()[0][0]
+    )
+    planted_id = 10_000_000
+    planted = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame([(planted_id, bench_text)], "doc_id long, text string")
+    )
+    from kinesis_analytics_demo_spark.operators.dedup import _distinct_shingles
+
+    dsh = _distinct_shingles(planted)
+    bench = dsh.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID).select(
+        F.col("doc_id").alias("bench_doc"), "h"
+    )
+    train = dsh.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID)
+    hits = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("bench_doc").alias("n_benchmark_docs"))
+    )
+    flagged = {r.doc_id for r in hits.collect()}
+    assert planted_id in flagged
