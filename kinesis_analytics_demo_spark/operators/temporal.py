@@ -205,6 +205,74 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_after_view,
+           (SELECT count(*) FROM p) AS n_purchased_after_click
+    """,
+    doc="Staged funnel: users whose first view precedes a click that "
+    "precedes a purchase (strict event-time ordering at each stage). "
+    "Three hash-keyed per-user aggregations, each stage joining only "
+    "the survivors of the previous one — no sessionization scan, no "
+    "per-user sorting.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    # one declarative plan: stage-tagged union -> single global agg
+    # (no driver-side counts, no 1-row cross joins)
+    stages = (
+        v.select(F.lit(1).alias("viewed"), F.lit(0).alias("clicked"), F.lit(0).alias("purchased"))
+        .unionByName(
+            c.select(F.lit(0).alias("viewed"), F.lit(1).alias("clicked"), F.lit(0).alias("purchased"))
+        )
+        .unionByName(
+            p.select(F.lit(0).alias("viewed"), F.lit(0).alias("clicked"), F.lit(1).alias("purchased"))
+        )
+    )
+    return stages.agg(
+        F.sum("viewed").alias("n_viewed"),
+        F.sum("clicked").alias("n_clicked_after_view"),
+        F.sum("purchased").alias("n_purchased_after_click"),
+    )
+
+
 #: Incident window length; also the time-bucket width for the range
 #: join (bucket width == max interval length -> each interval overlaps
 #: at most 2 buckets).
