@@ -58,6 +58,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.relational  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational3  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.relational4  # noqa: F401
     import kinesis_analytics_demo_spark.operators.similarity  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sketches  # noqa: F401
     import kinesis_analytics_demo_spark.operators.temporal  # noqa: F401
