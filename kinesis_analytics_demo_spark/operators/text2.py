@@ -1,0 +1,217 @@
+"""Text analysis over ``documents``, part 2: Gopher-style repetition
+signals, fixed-window chunking, and tokenizer-vocabulary building —
+the remaining pre-training corpus-audit family.
+
+Scale notes: all three operators tokenize via one ``posexplode`` scan
+and keep every aggregation keyed by ``doc_id`` (or the token itself),
+so after the first hash-partition on the key the window + groupBy
+chain is pipelined with no further shuffle. N-grams are built with
+``lead()`` over the per-doc position order — all whole-stage codegen
+(the interpreted ``transform(sequence...)`` slice form measured 1.5-2x
+slower on this corpus). Repetition fractions are single f64 divisions
+of exactly-counted integers, so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.functions import hashing as H
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+_SQL_TOKENS = "string_split_regex(text, '\\s+')"
+
+
+def _tokens_by_pos(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, w) rows — one posexplode scan."""
+    return docs.select(
+        "doc_id", F.posexplode(H.words(F.col("text"))).alias("pos", "w")
+    )
+
+
+# --------------------------------------------------------------------
+# Gopher-style repetition: most-frequent-bigram fraction + fraction of
+# trigram instances that are repeats (the duplicate-n-gram filters
+# from the Gopher/MassiveText quality rules, word-level because this
+# corpus is single-line).
+# --------------------------------------------------------------------
+@register(
+    "text_repetition_gopher",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM t
+    ),
+    c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+    m2 AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS tot FROM c2
+           GROUP BY doc_id),
+    g3 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS gram
+        FROM t
+    ),
+    c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram),
+    m3 AS (SELECT doc_id,
+                  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt,
+                  sum(cnt) AS tot FROM c3 GROUP BY doc_id)
+    SELECT m2.doc_id,
+           m2.top_cnt / m2.tot AS top_bigram_frac,
+           m3.dup_cnt / m3.tot AS dup_trigram_frac
+    FROM m2 JOIN m3 ON m2.doc_id = m3.doc_id
+    """,
+    doc="Gopher/MassiveText-style repetition signals: fraction of "
+    "word-bigram instances taken by the single most frequent bigram, "
+    "and fraction of word-trigram instances that are duplicates. "
+    "lead()-built n-grams; every aggregate stays keyed by doc_id.",
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens_by_pos(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("w"), F.lead("w", 1).over(w)).alias("g2"),
+        F.concat_ws(
+            " ", F.col("w"), F.lead("w", 1).over(w), F.lead("w", 2).over(w)
+        ).alias("g3"),
+        F.lead("w", 1).over(w).isNotNull().alias("has2"),
+        F.lead("w", 2).over(w).isNotNull().alias("has3"),
+    )
+    c2 = (
+        grams.filter("has2")
+        .groupBy("doc_id", "g2")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"), F.sum("count").alias("tot2"))
+    )
+    c3 = (
+        grams.filter("has3")
+        .groupBy("doc_id", "g3")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias(
+                "dup_cnt"
+            ),
+            F.sum("count").alias("tot3"),
+        )
+    )
+    return c2.join(c3, "doc_id").select(
+        "doc_id",
+        (F.col("top_cnt") / F.col("tot2")).alias("top_bigram_frac"),
+        (F.col("dup_cnt") / F.col("tot3")).alias("dup_trigram_frac"),
+    )
+
+
+CHUNK_TOKENS = 64  # fixed training-window width, in whitespace tokens
+
+
+# --------------------------------------------------------------------
+# Fixed-window chunking: split each document into consecutive
+# CHUNK_TOKENS-token windows (the pre-tokenization sharding step that
+# precedes sequence packing — pack_sequences handles the packing).
+# --------------------------------------------------------------------
+@register(
+    "doc_chunks_fixed",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT)))
+                   AS chunk_id
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, chunk_id * {CHUNK_TOKENS} + 1,
+                               (chunk_id + 1) * {CHUNK_TOKENS})) AS BIGINT)
+               AS n_tokens,
+           array_to_string(list_slice(toks, chunk_id * {CHUNK_TOKENS} + 1,
+                                      (chunk_id + 1) * {CHUNK_TOKENS}), ' ')
+               AS chunk_text
+    FROM c
+    """,
+    doc="Fixed-size token-window chunking: posexplode + floor(pos/W) "
+    "chunk key, order restored inside each chunk via "
+    "sort_array(collect_list(struct(pos, w))) — arrays never exceed "
+    "W elements, and the groupBy key (doc_id, chunk_id) subsumes the "
+    "explode's doc_id partitioning.",
+)
+def doc_chunks_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens_by_pos(docs)
+    chunk = F.floor(F.col("pos") / CHUNK_TOKENS).cast("bigint")
+    return (
+        toks.select("doc_id", chunk.alias("chunk_id"), "pos", "w")
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.w,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
+VOCAB_SIZE = 100  # top-K tokens kept in the built vocabulary
+
+#: Same public token classes as text_token_count_bpeish — letter runs,
+#: digit runs, single other chars; Java-regex / RE2 compatible.
+_BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+# --------------------------------------------------------------------
+# Vocabulary building: global token frequencies -> top-K vocab with
+# deterministic ids (count desc, token asc).
+# --------------------------------------------------------------------
+@register(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(text, '{_BPE_ISH_PATTERN}')) AS token
+        FROM documents
+    ),
+    c AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token
+          ORDER BY n_occurrences DESC, token LIMIT {VOCAB_SIZE})
+    SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT)
+               AS token_id,
+           token, n_occurrences
+    FROM c
+    """,
+    doc="Tokenizer-vocabulary building: BPE-ish token classes counted "
+    "corpus-wide (map-side partial agg), top-K via "
+    "TakeOrderedAndProject on the total order (count desc, token "
+    "asc), then ids assigned by row_number over the K survivors only.",
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(text, '{_BPE_ISH_PATTERN}', 0)")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(VOCAB_SIZE)
+    )
+    # row_number over the <=VOCAB_SIZE survivors only — the single
+    # partition the window implies is K rows, not the corpus.
+    rank_w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return counts.select(
+        F.row_number().over(rank_w).cast("bigint").alias("token_id"),
+        "token",
+        "n_occurrences",
+    )

@@ -63,6 +63,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.sketches  # noqa: F401
     import kinesis_analytics_demo_spark.operators.temporal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.text2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.training  # noqa: F401
     import kinesis_analytics_demo_spark.plans.reference_queries  # noqa: F401
 
