@@ -225,6 +225,10 @@ def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     pv = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("val"))
+    # The grand total is ONE row broadcast against the per-part
+    # aggregate; Spark plans a BroadcastNestedLoopJoin, which with a
+    # 1-row build side is just a broadcast filter — scalable, and
+    # whitelisted as such in tests/test_plans.py.
     total = pv.agg(F.sum("val").alias("__total"))
     return (
         pv.join(F.broadcast(total), F.col("val") * 2000 > F.col("__total"))
