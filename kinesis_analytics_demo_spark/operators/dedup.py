@@ -782,3 +782,73 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
         .select("cid", F.col("embedding").alias("cv"))
     )
     return embedding_near_dup_bucketed(emb, cent, EMBEDDING_NEAR_DUP_COSINE)
+
+
+# -------------------------------------------------- incremental dedup
+#: "Yesterday's crawl": the shard being ingested, deduped against the
+#: already-accepted corpus (all other sources).
+INCREMENTAL_NEW_SOURCES = ("src18", "src19")
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_sql_minhash_cte()},
+    side AS (SELECT doc_id,
+                    source IN {INCREMENTAL_NEW_SOURCES} AS is_new
+             FROM documents),
+    cand2 AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN side sa ON a.doc_id = sa.doc_id
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        JOIN side sb ON b.doc_id = sb.doc_id
+        WHERE sa.is_new AND NOT sb.is_new
+    ),
+    inter2 AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS c
+        FROM cand2 c
+        JOIN dsh a ON c.doc_a = a.doc_id
+        JOIN dsh b ON c.doc_b = b.doc_id AND a.hv = b.hv
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a AS new_doc_id,
+           i.doc_b AS dup_of_doc_id,
+           i.c / (sa.n + sb.n - i.c) AS jaccard
+    FROM inter2 i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.c / (sa.n + sb.n - i.c) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Incremental dedup (continuous-ingest shape): the new shard's "
+    "band signatures join ONLY against the existing corpus's — the "
+    "asymmetric version of dedup_minhash_pairs a production pipeline "
+    "runs per ingest batch. In production the existing side's "
+    "signatures are a persisted table keyed by (band, sig), so each "
+    "batch costs O(new shard), never a corpus re-scan; here both "
+    "sides derive from one shingle intermediate.",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = _t(spark, sf_dir, "documents")
+    dsh = _distinct_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _minhash_banded(dsh)
+    side = docs.select(
+        "doc_id", F.col("source").isin(*INCREMENTAL_NEW_SOURCES).alias("is_new")
+    )
+    b = bands.join(side, "doc_id")
+    newb = b.filter("is_new").select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    oldb = b.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("doc_b"), "band", "sig"
+    )
+    pairs = newb.join(oldb, ["band", "sig"]).select("doc_a", "doc_b").distinct()
+    return (
+        jaccard_verify(docs, pairs, dsh=dsh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            F.col("doc_a").alias("new_doc_id"),
+            F.col("doc_b").alias("dup_of_doc_id"),
+            "jaccard",
+        )
+    )

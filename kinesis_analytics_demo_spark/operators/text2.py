@@ -215,3 +215,45 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         "n_occurrences",
     )
+
+
+LENGTH_Q_LO, LENGTH_Q_HI = 0.10, 0.90
+
+
+# --------------------------------------------------------------------
+# Quantile-based length filtering: keep documents inside the corpus's
+# [p10, p90] token-length band (the data-driven variant of fixed
+# min/max length rules).
+# --------------------------------------------------------------------
+@register(
+    "length_quantile_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, len({_SQL_TOKENS}) AS n_tokens
+               FROM documents),
+    q AS (SELECT quantile_cont(n_tokens, {LENGTH_Q_LO}) AS lo,
+                 quantile_cont(n_tokens, {LENGTH_Q_HI}) AS hi FROM t)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM t, q
+    WHERE n_tokens >= lo AND n_tokens <= hi
+    """,
+    doc="Data-driven length filter: corpus p10/p90 token-count "
+    "quantiles (Spark percentile == DuckDB quantile_cont bit-for-"
+    "bit) broadcast back as a 1-row bound — the broadcast nested "
+    "loop with a 1-row build side is a broadcast filter, whitelisted "
+    "in tests/test_plans.py.",
+)
+def length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(H.words(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    q = t.agg(
+        F.percentile("n_tokens", LENGTH_Q_LO).alias("lo"),
+        F.percentile("n_tokens", LENGTH_Q_HI).alias("hi"),
+    )
+    return t.join(
+        F.broadcast(q),
+        (F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi")),
+    ).select("doc_id", "source", "n_tokens")

@@ -92,6 +92,7 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "skewed_join_salted",  # 5-row dim x 16-row salt replication
         "kmv_source_overlap",  # bounded sketch x source-list pairing
         "important_parts_value",  # 1-row grand-total broadcast = filter
+        "length_quantile_filter",  # 1-row quantile-bounds broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():
