@@ -279,6 +279,51 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCIDENT_WINDOW_SEC = 300
 
 
+def interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    left_key: str,
+    right_key: str,
+    start_col: str,
+    ts_col: str,
+    window_sec: int,
+    how: str = "left",
+) -> DataFrame:
+    """Generic range join: attach every `points` row whose `ts_col`
+    falls in ``[start_col, start_col + window_sec)`` of an `intervals`
+    row with matching key. Time is bucketized to window-width epochs
+    so the match is a hash equi-join on (key, bucket) plus the exact
+    range re-check — never a nested loop; candidate pairs per point
+    are O(1). The explode is on the POINT side (each point covers its
+    own bucket and the preceding one, the only two buckets an
+    enclosing interval's start can land in), so the interval side
+    stays one-row-per-interval and ``how="left"`` emits exactly one
+    null-extended row per unmatched interval; a matched pair appears
+    exactly once because the two exploded copies of a point sit in
+    distinct buckets and an interval joins in exactly one. Column
+    names of the two inputs must be disjoint apart from the internal
+    bucket columns (pre-alias on the caller side). Property-checked
+    against a naive model in tests/test_properties.py.
+    """
+    bucket = lambda c: F.floor(c.cast("long") / window_sec)  # noqa: E731
+    iv = intervals.withColumn("__ib", bucket(F.col(start_col)))
+    pts = points.withColumn(
+        "__pb",
+        F.explode(F.array(bucket(F.col(ts_col)) - 1, bucket(F.col(ts_col)))),
+    )
+    joined = iv.join(
+        pts,
+        on=[
+            F.col(left_key) == F.col(right_key),
+            F.col("__ib") == F.col("__pb"),
+            F.col(ts_col) >= F.col(start_col),
+            F.col(ts_col) < F.col(start_col) + F.expr(f"INTERVAL {int(window_sec)} SECOND"),
+        ],
+        how=how,
+    )
+    return joined.drop("__ib", "__pb")
+
+
 @register(
     "range_join_events",
     oracle=f"""
@@ -303,36 +348,19 @@ INCIDENT_WINDOW_SEC = 300
 )
 def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    bucket = lambda c: F.floor(c.cast("long") / INCIDENT_WINDOW_SEC)  # noqa: E731
-
-    errors = (
-        ev.filter(F.col("event_type") == "error")
-        .select(
-            F.col("event_id").alias("incident_id"),
-            F.col("user_id").alias("e_user"),
-            F.col("ts").alias("e_ts"),
-        )
-        .withColumn(
-            "bucket",
-            F.explode(F.array(bucket(F.col("e_ts")), bucket(F.col("e_ts")) + 1)),
-        )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
         F.col("value").alias("c_value"),
-        bucket(F.col("ts")).alias("bucket"),
     )
-    joined = errors.join(
-        clicks,
-        on=[
-            errors.e_user == clicks.c_user,
-            errors.bucket == clicks.bucket,
-            clicks.c_ts >= errors.e_ts,
-            clicks.c_ts < errors.e_ts + F.expr(f"INTERVAL {INCIDENT_WINDOW_SEC} SECOND"),
-        ],
-        how="left",
+    joined = interval_join(
+        errors, clicks, "e_user", "c_user", "e_ts", "c_ts", INCIDENT_WINDOW_SEC
     )
     return (
         joined.groupBy(F.col("incident_id"), F.col("e_user").alias("user_id"))

@@ -184,3 +184,31 @@ def test_asof_and_range_join_plans(spark):
     plan = rj._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """The two-phase salted aggregation must shuffle phase 1 on
+    (event_type, salt) — spreading each hot key over SALT_BUCKETS
+    reducers — and only the tiny per-salt partials on event_type."""
+    import re
+
+    from kinesis_analytics_demo_spark.operators.relational3 import SALT_BUCKETS
+    from kinesis_analytics_demo_spark.session import read_table
+
+    df = all_queries()["skewed_agg_salted"].fn(spark, SF_MEDIUM)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any("event_type" in e and "salt" in e for e in exchanges), exchanges
+    # and the salt really fans each key out across buckets
+    ev = read_table(spark, SF_MEDIUM, "events")
+    from pyspark.sql import functions as F
+
+    spread = (
+        ev.withColumn(
+            "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).cast("int")
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("salt").alias("n_salts"))
+        .collect()
+    )
+    assert all(r.n_salts == SALT_BUCKETS for r in spread), spread

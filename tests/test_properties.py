@@ -309,3 +309,87 @@ def test_range_join_matches_naive_model(spark, ip):
         ]
         expect[i] = (len(hits), sum(hits))
     assert got == expect
+
+
+range_strategy = st.tuples(
+    st.lists(  # intervals: (offset_s, key)
+        st.tuples(
+            st.integers(min_value=0, max_value=600),
+            st.sampled_from(["A", "B"]),
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+    st.lists(  # points: (offset_s, key, value)
+        st.tuples(
+            st.integers(min_value=-120, max_value=720),
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: (t[1], t[0]),
+    ),
+    st.sampled_from([60, 90, 300]),  # window width in seconds
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ipw=range_strategy)
+def test_interval_join_matches_naive_model(spark, ipw):
+    """Model-based check of the bucketized range join: every
+    (interval, point) pair with ts in [start, start+window) and
+    matching key must appear exactly once; intervals with no match
+    must survive with a null point (left join)."""
+    from kinesis_analytics_demo_spark.operators.temporal import interval_join
+
+    interval_rows, point_rows, window_sec = ipw
+    intervals = spark.createDataFrame(
+        [
+            (BASE + timedelta(seconds=o), k, i)
+            for i, (o, k) in enumerate(interval_rows)
+        ],
+        "e_ts timestamp, e_key string, iid long",
+    )
+    points = (
+        spark.createDataFrame(
+            [
+                (BASE + timedelta(seconds=o), k, v, j)
+                for j, (o, k, v) in enumerate(point_rows)
+            ],
+            "p_ts timestamp, p_key string, v long, pid long",
+        )
+        if point_rows
+        else spark.createDataFrame(
+            [], "p_ts timestamp, p_key string, v long, pid long"
+        )
+    )
+    _sk = lambda t: (t[0], t[1] is None, t[1] if t[1] is not None else 0)  # noqa: E731
+    got = sorted(
+        (
+            (r.iid, r.pid)
+            for r in interval_join(
+                intervals, points, "e_key", "p_key", "e_ts", "p_ts", window_sec
+            ).collect()
+        ),
+        key=_sk,
+    )
+
+    expect = []
+    for i, (o, k) in enumerate(interval_rows):
+        start = BASE + timedelta(seconds=o)
+        end = start + timedelta(seconds=window_sec)
+        matched = [
+            j
+            for j, (po, pk, _) in enumerate(point_rows)
+            if pk == k and start <= BASE + timedelta(seconds=po) < end
+        ]
+        expect.extend((i, j) for j in matched)
+        if not matched:
+            expect.append((i, None))
+    assert got == sorted(expect, key=_sk)
