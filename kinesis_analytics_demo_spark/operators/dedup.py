@@ -132,7 +132,16 @@ def _distinct_shingles(docs: DataFrame) -> DataFrame:
 
 def minhash_candidate_pairs(docs: DataFrame, dsh: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs: documents sharing any band signature."""
-    bands = _minhash_banded(dsh if dsh is not None else _shingle_hash_rows(docs))
+    from pyspark import StorageLevel
+
+    # Persist the band table before the self-join: Spark computes each
+    # join side independently, so an unpersisted `bands` would run the
+    # full shingle-stream aggregation twice. The table is tiny
+    # (docs x MINHASH_BANDS rows), the aggregation it guards is the
+    # heaviest stage of the pipeline.
+    bands = _minhash_banded(
+        dsh if dsh is not None else _shingle_hash_rows(docs)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -465,7 +474,11 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "guarantees recall for hamming <= 3) + exact hamming verify.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _simhash_df(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # docs x 1 row; persisted so the chunk self-join below doesn't run
+    # the 60-bit-sum fingerprint aggregation once per side.
+    sh = _simhash_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -837,7 +850,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = docs.select(
         "doc_id", F.col("source").isin(*INCREMENTAL_NEW_SOURCES).alias("is_new")
     )
-    b = bands.join(side, "doc_id")
+    # docs x MINHASH_BANDS rows; persisted so the new/old split below
+    # doesn't run the band aggregation once per side.
+    b = bands.join(side, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
     newb = b.filter("is_new").select(F.col("doc_id").alias("doc_a"), "band", "sig")
     oldb = b.filter(~F.col("is_new")).select(
         F.col("doc_id").alias("doc_b"), "band", "sig"

@@ -591,7 +591,13 @@ def _mt_codes(spark: SparkSession, emb: DataFrame) -> DataFrame:
 def similarity_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     codes = _mt_codes(spark, emb)
-    qcodes = codes.filter(F.col("vec_id") < N_QUERIES).select(
+    # Codes are computed per-vector, so the query side is derived from
+    # a pre-filtered scan rather than from `codes`: Spark does not
+    # share subplans across the two sides of a join, and deriving both
+    # from `codes` recomputes the full-corpus explode/aggregate twice.
+    # Filtering first pushes vec_id < N_QUERIES into the parquet scan
+    # and makes the query-side code computation O(queries), not O(N).
+    qcodes = _mt_codes(spark, emb.filter(F.col("vec_id") < N_QUERIES)).select(
         F.col("vec_id").alias("query_id"),
         "t",
         F.explode(

@@ -140,6 +140,12 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KMV_K)
         .select("source", "h")
     )
+    # sources x k rows; persisted because the pair construction below
+    # reads it three times (srcs, left, right) and each unpersisted
+    # read would repeat the corpus-wide distinct + top-k window.
+    from pyspark import StorageLevel
+
+    sk = sk.persist(StorageLevel.MEMORY_AND_DISK)
     srcs = sk.select("source").distinct()
     a = sk.alias("a")
     b = sk.alias("b")
