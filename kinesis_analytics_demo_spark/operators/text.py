@@ -328,3 +328,82 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_tokens",
         )
     )
+
+
+# ------------------------------------------------- cross-doc boilerplate
+#: A word 3-gram is "boilerplate" when it appears in at least this many
+#: DISTINCT documents. On real web corpora this catches navigation
+#: chrome, license headers, and templated spans (the cross-document
+#: analogue of C4's line dedup — this corpus's synthetic text has no
+#: line structure, so the span unit is the same word 3-gram the minhash
+#: pipeline shingles on). df>=4 sits above this corpus's chance-collision
+#: floor (its ~30-word vocab makes df=2..3 mostly coincidence): it flags
+#: ~4% of grams and the frac<0.2 keep rule drops ~8% of docs at sf0.01.
+BOILERPLATE_MIN_DF = 4
+BOILERPLATE_MAX_FRAC = 0.2
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {H.sql_word_shingles('text')} AS sh
+               FROM documents),
+    dsh AS (SELECT DISTINCT doc_id,
+                   unnest([{H.sql_shingle_hash('s')} for s in sh]) AS h
+            FROM w WHERE len(sh) > 0),
+    dfq AS (SELECT h, count(*) AS df FROM dsh GROUP BY h),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM dsh GROUP BY doc_id),
+    com AS (SELECT d.doc_id, count(*) AS n_boilerplate
+            FROM dsh d JOIN dfq ON d.h = dfq.h
+            WHERE dfq.df >= {BOILERPLATE_MIN_DF}
+            GROUP BY d.doc_id)
+    SELECT t.doc_id,
+           t.n_grams,
+           COALESCE(c.n_boilerplate, 0) AS n_boilerplate,
+           COALESCE(c.n_boilerplate, 0) / t.n_grams AS boilerplate_frac,
+           COALESCE(c.n_boilerplate, 0) / t.n_grams < {BOILERPLATE_MAX_FRAC}
+               AS keep
+    FROM tot t LEFT JOIN com c ON t.doc_id = c.doc_id
+    """,
+    doc="Cross-document boilerplate signal: corpus-wide document "
+    "frequency of distinct word 3-grams; per doc, the fraction of its "
+    "grams shared with >= BOILERPLATE_MIN_DF documents, and a keep "
+    "flag below BOILERPLATE_MAX_FRAC. The RefinedWeb/C4 repeated-span "
+    "filter re-expressed on gram hashes: every stage is a hash-keyed "
+    "aggregate or equi-join on 8-byte keys (shingle text never "
+    "shuffles), so the cost at 100 TB is the same two shuffles as the "
+    "minhash pipeline it shares the shingle scan shape with. At high "
+    "DF thresholds the surviving gram table is small enough to "
+    "broadcast; at df>=2 it stays a shuffle join — both skew-safe "
+    "because gram hashes distribute uniformly.",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from kinesis_analytics_demo_spark.operators.dedup import _distinct_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    # distinct (doc_id, gram-hash) rows feed three aggregates below;
+    # persisted for the same one-corpus-scan reason as minhash dedup.
+    dsh = _distinct_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    dfq = dsh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    tot = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    com = (
+        dsh.join(dfq.filter(F.col("df") >= BOILERPLATE_MIN_DF), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    )
+    frac = F.col("n_boilerplate") / F.col("n_grams")
+    return (
+        tot.join(com, "doc_id", "left")
+        .withColumn(
+            "n_boilerplate", F.coalesce(F.col("n_boilerplate"), F.lit(0).cast("bigint"))
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boilerplate",
+            frac.alias("boilerplate_frac"),
+            (frac < BOILERPLATE_MAX_FRAC).alias("keep"),
+        )
+    )

@@ -87,3 +87,48 @@ def test_decontamination_catches_planted_leak(spark):
     )
     flagged = {r.doc_id for r in hits.collect()}
     assert planted_id in flagged
+
+
+def test_boilerplate_ngrams_hand_model(spark):
+    """Hand-built corpus: a 3-gram shared by >= BOILERPLATE_MIN_DF docs
+    counts as boilerplate for every doc containing it; unique grams
+    don't; the keep flag flips at BOILERPLATE_MAX_FRAC."""
+    from kinesis_analytics_demo_spark.operators.text import (
+        BOILERPLATE_MAX_FRAC,
+        BOILERPLATE_MIN_DF,
+        text_boilerplate_ngrams,
+    )
+    from kinesis_analytics_demo_spark.operators import text as T
+    from kinesis_analytics_demo_spark.session import read_table as real_read
+
+    shared = "alpha beta gamma"  # one 3-gram, planted in MIN_DF docs
+    carriers = [
+        (i, f"{shared} u{i}a u{i}b u{i}c", "en", "s", 0)
+        for i in range(BOILERPLATE_MIN_DF)
+    ]
+    # carrier grams: [shared, 'gamma u{i}a u{i}b'...] -> 4 grams each,
+    # exactly 1 boilerplate -> frac 0.25
+    clean = [(90, "x0 x1 x2 x3 x4", "en", "s", 0)]  # 3 grams, all unique
+    hot = [
+        (91, shared, "en", "s", 0)  # 1 gram, boilerplate -> frac 1.0
+    ]
+    docs = spark.createDataFrame(
+        carriers + clean + hot,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    orig = T._t
+    T._t = lambda spark, sf_dir, name: docs
+    try:
+        rows = {r.doc_id: r for r in text_boilerplate_ngrams(spark, "ignored").collect()}
+    finally:
+        T._t = orig
+
+    for i in range(BOILERPLATE_MIN_DF):
+        r = rows[i]
+        assert (r.n_grams, r.n_boilerplate) == (4, 1), r
+        assert abs(r.boilerplate_frac - 0.25) < 1e-12
+        assert r.keep == (0.25 < BOILERPLATE_MAX_FRAC)
+    assert (rows[90].n_boilerplate, rows[90].keep) == (0, True)
+    r91 = rows[91]
+    assert (r91.n_grams, r91.n_boilerplate, r91.keep) == (1, 1, False)
