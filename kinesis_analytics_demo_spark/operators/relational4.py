@@ -239,3 +239,187 @@ def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("val"), 2).cast("double").alias("part_value"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Q4-shape: orders with at least one late line, counted by priority.
+# The EXISTS is a left-semi hash join on the order key (equi key +
+# lateness residual), then a 5-group count — no per-row subquery.
+# --------------------------------------------------------------------
+@register(
+    "order_priority_check",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4-style order priority check (no commitdate in this "
+    "schema; 'late' is shipped > 60 days after the order date): the "
+    "correlated EXISTS runs as one left-semi hash join on the order "
+    "key, orders-side quarter filter pushed to the scan.",
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_exists = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late_exists.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------
+# Q6-shape: revenue change from a discount band — a pure scan-side
+# filter + single global aggregate (the canonical pushdown probe).
+# --------------------------------------------------------------------
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS revenue_change
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-style forecast revenue change: all three predicates "
+    "reach the parquet scan (PushedFilters), one partial+final "
+    "aggregate, zero joins — decimal-exact sum.",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+            .cast("double")
+            .alias("revenue_change")
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Q10-shape: customers who returned the most (by revenue) in a
+# quarter. Aggregate on the custkey BEFORE joining customer/nation so
+# the big-dim join carries one row per customer, then TakeOrdered.
+# --------------------------------------------------------------------
+@register(
+    "returned_item_customers",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, n_name, revenue
+    FROM rev
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-style returned-item reporting: returnflag + quarter "
+    "filters ahead of the orderkey join, revenue aggregated per "
+    "custkey BEFORE the customer join (at 100 TB customer is a big "
+    "dim — joining post-aggregate carries one row per customer, not "
+    "per line), nation broadcast, deterministic top-20 via "
+    "TakeOrderedAndProject with a custkey tiebreak.",
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+    )
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# Q12-shape: late lines per line status, split by order priority —
+# the dual-CASE conditional aggregation over one join (no shipmode
+# column in this schema; l_linestatus stands in for the group key).
+# --------------------------------------------------------------------
+@register(
+    "late_lines_by_status",
+    oracle=f"""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="TPC-H Q12-style shipping audit (l_linestatus standing in for "
+    "the absent shipmode): one orderkey hash join, lateness residual "
+    "filter, dual conditional counts map-side-combined into 2 groups.",
+)
+def late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
