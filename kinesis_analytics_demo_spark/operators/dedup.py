@@ -867,3 +867,74 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+# ------------------------------------------- quality-aware cluster keep
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_sql_minhash_cte()},
+    dup AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM dup
+    ),
+    reach(doc_id, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    clusters AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id),
+    tq AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+    quality AS (
+        SELECT doc_id,
+               (0.4 * least(len(toks) / 100.0, 1.0)
+                + 0.3 * (len(list_distinct(toks)) / len(toks))
+                + 0.3 * least((len(list_filter(toks,
+                      w -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'for', 'on', 'it'], w))) / len(toks)) / 0.1,
+                      1.0)) AS quality_score
+        FROM tq
+    ),
+    ranked AS (
+        SELECT c.doc_id, c.cluster_id, q.quality_score,
+               count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality_score DESC, c.doc_id) AS rn
+        FROM clusters c JOIN quality q ON c.doc_id = q.doc_id
+    )
+    SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+           quality_score, rn = 1 AS kept
+    FROM ranked
+    """,
+    doc="Quality-aware dedup retention: within each near-duplicate "
+    "cluster keep the HIGHEST-quality document (C4/Gopher heuristic "
+    "score; doc_id tiebreak) instead of the lowest id — what a "
+    "production pipeline actually retains. Composition of the "
+    "connected-component clusters and the quality scorer: one extra "
+    "shuffle on cluster_id for the argmax window; quality is computed "
+    "corpus-wide in the same scan that seeds the labels.",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kinesis_analytics_demo_spark.operators.text import text_quality_score
+
+    clusters = dedup_minhash_clusters(spark, sf_dir)
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    size_w = Window.partitionBy("cluster_id")
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(size_w))
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "quality_score",
+            (F.col("rn") == 1).alias("kept"),
+        )
+    )
