@@ -232,3 +232,91 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+# --------------------------------------------------------------------
+# Exact-k deterministic global sample: order the corpus by an md5 of
+# the key and take the first K. Spark plans TakeOrderedAndProject —
+# per-partition top-K heaps, then a K-row merge on the driver-side
+# reducer — so no global sort ever materializes; cost is one scan +
+# K*partitions rows of shuffle regardless of corpus size. The hash
+# order makes the "random" K reproducible across runs, engines, and
+# partitionings (RAND()-based LIMIT sampling is none of those).
+# --------------------------------------------------------------------
+SAMPLE_EXACT_K = 100
+
+
+@register(
+    "corpus_sample_exact_k",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+    LIMIT {SAMPLE_EXACT_K}
+    """,
+    doc="Exact-k uniform sample: global top-K by md5(doc_id) — "
+    "TakeOrderedAndProject (per-partition heaps + K-row merge, no "
+    "full sort), deterministic across runs/engines/partitionings.",
+)
+def corpus_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "source", H.md5_long(F.col("doc_id").cast("string")).alias("__h")
+        )
+        .orderBy(F.asc("__h"), F.asc("doc_id"))
+        .limit(SAMPLE_EXACT_K)
+        .drop("__h")
+    )
+
+
+# --------------------------------------------------------------------
+# Deterministic train/validation/test assignment: hash each doc into
+# 1000 slots and carve fixed bands (980/10/10). A pure row-local
+# expression — no shuffle, no RNG; membership survives reruns,
+# repartitioning, and incremental ingest (a new shard's docs join the
+# same splits they would have joined in a full rebuild, because the
+# assignment depends only on doc_id).
+# --------------------------------------------------------------------
+SPLIT_SLOTS = 1000
+SPLIT_VALID_LO = 980  # [980, 990) -> validation
+SPLIT_TEST_LO = 990  # [990, 1000) -> test
+
+
+@register(
+    "corpus_train_split",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % {SPLIT_SLOTS}) AS slot
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN slot >= {SPLIT_TEST_LO} THEN 'test'
+                WHEN slot >= {SPLIT_VALID_LO} THEN 'validation'
+                ELSE 'train' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM s
+    GROUP BY source, split
+    """,
+    doc="Deterministic train/validation/test split: md5('split:'||id) "
+    "into 1000 slots, fixed 98/1/1 bands. Row-local "
+    "assignment (zero shuffle before the audit count) that is stable "
+    "under reruns, repartitioning, and incremental ingest; the "
+    "'split:' salt decorrelates it from every other hash decision "
+    "(sampling tiers, shard assignment) derived from the same ids.",
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    slot = H.md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % SPLIT_SLOTS
+    split = (
+        F.when(slot >= SPLIT_TEST_LO, "test")
+        .when(slot >= SPLIT_VALID_LO, "validation")
+        .otherwise("train")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
