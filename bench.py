@@ -56,6 +56,14 @@ HEADLINE = [
     "decontamination_ngram_overlap",
     "pack_sequences",
     "approx_distinct_kmv",
+    # corpus audit + retention (round-2 additions)
+    "text_boilerplate_ngrams",
+    "dedup_keep_best_quality",
+    "corpus_sample_exact_k",
+    # TPC-H adaptations Q4/Q6/Q10
+    "order_priority_check",
+    "forecast_revenue_change",
+    "returned_item_customers",
 ]
 
 
