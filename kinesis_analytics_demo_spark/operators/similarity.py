@@ -636,3 +636,72 @@ def similarity_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ------------------------------------------- incremental list assignment
+#: "Yesterday's embeddings": the shard being ingested (1 in 10 vectors
+#: by id hash), assigned to the FROZEN IVF lists built from the
+#: already-indexed corpus — the ANN twin of dedup_incremental_minhash.
+INCREMENTAL_SHARD_MOD = 10
+INCREMENTAL_SHARD_SLOT = 9
+
+
+@register(
+    "similarity_incremental_assign",
+    oracle=f"""
+    WITH old AS (
+        SELECT * FROM embeddings
+        WHERE vec_id % {INCREMENTAL_SHARD_MOD} != {INCREMENTAL_SHARD_SLOT}
+    ),
+    cent AS (SELECT min(vec_id) AS cid FROM old GROUP BY label),
+    centv AS (
+        SELECT c.cid, e.embedding AS cv
+        FROM cent c JOIN embeddings e ON e.vec_id = c.cid
+    ),
+    nw AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % {INCREMENTAL_SHARD_MOD} = {INCREMENTAL_SHARD_SLOT}
+    ),
+    assign AS (
+        SELECT n.vec_id, c.cid,
+               {V.sql_cosine('n.embedding', 'c.cv', DIM)} AS sim,
+               row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY {V.sql_cosine('n.embedding', 'c.cv', DIM)} DESC,
+                            c.cid) AS crank
+        FROM nw n, centv c
+    )
+    SELECT vec_id, cid AS assigned_list, sim FROM assign WHERE crank = 1
+    """,
+    doc="Incremental ANN index maintenance (continuous-ingest shape): "
+    "a new shard of vectors is assigned to the FROZEN coarse lists "
+    "built from the already-indexed corpus — the per-ingest-batch "
+    "step a production IVF index runs (the dedup twin is "
+    "dedup_incremental_minhash). Centroids derive from the OLD rows "
+    "only, so assignments never shift under re-ingest; the new shard "
+    "crossJoins the broadcast centroid table (k rows) and keeps the "
+    "argmax-cosine list per vector — O(shard x k) work, no corpus "
+    "re-scan, same plan at any corpus size.",
+)
+def similarity_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    is_new = emb.vec_id % INCREMENTAL_SHARD_MOD == INCREMENTAL_SHARD_SLOT
+    old = emb.filter(~is_new)
+    cent = (
+        old.groupBy("label")
+        .agg(F.min("vec_id").alias("cid"))
+        .join(emb, F.col("cid") == F.col("vec_id"))
+        .select("cid", F.col("embedding").alias("cv"))
+    )
+    new = emb.filter(is_new).select("vec_id", "embedding")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        new.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            V.cosine(F.col("embedding"), F.col("cv")).alias("sim"),
+        )
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", F.col("cid").alias("assigned_list"), "sim")
+    )

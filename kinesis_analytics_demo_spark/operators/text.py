@@ -407,3 +407,59 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac < BOILERPLATE_MAX_FRAC).alias("keep"),
         )
     )
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{PII_SSNISH}', '<ID>', 'g'),
+                       '{PII_PHONE}', '<PHONE>', 'g'),
+                   '{PII_EMAIL}', '<EMAIL>', 'g') AS red,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+                   AS n_phones,
+               CAST(len(regexp_extract_all(text, '{PII_SSNISH}')) AS BIGINT)
+                   AS n_ssnish
+        FROM documents
+    )
+    SELECT doc_id,
+           n_emails + n_phones + n_ssnish AS n_redactions,
+           CAST(length(red) AS BIGINT) AS redacted_len,
+           md5(red) AS redacted_md5
+    FROM r
+    """,
+    doc="PII redaction (the transform the scan audits): SSN-shaped, "
+    "then phone-shaped, then email-shaped spans replaced with typed "
+    "placeholders — same fixed order in both engines so overlapping "
+    "matches resolve identically. Result carries counts + the md5 of "
+    "the redacted text (scalar columns for the driver's canonicalizer; "
+    "the full redacted column is what a production job would write). "
+    "Pure row-local regexp_replace — one scan, zero shuffle.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_SSNISH, "<ID>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_EMAIL,
+        "<EMAIL>",
+    )
+    n_redactions = (
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL))
+        + F.regexp_count(F.col("text"), F.lit(PII_PHONE))
+        + F.regexp_count(F.col("text"), F.lit(PII_SSNISH))
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_redactions.alias("n_redactions"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )

@@ -89,6 +89,7 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "similarity_ivf_kmeans",     # broadcast TRAINED centroids x corpus
         "dedup_embedding_cosine",    # broadcast block ids x corpus
         "dedup_embedding_cosine_bucketed",  # broadcast centroids x corpus
+        "similarity_incremental_assign",  # broadcast frozen centroids x shard
         "skewed_join_salted",  # 5-row dim x 16-row salt replication
         "kmv_source_overlap",  # bounded sketch x source-list pairing
         "important_parts_value",  # 1-row grand-total broadcast = filter

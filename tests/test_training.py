@@ -132,3 +132,46 @@ def test_boilerplate_ngrams_hand_model(spark):
     assert (rows[90].n_boilerplate, rows[90].keep) == (0, True)
     r91 = rows[91]
     assert (r91.n_grams, r91.n_boilerplate, r91.keep) == (1, 1, False)
+
+
+def test_pii_scan_and_redact_on_planted_pii(spark):
+    """The corpus has no PII-shaped strings, so oracle parity alone is
+    vacuous for the PII ops — plant every pattern class and check both
+    the scan counts and the redaction transform against hand values."""
+    from kinesis_analytics_demo_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact bob.smith+x@example.co.uk or 555-123-4567 now", "en", "s", 0),
+            (1, "ssn 078-05-1120 appears twice 078-05-1120 here", "en", "s", 0),
+            (2, "clean text with no sensitive spans at all", "en", "s", 0),
+            # phone-pattern and ssn-pattern overlap: 123-45-6789 is
+            # SSN-shaped, 123-456-7890 is phone-shaped
+            (3, "a@b.io 123-45-6789 123-456-7890", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = T._t
+    T._t = lambda spark, sf_dir, name: docs
+    try:
+        scan = {r.doc_id: r for r in T.text_pii_scan(spark, "ignored").collect()}
+        red = {r.doc_id: r for r in T.text_pii_redact(spark, "ignored").collect()}
+    finally:
+        T._t = orig
+
+    assert (scan[0].n_emails, scan[0].n_phones, scan[0].n_ssnish) == (1, 1, 0)
+    assert (scan[1].n_emails, scan[1].n_phones, scan[1].n_ssnish) == (0, 0, 2)
+    assert not scan[2].has_pii and scan[3].has_pii
+    assert (scan[3].n_emails, scan[3].n_phones, scan[3].n_ssnish) == (1, 1, 1)
+
+    assert red[0].n_redactions == 2
+    assert red[1].n_redactions == 2
+    assert (red[2].n_redactions, red[2].redacted_len) == (0, 41)
+    assert red[3].n_redactions == 3
+    # redaction really removes the spans: redacted text of doc 3 is
+    # exactly the placeholders
+    import hashlib
+
+    expect = "<EMAIL> <ID> <PHONE>"
+    assert red[3].redacted_md5 == hashlib.md5(expect.encode()).hexdigest()
+    assert red[3].redacted_len == len(expect)
