@@ -213,3 +213,39 @@ def test_salted_agg_spreads_hot_key(spark):
         .collect()
     )
     assert all(r.n_salts == SALT_BUCKETS for r in spread), spread
+
+
+def test_round2_tpch_and_sampling_plans(spark):
+    """Plan hygiene for the round-2 additions: Q6's predicates reach
+    the scan with a pruned schema, Q10 and the exact-k sample use
+    TakeOrderedAndProject (no global sort), Q4 plans a semi join, and
+    the train-split audit is a single exchange."""
+    qs = all_queries()
+
+    q6 = qs["forecast_revenue_change"].fn(spark, SF_MEDIUM)
+    p6 = q6._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull" in p6
+    # the scan reads exactly the four referenced columns
+    import re
+
+    scan_cols = re.search(r"FileScan parquet \[([^\]]*)\]", p6).group(1)
+    assert sorted(c.split("#")[0] for c in scan_cols.split(",")) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_quantity",
+        "l_shipdate",
+    ]
+
+    for name in ("returned_item_customers", "corpus_sample_exact_k"):
+        plan = qs[name].fn(spark, SF_MEDIUM)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Sort " not in plan or name != "corpus_sample_exact_k", name
+    # the exact-k sample needs no exchange at all
+    pk = qs["corpus_sample_exact_k"].fn(spark, SF_MEDIUM)
+    assert "Exchange" not in pk._jdf.queryExecution().executedPlan().toString()
+
+    p4 = qs["order_priority_check"].fn(spark, SF_MEDIUM)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p4
+
+    psplit = qs["corpus_train_split"].fn(spark, SF_MEDIUM)._jdf.queryExecution().executedPlan().toString()
+    assert psplit.count("Exchange hashpartitioning") == 1
