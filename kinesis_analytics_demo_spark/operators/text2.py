@@ -257,3 +257,68 @@ def length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q),
         (F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi")),
     ).select("doc_id", "source", "n_tokens")
+
+
+OOV_VOCAB_K = 16  # deliberately smaller than the corpus token variety
+
+
+# --------------------------------------------------------------------
+# Tokenizer-coverage audit: rate of tokens OUTSIDE a fixed-size top-K
+# vocabulary, per source. The pre-training question "how much of each
+# source will an existing tokenizer shatter into unknowns" — run
+# before committing a vocab size / data mix.
+# --------------------------------------------------------------------
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_extract_all(text, '{_BPE_ISH_PATTERN}')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM tok GROUP BY token
+        ORDER BY count(*) DESC, token LIMIT {OOV_VOCAB_K}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) / count(*)
+               AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY source
+    """,
+    doc="Tokenizer-coverage audit: per-source out-of-vocabulary rate "
+    "against a top-K corpus vocabulary (K deliberately under the "
+    "corpus token variety so the signal is non-trivial here). The "
+    "vocab is K rows by construction — broadcast to the token stream, "
+    "so the whole audit is one corpus scan + one map-side-combined "
+    "shuffle of source keys; the vocab build's own shuffle carries "
+    "distinct tokens, not occurrences.",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{_BPE_ISH_PATTERN}', 0)")
+        ).alias("token"),
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(OOV_VOCAB_K)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            n_oov.cast("bigint").alias("n_oov"),
+            (n_oov / F.count(F.lit(1))).alias("oov_rate"),
+        )
+    )
