@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_analytics_demo_spark.caching import tracked_persist
 from kinesis_analytics_demo_spark.functions import hashing as H
+from kinesis_analytics_demo_spark.operators.text import (
+    _SQL_TOKENS,
+    sql_quality_score,
+)
 from kinesis_analytics_demo_spark.functions import vectors as V
 from kinesis_analytics_demo_spark.plans.registry import register
 from kinesis_analytics_demo_spark.session import read_table as _t
@@ -132,16 +137,14 @@ def _distinct_shingles(docs: DataFrame) -> DataFrame:
 
 def minhash_candidate_pairs(docs: DataFrame, dsh: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs: documents sharing any band signature."""
-    from pyspark import StorageLevel
-
     # Persist the band table before the self-join: Spark computes each
     # join side independently, so an unpersisted `bands` would run the
     # full shingle-stream aggregation twice. The table is tiny
     # (docs x MINHASH_BANDS rows), the aggregation it guards is the
     # heaviest stage of the pipeline.
-    bands = _minhash_banded(
-        dsh if dsh is not None else _shingle_hash_rows(docs)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = tracked_persist(
+        _minhash_banded(dsh if dsh is not None else _shingle_hash_rows(docs))
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -162,9 +165,7 @@ def minhash_dup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     per-doc sizes (Spark doesn't share common subplans across joins;
     at 100 TB this persisted intermediate is what you'd checkpoint to
     cluster storage)."""
-    from pyspark import StorageLevel
-
-    dsh = _distinct_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    dsh = tracked_persist(_distinct_shingles(docs))
     pairs = minhash_candidate_pairs(docs, dsh=dsh)
     return jaccard_verify(docs, pairs, dsh=dsh).filter(
         F.col("jaccard") >= threshold
@@ -175,10 +176,8 @@ def jaccard_verify(
     docs: DataFrame, pairs: DataFrame, dsh: DataFrame | None = None
 ) -> DataFrame:
     """Exact n-gram Jaccard for the given candidate pairs."""
-    from pyspark import StorageLevel
-
     if dsh is None:
-        dsh = _distinct_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        dsh = tracked_persist(_distinct_shingles(docs))
     sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = dsh.alias("sa")
     b = dsh.alias("sb")
@@ -474,11 +473,9 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "guarantees recall for hamming <= 3) + exact hamming verify.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     # docs x 1 row; persisted so the chunk self-join below doesn't run
     # the 60-bit-sum fingerprint aggregation once per side.
-    sh = _simhash_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = tracked_persist(_simhash_df(spark, sf_dir))
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -842,17 +839,15 @@ INCREMENTAL_NEW_SOURCES = ("src18", "src19")
     "sides derive from one shingle intermediate.",
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     docs = _t(spark, sf_dir, "documents")
-    dsh = _distinct_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    dsh = tracked_persist(_distinct_shingles(docs))
     bands = _minhash_banded(dsh)
     side = docs.select(
         "doc_id", F.col("source").isin(*INCREMENTAL_NEW_SOURCES).alias("is_new")
     )
     # docs x MINHASH_BANDS rows; persisted so the new/old split below
     # doesn't run the band aggregation once per side.
-    b = bands.join(side, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    b = tracked_persist(bands.join(side, "doc_id"))
     newb = b.filter("is_new").select(F.col("doc_id").alias("doc_a"), "band", "sig")
     oldb = b.filter(~F.col("is_new")).select(
         F.col("doc_id").alias("doc_b"), "band", "sig"
@@ -886,14 +881,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
     ),
     clusters AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id),
-    tq AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+    tq AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
     quality AS (
-        SELECT doc_id,
-               (0.4 * least(len(toks) / 100.0, 1.0)
-                + 0.3 * (len(list_distinct(toks)) / len(toks))
-                + 0.3 * least((len(list_filter(toks,
-                      w -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'for', 'on', 'it'], w))) / len(toks)) / 0.1,
-                      1.0)) AS quality_score
+        SELECT doc_id, {sql_quality_score('toks')} AS quality_score
         FROM tq
     ),
     ranked AS (

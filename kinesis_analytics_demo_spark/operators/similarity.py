@@ -11,13 +11,22 @@ Two paths, as SURVEY.md §7 step 5 prescribes:
   (window row_number over query_id). The baseline any ANN variant is
   measured against.
 
-- ``similarity_ann_lsh`` — random-hyperplane LSH: 4 signed projections
-  bucket every vector into one of 16 buckets; queries only scan their
-  own bucket. The hyperplane weights are md5-derived integers — fixed,
-  reproducible, embedded identically in the Spark plan and the oracle
-  SQL. At 100 TB: #planes grows with corpus (buckets ~ N/target
-  bucket size), bucketing is one cheap scan + equi-join shuffle on
-  bucket id; recall is traded for never touching all N per query.
+- ``similarity_ann_lsh`` (canonical, multi-table OR-construction) —
+  8 independent 6-plane random-hyperplane tables with Hamming-1
+  multiprobe; candidates are the union of collisions, then exact
+  cosine re-rank. Recall@10 0.86 on this deliberately hard
+  near-random corpus. The hyperplane weights are md5-derived
+  integers — fixed, reproducible, embedded identically in the Spark
+  plan and the oracle SQL. At 100 TB: #planes grows with corpus
+  (buckets ~ N/target bucket size), bucketing is one cheap scan +
+  equi-join shuffle on bucket id; recall is traded for never
+  touching all N per query.
+
+- ``similarity_ann_lsh_baseline`` — the single-table single-probe
+  variant (4 planes, 16 buckets, recall@10 0.15 here): kept as the
+  pedagogy/ablation baseline the multi-probe/multi-table variants
+  are measured against. Not a production path — pick the canonical
+  name for real answers.
 """
 
 from __future__ import annotations
@@ -228,7 +237,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "similarity_ann_lsh",
+    "similarity_ann_lsh_baseline",
     oracle=f"""
     WITH b AS (
         SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
@@ -251,12 +260,14 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= {TOP_K}
     """,
-    doc="ANN via random-hyperplane LSH: 4 signed md5-derived integer "
+    doc="Single-probe single-table LSH ANN BASELINE (recall@10 0.15 "
+    "on this near-random corpus): 4 signed md5-derived integer "
     "projections -> 16 buckets; each query scans only its bucket, "
-    "then exact cosine re-rank. The 100 TB path: bucket count scales "
-    "with corpus, per-query work is O(bucket), not O(N).",
+    "then exact cosine re-rank. Kept as the ablation baseline for "
+    "the multiprobe/multitable variants; the canonical "
+    "similarity_ann_lsh is the multi-table path (recall 0.86).",
 )
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ann_lsh_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     b = emb.select("vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket"))
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
@@ -542,7 +553,7 @@ def _mt_codes(spark: SparkSession, emb: DataFrame) -> DataFrame:
 
 
 @register(
-    "similarity_ann_lsh_multitable",
+    "similarity_ann_lsh",
     oracle=f"""
     WITH qd AS (
         SELECT vec_id,
@@ -580,7 +591,8 @@ def _mt_codes(spark: SparkSession, emb: DataFrame) -> DataFrame:
     SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= {TOP_K}
     """,
-    doc="Multi-table LSH ANN (OR-construction): 8 independent "
+    doc="CANONICAL LSH ANN (multi-table OR-construction; formerly "
+    "registered as similarity_ann_lsh_multitable): 8 independent "
     "6-plane tables, Hamming-1 multiprobe in each, candidates = "
     "union of collisions, exact cosine re-rank. Projections are "
     "integer-quantized (micro-units) so the explode/aggregate "

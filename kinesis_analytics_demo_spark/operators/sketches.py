@@ -50,8 +50,11 @@ HASH_SPACE = 1 << 60  # md5_long draws 60 bits
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS sketch_size,
            max(h) AS kth_min_hash,
-           CAST(ROUND(({KMV_K} - 1) * {HASH_SPACE}.0 / max(h), 4) AS DOUBLE)
-               AS approx_distinct
+           CASE WHEN count(*) < {KMV_K}
+                THEN CAST(count(*) AS DOUBLE)
+                ELSE CAST(ROUND(({KMV_K} - 1) * {HASH_SPACE}.0 / max(h), 4)
+                          AS DOUBLE)
+           END AS approx_distinct
     FROM ranked
     WHERE rn <= {KMV_K}
     GROUP BY l_returnflag
@@ -78,8 +81,18 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("sketch_size"),
             F.max("h").alias("kth_min_hash"),
-            F.round((KMV_K - 1) * float(HASH_SPACE) / F.max("h"), 4)
-            .cast("double")
+            # a sketch that never filled holds the COMPLETE distinct
+            # set — return it exactly; the (k-1)*M/h_k estimator badly
+            # overestimates a partial sketch (ADVICE r2 item 2).
+            F.when(
+                F.count(F.lit(1)) < KMV_K,
+                F.count(F.lit(1)).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    (KMV_K - 1) * float(HASH_SPACE) / F.max("h"), 4
+                ).cast("double")
+            )
             .alias("approx_distinct"),
         )
     )
@@ -143,9 +156,11 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sources x k rows; persisted because the pair construction below
     # reads it three times (srcs, left, right) and each unpersisted
     # read would repeat the corpus-wide distinct + top-k window.
-    from pyspark import StorageLevel
+    # Tracked so harness code can release it after the final action
+    # (ADVICE r2 item 3).
+    from kinesis_analytics_demo_spark.caching import tracked_persist
 
-    sk = sk.persist(StorageLevel.MEMORY_AND_DISK)
+    sk = tracked_persist(sk)
     srcs = sk.select("source").distinct()
     a = sk.alias("a")
     b = sk.alias("b")

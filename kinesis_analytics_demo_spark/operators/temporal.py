@@ -305,7 +305,10 @@ def interval_join(
     bucket columns (pre-alias on the caller side). Property-checked
     against a naive model in tests/test_properties.py.
     """
-    bucket = lambda c: F.floor(c.cast("long") / window_sec)  # noqa: E731
+    # NTZ-safe epoch seconds: parquet timestamps may load as
+    # TIMESTAMP_NTZ (no direct bigint cast); go via TIMESTAMP with the
+    # session tz pinned to UTC (session.py) so both types bucket alike.
+    bucket = lambda c: F.floor(c.cast("timestamp").cast("long") / window_sec)  # noqa: E731
     iv = intervals.withColumn("__ib", bucket(F.col(start_col)))
     pts = points.withColumn(
         "__pb",

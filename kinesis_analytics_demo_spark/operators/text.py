@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_analytics_demo_spark.caching import tracked_persist
 from kinesis_analytics_demo_spark.functions import hashing as H
 from kinesis_analytics_demo_spark.plans.registry import register
 from kinesis_analytics_demo_spark.session import read_table as _t
@@ -100,23 +101,28 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_quality_score(toks: str = "toks") -> str:
+    """DuckDB fragment: the C4/Gopher-style quality score over a
+    token-list column. The ONE definition every oracle that needs the
+    score builds from (ADVICE r2 item 4: dedup_keep_best_quality used
+    to hand-duplicate the formula and stoplist inline — an edit to the
+    scorer or EN_STOPWORDS would have silently desynchronized it)."""
+    return (
+        f"(0.4 * least(len({toks}) / 100.0, 1.0)\n"
+        f"            + 0.3 * (len(list_distinct({toks})) / len({toks}))\n"
+        f"            + 0.3 * least((len(list_filter({toks}, "
+        f"w -> list_contains({_SQL_STOPLIST}, w))) / len({toks})) / 0.1, 1.0))"
+    )
+
+
 @register(
     "text_quality_score",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks, length(text) AS n_char
-               FROM documents),
-    s AS (SELECT doc_id,
-                 len(toks) AS n,
-                 len(list_distinct(toks)) AS nd,
-                 len(list_filter(toks, w -> list_contains({_SQL_STOPLIST}, w))) AS n_stop,
-                 n_char
-          FROM t)
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
     SELECT doc_id,
-           CAST(n AS BIGINT) AS n_tokens,
-           (0.4 * least(n / 100.0, 1.0)
-            + 0.3 * (nd / n)
-            + 0.3 * least((n_stop / n) / 0.1, 1.0)) AS quality_score
-    FROM s
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           {sql_quality_score('toks')} AS quality_score
+    FROM t
     """,
     doc="Quality scoring: length saturation + lexical diversity + "
     "function-word density, combined with fixed weights (the "
@@ -378,14 +384,12 @@ BOILERPLATE_MAX_FRAC = 0.2
     "because gram hashes distribute uniformly.",
 )
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     from kinesis_analytics_demo_spark.operators.dedup import _distinct_shingles
 
     docs = _t(spark, sf_dir, "documents")
     # distinct (doc_id, gram-hash) rows feed three aggregates below;
     # persisted for the same one-corpus-scan reason as minhash dedup.
-    dsh = _distinct_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    dsh = tracked_persist(_distinct_shingles(docs))
     dfq = dsh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     tot = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     com = (

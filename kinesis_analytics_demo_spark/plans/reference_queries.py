@@ -158,6 +158,51 @@ def sliding_window_min_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replay_events_stream(
+    spark: SparkSession, sf_dir: str, prefix: str, build_job
+) -> DataFrame:
+    """Replay the events table as a file micro-batch stream through
+    ``build_job(stream, name)``, complete mode into a memory sink;
+    returns the sink table. The staging dir (checkpoint + symlink) is
+    removed once the query terminates — the returned DataFrame reads
+    the in-memory sink, not the files (ADVICE r2 item 5: the mkdtemp
+    dirs used to leak on every registered-query iteration)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_analytics_demo_spark.sinks.factory import write_stream
+    from kinesis_analytics_demo_spark.sources.factory import create_stream_source
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix=f"kads_{prefix}_")
+    try:
+        stage = os.path.join(tmp, "events_stream")
+        os.makedirs(stage)
+        # file streams take a directory; stage the single-file table
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(stage, "events.parquet"),
+        )
+        stream = create_stream_source(
+            spark, "file-parquet", path=stage, max_files_per_trigger=1000
+        )
+        result = build_job(stream, name)
+        q = write_stream(
+            result,
+            "memory",
+            query_name=name,
+            checkpoint=os.path.join(tmp, "ck"),
+            output_mode="complete",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(600)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
 @register(
     "streaming_candlestick_replay",
     oracle=_CANDLE_ORACLE_FAST,
@@ -170,45 +215,21 @@ def sliding_window_min_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "just pytest equivalence (VERDICT round-1 item 6).",
 )
 def streaming_candlestick_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
-
-    from kinesis_analytics_demo_spark.sinks.factory import write_stream
-    from kinesis_analytics_demo_spark.sources.factory import create_stream_source
-
     from kinesis_analytics_demo_spark.streaming.jobs import tumbling_window_job
 
-    name = f"replay_{uuid.uuid4().hex[:8]}"
-    tmp = tempfile.mkdtemp(prefix="kads_replay_")
-    stage = os.path.join(tmp, "events_stream")
-    os.makedirs(stage)
-    # file streams take a directory; stage the single-file table
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stage, "events.parquet"),
-    )
-    stream = create_stream_source(
-        spark, "file-parquet", path=stage, max_files_per_trigger=1000
-    )
-    result = tumbling_window_job(
+    return _replay_events_stream(
         spark,
-        stream,
-        ts_col="ts",
-        key_col="event_type",
-        value_col="value",
-        view_name=f"view_{name}",
+        sf_dir,
+        "replay",
+        lambda stream, name: tumbling_window_job(
+            spark,
+            stream,
+            ts_col="ts",
+            key_col="event_type",
+            value_col="value",
+            view_name=f"view_{name}",
+        ),
     )
-    q = write_stream(
-        result,
-        "memory",
-        query_name=name,
-        checkpoint=os.path.join(tmp, "ck"),
-        output_mode="complete",
-        trigger_available_now=True,
-    )
-    q.awaitTermination(600)
-    return spark.table(name)
 
 
 @register(
@@ -220,44 +241,22 @@ def streaming_candlestick_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on the streaming execution path.",
 )
 def streaming_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
-
-    from kinesis_analytics_demo_spark.sinks.factory import write_stream
-    from kinesis_analytics_demo_spark.sources.factory import create_stream_source
     from kinesis_analytics_demo_spark.streaming.jobs import sliding_window_job
 
-    name = f"sreplay_{uuid.uuid4().hex[:8]}"
-    tmp = tempfile.mkdtemp(prefix="kads_sreplay_")
-    stage = os.path.join(tmp, "events_stream")
-    os.makedirs(stage)
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stage, "events.parquet"),
-    )
-    stream = create_stream_source(
-        spark, "file-parquet", path=stage, max_files_per_trigger=1000
-    )
-    result = sliding_window_job(
+    return _replay_events_stream(
         spark,
-        stream,
-        ts_col="ts",
-        key_col="event_type",
-        value_col="value",
-        over="2 minutes",
-        every="1 minute",
+        sf_dir,
+        "sreplay",
+        lambda stream, name: sliding_window_job(
+            spark,
+            stream,
+            ts_col="ts",
+            key_col="event_type",
+            value_col="value",
+            over="2 minutes",
+            every="1 minute",
+        ),
     )
-    q = write_stream(
-        result,
-        "memory",
-        query_name=name,
-        checkpoint=os.path.join(tmp, "ck"),
-        output_mode="complete",
-        trigger_available_now=True,
-    )
-    q.awaitTermination(600)
-    return spark.table(name)
 
 
 @register(

@@ -49,6 +49,9 @@ def streaming_minhash_dedup(
     watermark horizon are suppressed, state expires beyond it."""
     sig_df = with_minhash_signature(df, text_col)
     if df.isStreaming:
+        from kinesis_analytics_demo_spark.streaming.windows import ensure_event_time
+
+        sig_df = ensure_event_time(sig_df, ts_col)
         return sig_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             ["minhash_sig"]
         )

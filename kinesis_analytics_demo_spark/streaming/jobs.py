@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from kinesis_analytics_demo_spark.config import AppConfig
 from kinesis_analytics_demo_spark.sinks.factory import write_stream
 from kinesis_analytics_demo_spark.sources.factory import create_stream_source
-from kinesis_analytics_demo_spark.streaming.windows import sliding_window_agg
+from kinesis_analytics_demo_spark.streaming.windows import (
+    ensure_event_time,
+    sliding_window_agg,
+)
 
 
 def build_tumbling_candlestick_sql(
@@ -61,7 +64,9 @@ def tumbling_window_job(
     front-end. Watermark = the reference's 20s bounded out-of-orderness
     (flink/tumbling_window.py:119)."""
     if source.isStreaming:
-        source = source.withWatermark(ts_col, watermark)
+        source = ensure_event_time(source, ts_col).withWatermark(
+            ts_col, watermark
+        )
     source.createOrReplaceTempView(view_name)
     return spark.sql(
         build_tumbling_candlestick_sql(

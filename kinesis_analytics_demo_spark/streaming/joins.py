@@ -40,6 +40,12 @@ def interval_join(
     join state finite (eviction once the watermark passes
     ``left.ts`` / ``right.ts + lookback``).
     """
+    from kinesis_analytics_demo_spark.streaming.windows import ensure_event_time
+
+    if left.isStreaming:
+        left = ensure_event_time(left, left_ts)
+    if right.isStreaming:
+        right = ensure_event_time(right, right_ts)
     l_wm = left.withWatermark(left_ts, watermark)
     r_cols = [c for c in right.columns if c != on]
     r_wm = right.select(

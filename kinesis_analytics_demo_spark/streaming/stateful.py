@@ -91,8 +91,12 @@ def ema_stateful(
     watermark — the documented semantics of recursive state.
     """
     tiebreak = tiebreak_col or value_col
-    if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+    if df.isStreaming:
+        from kinesis_analytics_demo_spark.streaming.windows import ensure_event_time
+
+        df = ensure_event_time(df, ts_col)
+        if watermark is not None:
+            df = df.withWatermark(ts_col, watermark)
     grouped = df.groupBy(key_col)
     return grouped.applyInPandasWithState(
         _make_ema_fn(alpha, ts_col, value_col, tiebreak),

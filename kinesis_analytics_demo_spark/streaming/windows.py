@@ -55,6 +55,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize ``ts_col`` to TIMESTAMP (with local-tz semantics).
+
+    Structured Streaming watermarks reject TIMESTAMP_NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and parquet written without
+    a timezone loads as NTZ. The session timezone is pinned to UTC
+    (session.py), so the cast is a pure re-tag — wall-clock values are
+    unchanged on any engine.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def _event_ordered(value_col: str, ts_col: str, tiebreak_cols: list[str]):
     """Struct whose lexicographic min/max is the event-time first/last
     value (deterministic replacement for FIRST_VALUE/LAST_VALUE,
@@ -86,8 +102,10 @@ def tumbling_candlestick(
     emit once finalized (append mode) — the Spark analog of Flink's
     on-watermark window firing.
     """
-    if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+    if df.isStreaming:
+        df = ensure_event_time(df, ts_col)
+        if watermark is not None:
+            df = df.withWatermark(ts_col, watermark)
     if tiebreak_cols:
         # Deterministic under (key, ts) ties: lexicographic struct
         # ordering. Costs a SortAggregate (struct buffers aren't
@@ -142,8 +160,10 @@ def sliding_window_agg(
     the README run-log configuration (2 minutes / 1 minute,
     reference README.md:122-123).
     """
-    if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+    if df.isStreaming:
+        df = ensure_event_time(df, ts_col)
+        if watermark is not None:
+            df = df.withWatermark(ts_col, watermark)
     agg_fn = getattr(F, agg)
     return (
         df.groupBy(F.window(F.col(ts_col), over, every), F.col(key_col))
@@ -217,6 +237,7 @@ def sliding_window_agg_twolevel(
     agg_fn = getattr(F, agg)
     merge_fn = getattr(F, _HOP_MERGE[agg])
     if df.isStreaming:
+        df = ensure_event_time(df, ts_col)
         if watermark is not None:
             df = df.withWatermark(ts_col, watermark)
         hops = df.groupBy(F.window(F.col(ts_col), every), F.col(key_col)).agg(

@@ -14,6 +14,16 @@ WITH_ORACLE = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
 WITHOUT_ORACLE = sorted(n for n, s in QUERIES.items() if s.oracle is None)
 
 
+@pytest.fixture(autouse=True)
+def _release_cached_intermediates():
+    """Free tracked persisted intermediates after every query so the
+    full-registry run doesn't accumulate cached tables (ADVICE r2)."""
+    yield
+    from kinesis_analytics_demo_spark.caching import release_tracked
+
+    release_tracked()
+
+
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_query_matches_oracle(spark, oracle_con, name):
     spec = QUERIES[name]

@@ -187,10 +187,12 @@ def test_asof_and_range_join_plans(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_salted_agg_spreads_hot_key(spark):
+def test_salted_agg_phase1_shuffle(spark):
     """The two-phase salted aggregation must shuffle phase 1 on
     (event_type, salt) — spreading each hot key over SALT_BUCKETS
-    reducers — and only the tiny per-salt partials on event_type."""
+    reducers — and only the tiny per-salt partials on event_type.
+    (Was a duplicate name shadowing test_salted_agg_spreads_hot_key
+    above — ADVICE r2 item 1.)"""
     import re
 
     from kinesis_analytics_demo_spark.operators.relational3 import SALT_BUCKETS

@@ -52,12 +52,15 @@ def test_kmeans_ivf_recall_beats_floor(spark):
 
 
 def test_multitable_lsh_recall_beats_floor(spark):
-    """OR-construction multi-table LSH: the round-1 single-table
-    multiprobe sat at 0.47 recall@10 — the 8x6-plane multi-table
-    variant measures 0.86 on this near-random corpus (true top-10
-    sims only 0.24-0.49). Pin a floor just under."""
+    """The CANONICAL ``similarity_ann_lsh`` name must return
+    production-quality answers: it now points at the OR-construction
+    multi-table variant (the round-1 single-table multiprobe sat at
+    0.47 recall@10 — the 8x6-plane multi-table variant measures 0.86
+    on this near-random corpus, true top-10 sims only 0.24-0.49).
+    Pin a floor just under; a regression that re-points the canonical
+    name at a low-recall variant fails here."""
     qs = all_queries()
     exact = _topk_sets(qs["similarity_cosine_topk"].fn(spark, SF_MEDIUM))
-    mt = _topk_sets(qs["similarity_ann_lsh_multitable"].fn(spark, SF_MEDIUM))
+    mt = _topk_sets(qs["similarity_ann_lsh"].fn(spark, SF_MEDIUM))
     recall = _recall(exact, mt)
     assert recall >= 0.84, f"recall@10 = {recall:.2f}"
