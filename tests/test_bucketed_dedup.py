@@ -85,3 +85,37 @@ def test_bucketed_plan_has_no_quadratic_stage(spark):
     # a hash-partitioned collect_list — no pair-row join anywhere
     assert plan.count("MapInPandas") == 1
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def _chain_labels(spark, n_nodes: int, max_rounds: int):
+    """Min-label propagation over a path graph 0-1-2-...-(n-1) — the
+    worst-case (diameter n-1) shape for a near-duplicate cluster."""
+    from kinesis_analytics_demo_spark.operators.dedup import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n_nodes - 1)]
+        + [(i + 1, i) for i in range(n_nodes - 1)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(n_nodes)], "doc_id long, cluster_id long"
+    )
+    return label_propagation(labels, edges, max_rounds=max_rounds)
+
+
+def test_label_propagation_converges_at_cap_diameter(spark):
+    """VERDICT r2 item 6: a chain whose diameter is exactly at the
+    convergence budget (n-1 propagation rounds + 1 observe-no-change
+    round = max_rounds) must converge to a single cluster labeled 0."""
+    got = {(r.doc_id, r.cluster_id) for r in _chain_labels(spark, 20, 20).collect()}
+    assert got == {(i, 0) for i in range(20)}
+
+
+def test_label_propagation_raises_past_cap(spark):
+    """A chain longer than the round cap must RAISE, never return
+    silently-unconverged labels (they would diverge from the
+    recursive-CTE oracle)."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _chain_labels(spark, 26, 20).collect()

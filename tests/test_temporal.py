@@ -54,3 +54,36 @@ def test_asof_join_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_join_left_unmatched_not_duplicated(spark):
+    """VERDICT r2 item 4 regression pin: under how='left' an interval
+    with NO in-window point must appear EXACTLY once (null-extended),
+    even when same-key points exist in both of its candidate buckets
+    but fail the exact range re-check — the point-side explode puts
+    each point in two buckets, and a naive interval-side explode (or a
+    dropped dedup) would emit the unmatched interval once per bucket."""
+    from datetime import datetime, timedelta
+
+    from kinesis_analytics_demo_spark.operators.temporal import interval_join
+
+    base = datetime(2024, 1, 1)
+    W = 60
+    intervals = spark.createDataFrame(
+        [(base + timedelta(seconds=300), "A", 1)],
+        "e_ts timestamp, e_key string, iid long",
+    )
+    # same key, one point just BEFORE the window and one just AFTER it:
+    # both land in a candidate bucket of the interval, neither matches
+    points = spark.createDataFrame(
+        [
+            (base + timedelta(seconds=299), "A", 10, 1),
+            (base + timedelta(seconds=360), "A", 20, 2),
+        ],
+        "p_ts timestamp, p_key string, v long, pid long",
+    )
+    rows = interval_join(
+        intervals, points, "e_key", "p_key", "e_ts", "p_ts", W, how="left"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].iid == 1 and rows[0].pid is None
