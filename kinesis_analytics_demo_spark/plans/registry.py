@@ -77,6 +77,13 @@ def _load_all_modules() -> None:
 # row in either round plus the 9 that only r1 checked (VERDICT r2
 # items 1-2), minus the 10 lowest-value relational variants that wait
 # for round 4.
+#
+# ROUND-4 ROTATION (do this first next round): replace this list with
+# the names that STILL have no driver row after r3 — positions 51+ of
+# the r3 ordering (text_*, dedup_*, multimodal_*, corpus_*, the
+# remaining relational family) plus round-3 additions
+# (dedup_embedding_clusters), so the union of r1-r4 samples covers the
+# whole registry.
 _DRIVER_PRIORITY: list[str] = [
     # -- the reference's own headline surface (VERDICT item 1)
     "candlestick_tumbling",
