@@ -159,7 +159,8 @@ def sliding_window_min_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _replay_events_stream(
-    spark: SparkSession, sf_dir: str, prefix: str, build_job
+    spark: SparkSession, sf_dir: str, prefix: str, build_job,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Replay the events table as a file micro-batch stream through
     ``build_job(stream, name)``, complete mode into a memory sink;
@@ -194,7 +195,7 @@ def _replay_events_stream(
             "memory",
             query_name=name,
             checkpoint=os.path.join(tmp, "ck"),
-            output_mode="complete",
+            output_mode=output_mode,
             trigger_available_now=True,
         )
         q.awaitTermination(600)
@@ -326,3 +327,111 @@ def json_ingest_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", F.from_json(F.col("props"), schema).getField("k").alias("k")
     )
+
+
+@register(
+    "streaming_interval_join_replay",
+    oracle="""
+    SELECT e.event_id AS incident_id,
+           e.user_id,
+           c.event_id AS click_id,
+           c.value AS click_value
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts <= e.ts
+     AND c.ts >= e.ts - INTERVAL 300 SECOND
+    """,
+    doc="STREAM-STREAM interval join, value-checked on the streaming "
+    "execution path: the events table replayed as a stream, split "
+    "into an error stream and a click stream, inner-joined on "
+    "user_id with clicks in the 5 minutes PRECEDING each error "
+    "(enrichment-by-recent-context). Both sides watermarked; the "
+    "two-sided time bound keeps join state at watermark+lookback per "
+    "key — finite on an unbounded feed (streaming/joins.py). "
+    "Append-mode inner join emits exactly the matched pairs, so the "
+    "replayed result equals the batch inequality join bit-for-bit.",
+)
+def streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.streaming.joins import interval_join
+
+    def build(stream, name):
+        errors = stream.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("incident_id"), "user_id", "ts"
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+            F.col("ts").alias("c_ts"),
+        )
+        joined = interval_join(
+            errors,
+            clicks,
+            on="user_id",
+            left_ts="ts",
+            right_ts="c_ts",
+            lookback="300 seconds",
+            watermark="20 seconds",
+        )
+        return joined.select(
+            "incident_id",
+            "user_id",
+            F.col("r_click_id").alias("click_id"),
+            F.col("r_click_value").alias("click_value"),
+        )
+
+    return _replay_events_stream(
+        spark, sf_dir, "ijoin", build, output_mode="append"
+    )
+
+
+@register(
+    "streaming_sessionize_replay",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 5 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+    doc="SESSION WINDOWS on the true streaming path, value-checked: "
+    "the events table replayed as a micro-batch stream through "
+    "session_window(ts, 5 min) per user (merging session state — the "
+    "stateful operator Flink calls session windows), complete mode "
+    "into a memory sink. Stream-end result equals the batch "
+    "gaps-and-islands rewrite exactly — the streaming execution of "
+    "the sessionize_events operator (operators/relational2.py:156).",
+)
+def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.operators.relational2 import SESSION_GAP
+
+    def build(stream, name):
+        return (
+            stream.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    return _replay_events_stream(spark, sf_dir, "sess", build)

@@ -141,8 +141,11 @@ _DRIVER_PRIORITY: list[str] = [
     "grouping_sets_revenue",
     "monthly_revenue",
     "range_frame_trailing_revenue",
-    "disjunctive_filter_revenue",
-    "large_orders",
+    # -- round-3 additions: distinct STREAMING capabilities (stream-
+    #    stream interval join, session windows) outrank two more
+    #    single-shape lineitem filters for the last driver slots
+    "streaming_interval_join_replay",
+    "streaming_sessionize_replay",
 ]
 
 
