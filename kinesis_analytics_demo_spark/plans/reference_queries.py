@@ -435,3 +435,45 @@ def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _replay_events_stream(spark, sf_dir, "sess", build)
+
+
+@register(
+    "streaming_ema_replay",
+    oracle="""
+    WITH RECURSIVE r AS (
+        SELECT event_type, ts, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    f(event_type, rn, ema) AS (
+        SELECT event_type, rn, value FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.event_type, r.rn, 0.3 * r.value + 0.7 * f.ema
+        FROM f JOIN r ON r.event_type = f.event_type AND r.rn = f.rn + 1
+    )
+    SELECT r.event_type AS key, r.ts, r.value, f.ema
+    FROM f JOIN r ON r.event_type = f.event_type AND r.rn = f.rn
+    """,
+    doc="CUSTOM STATEFUL OPERATOR (applyInPandasWithState) value-"
+    "checked on the true streaming path: per-key recursive EMA "
+    "(ema_i = 0.3*v_i + 0.7*ema_{i-1}) over the replayed events "
+    "stream, carried GroupState = one double per key. The FULL "
+    "per-row trace is compared against a DuckDB recursive-CTE fold "
+    "in (ts, event_id) order — bit-exact f64 parity, not just the "
+    "final state. The one operator family (W4) Spark's built-in "
+    "windowed aggregations cannot express (SURVEY.md §2/§7).",
+)
+def streaming_ema_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.streaming.stateful import ema_stateful
+
+    def build(stream, name):
+        return ema_stateful(
+            stream,
+            key_col="event_type",
+            ts_col="ts",
+            value_col="value",
+            tiebreak_col="event_id",
+        )
+
+    return _replay_events_stream(spark, sf_dir, "ema", build, output_mode="append")

@@ -139,13 +139,14 @@ _DRIVER_PRIORITY: list[str] = [
     "market_share",
     "promo_revenue_pct",
     "grouping_sets_revenue",
-    "monthly_revenue",
     "range_frame_trailing_revenue",
     # -- round-3 additions: distinct STREAMING capabilities (stream-
-    #    stream interval join, session windows) outrank two more
-    #    single-shape lineitem filters for the last driver slots
+    #    stream interval join, session windows, the W4 stateful
+    #    operator) outrank three more single-shape relational rows
+    #    for the last driver slots
     "streaming_interval_join_replay",
     "streaming_sessionize_replay",
+    "streaming_ema_replay",
 ]
 
 

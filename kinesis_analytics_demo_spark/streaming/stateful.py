@@ -49,26 +49,31 @@ def _make_ema_fn(alpha: float, ts_col: str, value_col: str, tiebreak_col: str):
 
         (k,) = key
         last = state.get[0] if state.exists else None
-        outs = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
-            emas = []
-            for v in pdf[value_col]:
-                last = v if last is None else alpha * v + (1.0 - alpha) * last
-                emas.append(last)
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "key": k,
-                        "ts": pdf[ts_col],
-                        "value": pdf[value_col],
-                        "ema": emas,
-                    }
-                )
-            )
+        # Concatenate the key's Arrow chunks BEFORE sorting: a per-chunk
+        # sort would fold chunks in arrival order, making the result
+        # depend on Arrow batch boundaries when a key spans chunks.
+        # Memory is bounded by the key's rows in THIS micro-batch (not
+        # its history) — the same bound a windowed aggregate carries.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            state.update((last,))
+            yield pd.DataFrame(columns=["key", "ts", "value", "ema"])
+            return
+        pdf = pd.concat(chunks).sort_values(
+            [ts_col, tiebreak_col], kind="mergesort"
+        )
+        emas = []
+        for v in pdf[value_col]:
+            last = v if last is None else alpha * v + (1.0 - alpha) * last
+            emas.append(last)
         state.update((last,))
-        yield pd.concat(outs) if outs else pd.DataFrame(
-            columns=["key", "ts", "value", "ema"]
+        yield pd.DataFrame(
+            {
+                "key": k,
+                "ts": pdf[ts_col],
+                "value": pdf[value_col],
+                "ema": emas,
+            }
         )
 
     return ema_fn
