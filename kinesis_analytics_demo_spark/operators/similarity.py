@@ -522,15 +522,18 @@ def _sql_mt_code(t: int) -> str:
 
 
 def _mt_codes(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """(vec_id, t, code) for every vector x table, via the
-    explode/aggregate shape: posexplode the quantized vector, join the
-    broadcast (pos, t, p, w) plane table, codegen'd integer sums —
-    the only shuffles carry N*T*R projection rows, then N*T codes.
-    Integer arithmetic end-to-end: order-insensitive, bit-equal to the
-    DuckDB fold regardless of partitioning."""
-    planes = F.broadcast(
-        spark.createDataFrame(MT_PLANES, "pos int, t int, p int, w long")
-    )
+    """(vec_id, t, code) for every vector x table.
+
+    Shape: posexplode the quantized vector (N*DIM rows) and compute
+    ALL T*P projections as fused aggregate expressions in ONE
+    groupBy — each projection is sum(qval * element_at(<64-literal
+    weight array>, pos+1)), all codegen'd integer arithmetic. The
+    earlier broadcast-join formulation materialized N*DIM*T*P
+    (~150M at sf0.1) multiply rows through the join; this computes
+    the same T*P multiply-adds per exploded row without widening the
+    row stream — the shuffle carries N rows x 48 long partials.
+    Integer arithmetic end-to-end: order-insensitive, bit-equal to
+    the DuckDB fold regardless of partitioning."""
     ex = emb.select(
         "vec_id",
         F.posexplode(
@@ -540,15 +543,38 @@ def _mt_codes(spark: SparkSession, emb: DataFrame) -> DataFrame:
             )
         ).alias("pos", "qval"),
     )
-    proj = (
-        ex.join(planes, "pos")
-        .groupBy("vec_id", "t", "p")
-        .agg(F.sum(F.col("qval") * F.col("w")).alias("proj"))
+    aggs = []
+    for t in range(N_TABLES):
+        for p in range(PLANES_PER_TABLE):
+            w = [wt for (pos, tt, pp, wt) in MT_PLANES if tt == t and pp == p]
+            warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+            aggs.append(
+                F.sum(
+                    F.col("qval") * F.element_at(warr, F.col("pos") + 1)
+                ).alias(f"pr_{t}_{p}")
+            )
+    proj = ex.groupBy("vec_id").agg(*aggs)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                sum(
+                    (
+                        F.when(F.col(f"pr_{t}_{p}") > 0, F.lit(1 << p)).otherwise(
+                            F.lit(0)
+                        )
+                        for p in range(PLANES_PER_TABLE)
+                    ),
+                    start=F.lit(0),
+                )
+                .cast("long")
+                .alias("code"),
+            )
+            for t in range(N_TABLES)
+        ]
     )
-    return proj.groupBy("vec_id", "t").agg(
-        F.sum(
-            F.when(F.col("proj") > 0, F.expr("shiftleft(1, p)")).otherwise(0)
-        ).alias("code")
+    return proj.select("vec_id", F.explode(tables).alias("tc")).select(
+        "vec_id", F.col("tc.t").alias("t"), F.col("tc.code").alias("code")
     )
 
 
