@@ -12,9 +12,9 @@ Two paths, as SURVEY.md §7 step 5 prescribes:
   measured against.
 
 - ``similarity_ann_lsh`` (canonical, multi-table OR-construction) —
-  8 independent 6-plane random-hyperplane tables with Hamming-1
+  12 independent 6-plane random-hyperplane tables with Hamming-1
   multiprobe; candidates are the union of collisions, then exact
-  cosine re-rank. Recall@10 0.86 on this deliberately hard
+  cosine re-rank. Recall@10 0.95 on this deliberately hard
   near-random corpus. The hyperplane weights are md5-derived
   integers — fixed, reproducible, embedded identically in the Spark
   plan and the oracle SQL. At 100 TB: #planes grows with corpus
@@ -495,7 +495,12 @@ def similarity_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
 # top-10 sims are only 0.24-0.49 (near-random vectors), the hardest
 # regime for LSH; at real embedding similarity (>=0.8) the same
 # tables prune far harder.
-N_TABLES = 8
+#: 12 tables x 6 planes: recall@10 0.95 offline (0.86 at the round-2
+#: 8x6 config) on this deliberately hard near-random corpus; the
+#: extra 4 tables cost +50% of the code computation, which the fused
+#: one-pass aggregate made cheap. At 100 TB, planes-per-table controls
+#: bucket size (grow with corpus); tables control recall.
+N_TABLES = 12
 PLANES_PER_TABLE = 6
 QUANT = 1_000_000  # micro-unit quantization: integer projections are
 # exactly order-insensitive, so the explode/aggregate shape (codegen'd
@@ -618,12 +623,12 @@ def _mt_codes(spark: SparkSession, emb: DataFrame) -> DataFrame:
     FROM ranked WHERE rank <= {TOP_K}
     """,
     doc="CANONICAL LSH ANN (multi-table OR-construction; formerly "
-    "registered as similarity_ann_lsh_multitable): 8 independent "
+    "registered as similarity_ann_lsh_multitable): 12 independent "
     "6-plane tables, Hamming-1 multiprobe in each, candidates = "
     "union of collisions, exact cosine re-rank. Projections are "
     "integer-quantized (micro-units) so the explode/aggregate "
     "codegen shape is order-insensitive and bit-equal to the oracle. "
-    "Recall@10 0.86 vs 0.47 single-table on this near-random corpus; "
+    "Recall@10 0.95 vs 0.47 single-table on this near-random corpus; "
     "per-query work stays O(T * probes * bucket), never O(N).",
 )
 def similarity_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,4 +63,5 @@ def test_multitable_lsh_recall_beats_floor(spark):
     exact = _topk_sets(qs["similarity_cosine_topk"].fn(spark, SF_MEDIUM))
     mt = _topk_sets(qs["similarity_ann_lsh"].fn(spark, SF_MEDIUM))
     recall = _recall(exact, mt)
-    assert recall >= 0.84, f"recall@10 = {recall:.2f}"
+    # 12 tables x 6 planes measures 0.95 (8x6 measured 0.86)
+    assert recall >= 0.93, f"recall@10 = {recall:.2f}"
