@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_analytics_demo_spark.functions import hashing as H
-from kinesis_analytics_demo_spark.operators.text import EN_STOPWORDS, LANG_ID_THRESHOLD
+from kinesis_analytics_demo_spark.operators.text import (
+    EN_STOPWORDS,
+    LANG_ID_THRESHOLD,
+    _SQL_TOKENS as _TOKS,
+    sql_quality_score,
+)
+
+_QSCORE = sql_quality_score("toks")
 from kinesis_analytics_demo_spark.plans.registry import register
 from kinesis_analytics_demo_spark.session import read_table as _t
 
@@ -319,4 +326,69 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", split.alias("split"))
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ------------------------------------- quality-weighted sampling
+#: Efraimidis-Spirakis weighted reservoir: priority = u^(1/w) with u a
+#: deterministic per-doc hash uniform — the top-K priorities ARE a
+#: weighted-without-replacement sample. Fully deterministic (hash
+#: randomness), so the SAMPLE ITSELF is oracle-checked.
+WEIGHTED_SAMPLE_K = 100
+_WS_HASH_SPACE = 1 << 60  # md5_long draws 60 bits
+
+
+@register(
+    "corpus_sample_weighted",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    q AS (SELECT doc_id, source, {_QSCORE} AS w FROM t),
+    pr AS (
+        SELECT doc_id, source, w,
+               pow((CAST({H.sql_md5_long("'wsample:' || doc_id::VARCHAR")}
+                         AS DOUBLE) + 0.5) / {float(_WS_HASH_SPACE)},
+                   1.0 / w) AS priority
+        FROM q
+    )
+    SELECT doc_id, source, w AS quality_score,
+           ROUND(priority, 6) AS priority
+    FROM pr
+    ORDER BY priority DESC, doc_id
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+    doc="Quality-WEIGHTED corpus sampling (Efraimidis-Spirakis): "
+    "priority = u^(1/quality) with u = md5('wsample:'||id)/2^60; the "
+    "global top-K priorities are a weighted sample without "
+    "replacement, biased toward high-quality documents. Deterministic "
+    "hash randomness makes the sample itself oracle-checkable; "
+    "TakeOrderedAndProject (per-partition heaps) keeps the top-K "
+    "selection shuffle at K rows per partition — no global sort at "
+    "100 TB. The 'wsample:' salt decorrelates it from the split / "
+    "shard / tier hashes on the same ids.",
+)
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.operators.text import text_quality_score
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = (
+        H.md5_long(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string")))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_WS_HASH_SPACE))
+    pr = docs.join(q, "doc_id").select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.pow(u, F.lit(1.0) / F.col("quality_score")).alias("__p"),
+    )
+    return (
+        pr.orderBy(F.desc("__p"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            F.round("__p", 6).alias("priority"),
+        )
     )

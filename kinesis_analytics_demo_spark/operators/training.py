@@ -255,3 +255,74 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(prev_cum / PACK_TOKEN_BUDGET).alias("pack_id"),
     )
+
+
+# ------------------------------------- leakage-safe train/test split
+from kinesis_analytics_demo_spark.operators.dedup import (
+    JACCARD_THRESHOLD as _JT,
+    _sql_minhash_cte as _mh_cte,
+)
+from kinesis_analytics_demo_spark.operators.pipeline import (
+    SPLIT_SLOTS as _SLOTS,
+    SPLIT_TEST_LO as _TEST_LO,
+    SPLIT_VALID_LO as _VALID_LO,
+)
+
+
+@register(
+    "corpus_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {_mh_cte()},
+    dup AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {_JT}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM dup
+    ),
+    reach(doc_id, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    clusters AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id),
+    slots AS (
+        SELECT doc_id, cluster_id,
+               (('0x' || substr(md5('split:' || cluster_id::VARCHAR), 1, 15))::BIGINT
+                   % {_SLOTS}) AS slot
+        FROM clusters
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN slot >= {_TEST_LO} THEN 'test'
+                WHEN slot >= {_VALID_LO} THEN 'validation'
+                ELSE 'train' END AS split
+    FROM slots
+    """,
+    doc="LEAKAGE-SAFE train/validation/test split: the split hash is "
+    "taken on the NEAR-DUP CLUSTER id, not the document id, so a "
+    "document and its near-duplicates always land in the same split — "
+    "the standard guard against train/test contamination that a "
+    "per-doc split cannot give (a doc in train with its 0.9-Jaccard "
+    "twin in test is leakage). Composition: MinHash-LSH clusters "
+    "(connected components, lineage-checkpointed label propagation) "
+    "+ the same salted md5 slot bands as corpus_train_split; adding "
+    "documents never moves an existing cluster between splits.",
+)
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.operators.dedup import dedup_minhash_clusters
+    from kinesis_analytics_demo_spark.operators.pipeline import (
+        SPLIT_SLOTS,
+        SPLIT_TEST_LO,
+        SPLIT_VALID_LO,
+    )
+
+    clusters = dedup_minhash_clusters(spark, sf_dir)
+    slot = (
+        H.md5_long(F.concat(F.lit("split:"), F.col("cluster_id").cast("string")))
+        % SPLIT_SLOTS
+    )
+    split = (
+        F.when(slot >= SPLIT_TEST_LO, "test")
+        .when(slot >= SPLIT_VALID_LO, "validation")
+        .otherwise("train")
+    )
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))
