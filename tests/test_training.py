@@ -175,3 +175,40 @@ def test_pii_scan_and_redact_on_planted_pii(spark):
     expect = "<EMAIL> <ID> <PHONE>"
     assert red[3].redacted_md5 == hashlib.md5(expect.encode()).hexdigest()
     assert red[3].redacted_len == len(expect)
+
+
+def test_weighted_sample_biases_toward_quality(spark):
+    """corpus_sample_weighted must over-represent high-quality docs:
+    the mean quality of the K sampled docs exceeds the corpus mean
+    (Efraimidis-Spirakis with w = quality score)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_analytics_demo_spark.operators.text import text_quality_score
+    from kinesis_analytics_demo_spark.plans.registry import all_queries
+
+    sample = all_queries()["corpus_sample_weighted"].fn(spark, SF_MEDIUM)
+    sampled_mean = sample.agg(F.avg("quality_score")).collect()[0][0]
+    corpus_mean = (
+        text_quality_score(spark, SF_MEDIUM)
+        .agg(F.avg("quality_score"))
+        .collect()[0][0]
+    )
+    assert sampled_mean > corpus_mean
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup cluster lands ENTIRELY in one split (the whole
+    point), and multi-doc clusters exist at this SF so the invariant
+    is non-vacuous; per-doc splits would violate it with high
+    probability on any cluster >= 2."""
+    from pyspark.sql import functions as F
+
+    from kinesis_analytics_demo_spark.plans.registry import all_queries
+
+    df = all_queries()["corpus_split_leakage_safe"].fn(spark, SF_MEDIUM)
+    per_cluster = df.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+    assert per_cluster.filter(F.col("n_docs") >= 2).count() > 0
