@@ -161,6 +161,7 @@ def sliding_window_min_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _replay_events_stream(
     spark: SparkSession, sf_dir: str, prefix: str, build_job,
     output_mode: str = "complete",
+    table: str = "events",
 ) -> DataFrame:
     """Replay the events table as a file micro-batch stream through
     ``build_job(stream, name)``, complete mode into a memory sink;
@@ -179,12 +180,12 @@ def _replay_events_stream(
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     tmp = tempfile.mkdtemp(prefix=f"kads_{prefix}_")
     try:
-        stage = os.path.join(tmp, "events_stream")
+        stage = os.path.join(tmp, f"{table}_stream")
         os.makedirs(stage)
         # file streams take a directory; stage the single-file table
         os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(stage, "events.parquet"),
+            os.path.join(sf_dir, f"{table}.parquet"),
+            os.path.join(stage, f"{table}.parquet"),
         )
         stream = create_stream_source(
             spark, "file-parquet", path=stage, max_files_per_trigger=1000
@@ -477,3 +478,46 @@ def streaming_ema_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _replay_events_stream(spark, sf_dir, "ema", build, output_mode="append")
+
+
+from kinesis_analytics_demo_spark.operators.pipeline import (
+    _sql_pipeline_ctes as _prep_ctes,
+)
+
+
+@register(
+    "streaming_corpus_prep_replay",
+    oracle=f"""
+    WITH {_prep_ctes()}
+    SELECT DISTINCT sig AS minhash_sig FROM sigs
+    """,
+    doc="The LLM corpus-prep pipeline on the TRUE STREAMING path, "
+    "value-checked: documents replayed as a micro-batch stream "
+    "through quality filter -> language filter -> row-local minhash "
+    "signature -> watermarked first-arrival dedup "
+    "(dropDuplicatesWithinWatermark). The surviving SIGNATURE SET is "
+    "deterministic regardless of which in-batch duplicate wins, and "
+    "equals the batch pipeline's pre-dedup signature universe "
+    "(operators/pipeline.py sigs CTE) exactly — exact dedup upstream "
+    "cannot change distinct-signature membership since identical "
+    "texts share a signature.",
+)
+def streaming_corpus_prep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.streaming.dedup import streaming_corpus_prep
+
+    def build(stream, name):
+        # documents carry no event time; synthesize a deterministic one
+        # from doc_id (1s apart, offset into 2001) — replay order ==
+        # event-time order, so first-arrival dedup is reproducible.
+        # The offset matters: doc_id 0 at epoch 0 would equal the
+        # stream's INITIAL watermark and be dropped as late.
+        stream = stream.withColumn(
+            "ts",
+            F.timestamp_seconds(F.col("doc_id").cast("long") + F.lit(1_000_000_000)),
+        )
+        out = streaming_corpus_prep(stream, text_col="text", ts_col="ts")
+        return out.select("minhash_sig")
+
+    return _replay_events_stream(
+        spark, sf_dir, "cprep", build, output_mode="append", table="documents"
+    )

@@ -31,10 +31,17 @@ def with_minhash_signature(
     df: DataFrame, text_col: str = "text", out_col: str = "minhash_sig"
 ) -> DataFrame:
     """Row-local minhash signature (md5 of the 16 permutation minima)
-    — pure array expressions, streaming-safe."""
+    — pure array expressions, streaming-safe. Documents too short to
+    shingle (< 3 tokens) fall back to exact-identity md5(text), the
+    same convention as the batch pipeline's sigs stage
+    (operators/pipeline.py::_sql_pipeline_ctes) so batch and stream
+    dedup agree on every document."""
     hashes = H.shingle_hashes(F.col(text_col))
     mins = H.minhash_columns(hashes)
-    sig = F.md5(F.concat_ws(",", *[m.cast("string") for m in mins]))
+    sig = F.when(
+        F.size(hashes) > 0,
+        F.md5(F.concat_ws(",", *[m.cast("string") for m in mins])),
+    ).otherwise(F.md5(F.col(text_col)))
     return df.withColumn(out_col, sig)
 
 
