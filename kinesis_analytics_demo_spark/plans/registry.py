@@ -150,6 +150,82 @@ _DRIVER_PRIORITY: list[str] = [
 ]
 
 
+#: ROUND-4 ROTATION, prepared at the end of round 3: the 67 queries
+#: with no driver CORRECTNESS row after rounds 1-3 (assuming the r3
+#: driver sampled the first 50 above). Next round, swap this list into
+#: _DRIVER_PRIORITY (trim/extend to exactly 50 — prefer the streaming
+#: replays, dedup/text/multimodal families, and round-3 additions at
+#: the top). test_registry pins that every name here stays registered.
+_DRIVER_PRIORITY_R4: list[str] = [
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_ngram_lang_profile",
+    "text_token_count_bpeish",
+    "text_pii_scan",
+    "text_length_histogram",
+    "text_boilerplate_ngrams",
+    "text_pii_redact",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_minhash_keep",
+    "dedup_minhash_clusters",
+    "dedup_minhash_signature",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_bucketed",
+    "dedup_embedding_clusters",
+    "dedup_incremental_minhash",
+    "dedup_keep_best_quality",
+    "multimodal_decode_pipeline",
+    "multimodal_binary_features",
+    "corpus_prep_pipeline",
+    "corpus_stratified_sample",
+    "corpus_sample_exact_k",
+    "corpus_train_split",
+    "corpus_sample_weighted",
+    "pricing_summary",
+    "shipping_priority",
+    "regional_revenue",
+    "rollup_revenue",
+    "cube_lineitem",
+    "window_functions",
+    "customers_with_high_value_orders",
+    "customers_without_orders",
+    "customer_order_counts_outer",
+    "set_ops_parts",
+    "scalar_functions",
+    "datetime_functions",
+    "top_parts_per_brand",
+    "orders_above_customer_avg",
+    "distinct_aggregates",
+    "having_filter",
+    "pivot_order_status",
+    "argminmax_events",
+    "window_frames",
+    "sessionize_events",
+    "listagg_nations",
+    "in_subquery_sql",
+    "large_orders",
+    "monthly_revenue",
+    "disjunctive_filter_revenue",
+    "idle_high_balance_customers",
+    "suppliers_kept_waiting",
+    "small_qty_revenue",
+    "top_supplier_revenue",
+    "important_parts_value",
+    "order_priority_check",
+    "forecast_revenue_change",
+    "returned_item_customers",
+    "late_lines_by_status",
+    "similarity_ann_lsh_baseline",
+    "corpus_split_leakage_safe",
+    "streaming_corpus_prep_replay",
+]
+
 def all_queries() -> dict[str, QuerySpec]:
     _load_all_modules()
     missing = [n for n in _DRIVER_PRIORITY if n not in _REGISTRY]

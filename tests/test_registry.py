@@ -33,3 +33,14 @@ def test_every_query_has_doc_and_callable():
     for name, spec in registry.all_queries().items():
         assert callable(spec.fn), name
         assert spec.doc and len(spec.doc) > 20, name
+
+
+def test_round4_rotation_names_stay_registered():
+    """The prepared round-4 priority list must not rot: every name in
+    it resolves, and together with the active first-50 it covers the
+    whole registry."""
+    qs = registry.all_queries()
+    missing = [n for n in registry._DRIVER_PRIORITY_R4 if n not in qs]
+    assert missing == []
+    covered = set(registry._DRIVER_PRIORITY) | set(registry._DRIVER_PRIORITY_R4)
+    assert covered == set(qs)
