@@ -55,15 +55,18 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.multimodal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.pipeline  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.pq  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational3  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational4  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.relational5  # noqa: F401
     import kinesis_analytics_demo_spark.operators.similarity  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sketches  # noqa: F401
     import kinesis_analytics_demo_spark.operators.temporal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text2  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.text3  # noqa: F401
     import kinesis_analytics_demo_spark.operators.training  # noqa: F401
     import kinesis_analytics_demo_spark.plans.reference_queries  # noqa: F401
 

@@ -1,0 +1,84 @@
+"""Product quantization: recall pins and compression accounting.
+
+The PQ queries DO have SQL oracles (label-representative codebooks
+are closed-form), so exact parity is covered by
+tests/test_oracle_parity.py; these tests pin the quality story —
+raw-ADC recall, the rerank refinement's recall, and that the encoded
+representation is actually the 32x-smaller integer table the scale
+design claims.
+"""
+
+from __future__ import annotations
+
+from kinesis_analytics_demo_spark.plans.registry import all_queries
+from tests.conftest import SF_MEDIUM
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(exact, approx):
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    return hits / sum(len(v) for v in exact.values())
+
+
+def test_pq_rerank_recall_beats_raw_adc(spark):
+    """Measured on this near-random corpus: raw ADC 0.25, rerank 0.82
+    (shortlist=100). Pin floors just under both, and require the
+    refinement to actually refine."""
+    qs = all_queries()
+    exact = _topk_sets(qs["similarity_cosine_topk"].fn(spark, SF_MEDIUM))
+    raw = _topk_sets(qs["similarity_pq_adc"].fn(spark, SF_MEDIUM))
+    rr = _topk_sets(qs["similarity_pq_adc_rerank"].fn(spark, SF_MEDIUM))
+    r_raw, r_rr = _recall(exact, raw), _recall(exact, rr)
+    assert r_raw >= 0.20, f"raw ADC recall@10 = {r_raw:.2f}"
+    assert r_rr >= 0.78, f"reranked recall@10 = {r_rr:.2f}"
+    assert r_rr > r_raw + 0.2, "re-rank should improve substantially"
+
+
+def test_pq_codes_shape_and_range(spark):
+    """Encoding invariants: exactly M codes per vector, code ids are
+    valid codebook entries (labels 0..9), and the encoded table's
+    schema is pure small integers — the compression claim."""
+    from kinesis_analytics_demo_spark.operators.pq import M_SUBSPACES
+
+    qs = all_queries()
+    codes = qs["embedding_pq_codes"].fn(spark, SF_MEDIUM)
+    rows = codes.collect()
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r.vec_id, set()).add(r.subspace)
+        assert 0 <= r.code <= 9
+    assert all(len(s) == M_SUBSPACES for s in per_vec.values())
+    assert dict(codes.dtypes) == {
+        "vec_id": "bigint",
+        "subspace": "int",
+        "code": "int",
+    }
+
+
+def test_pq_codes_deterministic_under_repartitioning(spark):
+    """Encoding must be bit-stable across input partitioning — the
+    argmin tiebreak (distance, code) leaves no room for partition
+    order to leak through."""
+    from kinesis_analytics_demo_spark.operators import pq
+    from kinesis_analytics_demo_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    a = sorted(
+        (r.vec_id, r.subspace, r.code)
+        for r in qs["embedding_pq_codes"].fn(spark, SF_MEDIUM).collect()
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = sorted(
+            (r.vec_id, r.subspace, r.code)
+            for r in qs["embedding_pq_codes"].fn(spark, SF_MEDIUM).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert a == b
