@@ -68,6 +68,14 @@ HEADLINE = [
     "order_priority_check",
     "forecast_revenue_change",
     "returned_item_customers",
+    # round-3 additions: PQ compression ANN, span/chunk-level dedup,
+    # the C4 rule battery, and two of the new TPC-H shapes
+    "similarity_pq_adc_rerank",
+    "dedup_repeated_ngram_spans",
+    "text_c4_filters",
+    "dedup_chunk_exact",
+    "product_profit_by_nation_year",
+    "customer_order_count_distribution",
 ]
 
 

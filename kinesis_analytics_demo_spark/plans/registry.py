@@ -221,6 +221,21 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "top_supplier_revenue",
     "important_parts_value",
     "order_priority_check",
+    # -- late round-3 additions (PQ family, span/chunk dedup, C4
+    #    battery, final TPC-H shapes): never driver-checked, put them
+    #    near the front when trimming this list to 50 next round
+    "embedding_pq_codes",
+    "embedding_pq_quantization_error",
+    "similarity_pq_adc",
+    "similarity_pq_adc_rerank",
+    "dedup_repeated_ngram_spans",
+    "text_c4_filters",
+    "dedup_chunk_exact",
+    "min_cost_supplier",
+    "product_profit_by_nation_year",
+    "customer_order_count_distribution",
+    "supplier_part_variety",
+    "high_volume_part_suppliers",
     "forecast_revenue_change",
     "returned_item_customers",
     "late_lines_by_status",

@@ -94,6 +94,14 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "kmv_source_overlap",  # bounded sketch x source-list pairing
         "important_parts_value",  # 1-row grand-total broadcast = filter
         "length_quantile_filter",  # 1-row quantile-bounds broadcast
+        # PQ family: the 80-row codebook (and the Q x M x K ADC lookup
+        # table) broadcasts against the corpus — the intended plan;
+        # corpus side never shuffles for encode/LUT scoring
+        "embedding_pq_codes",
+        "embedding_pq_quantization_error",
+        "similarity_pq_adc",
+        "similarity_pq_adc_rerank",
+        "high_volume_part_suppliers",  # 1-row avg-threshold broadcast = filter
     }
     offenders = {}
     for name, spec in all_queries().items():
