@@ -76,6 +76,12 @@ HEADLINE = [
     "dedup_chunk_exact",
     "product_profit_by_nation_year",
     "customer_order_count_distribution",
+    # bounded-memory frequency sketch + lifecycle rollup
+    "heavy_hitters_cms",
+    "cohort_retention",
+    # runtime-filter pattern + per-key outlier scan
+    "bloom_filter_semijoin",
+    "anomaly_zscore_events",
 ]
 
 

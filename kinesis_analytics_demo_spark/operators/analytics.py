@@ -1,0 +1,382 @@
+"""Corpus/event analytics: count-min-sketch heavy hitters and cohort
+retention — two aggregation shapes a 100 TB pipeline runs constantly
+(approximate frequency under bounded memory; user-lifecycle rollups).
+
+Both are pure integer/date arithmetic, so Spark and the DuckDB oracle
+agree exactly with no decimal discipline needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.functions import hashing as H
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+# Count-min sketch geometry: D independent hash rows x W buckets.
+# Seeds come from the same fixed Mersenne-affine family as minhash
+# (deterministic at import, identical constants in both engines).
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_SEEDS = H.MINHASH_PERMS[:CMS_DEPTH]
+CMS_TOP_K = 20
+
+_SQL_TOKENS = "string_split_regex(text, '\\s+')"
+
+
+def _sql_bucket(d: int, h: str) -> str:
+    a, b = CMS_SEEDS[d]
+    return f"((({a} * {h} + {b}) % {H.MERSENNE_P}) % {CMS_WIDTH})"
+
+
+def _bucket(d: int, h) -> F.Column:
+    a, b = CMS_SEEDS[d]
+    return ((F.lit(a) * h + F.lit(b)) % H.MERSENNE_P) % CMS_WIDTH
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    th AS (SELECT token, {H.sql_md5_long('token')} % {H.MERSENNE_P} AS h
+           FROM tok),
+    rows_ AS (
+        SELECT d.d,
+               CASE d.d {' '.join(f"WHEN {d} THEN {_sql_bucket(d, 'h')}" for d in range(CMS_DEPTH))} END AS bucket
+        FROM th, (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d) d
+    ),
+    cms AS (SELECT d, bucket, count(*) AS cnt FROM rows_ GROUP BY d, bucket),
+    exact_ AS (
+        SELECT token, h, count(*) AS exact_count FROM th GROUP BY token, h
+        ORDER BY exact_count DESC, token LIMIT {CMS_TOP_K}
+    ),
+    est AS (
+        SELECT e.token, e.exact_count,
+               min(c.cnt) AS cms_estimate
+        FROM exact_ e,
+             (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d) d
+        JOIN cms c
+          ON c.d = d.d
+         AND c.bucket = (CASE d.d {' '.join(f"WHEN {d} THEN {_sql_bucket(d, 'e.h')}" for d in range(CMS_DEPTH))} END)
+        GROUP BY e.token, e.exact_count
+    )
+    SELECT token, exact_count, cms_estimate,
+           cms_estimate >= exact_count AS never_underestimates
+    FROM est
+    """,
+    doc="Count-min-sketch heavy hitters: a D=4 x W=64 sketch of the "
+    "corpus token stream (affine hashes from the shared Mersenne "
+    "family), then the top-20 exact tokens audited against their CMS "
+    "estimate (min over rows; one-sided error, never under). At "
+    "100 TB the sketch is the point: the groupBy(d, bucket) state is "
+    "256 integers REGARDLESS of corpus size — map-side combine does "
+    "almost all the work and the shuffle moves <= D*W rows per "
+    "partition — while the exact top-k here exists only to measure "
+    "the sketch's error on the heaviest keys.",
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    th = docs.select(
+        F.explode(H.words(F.col("text"))).alias("token")
+    ).select("token", (H.md5_long(F.col("token")) % H.MERSENNE_P).alias("h"))
+    rows = th.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _bucket(d, F.col("h")).alias("bucket")
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("s")
+    ).select("s.d", "s.bucket")
+    cms = rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = (
+        th.groupBy("token", "h")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.col("token"))
+        .limit(CMS_TOP_K)
+    )
+    probes = exact.select(
+        "token",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _bucket(d, F.col("h")).alias("bucket")
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("s"),
+    ).select("token", "exact_count", "s.d", "s.bucket")
+    est = (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "token",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_count")).alias(
+            "never_underestimates"
+        ),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+               AS week_offset,
+           count(*) AS n_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    """,
+    doc="Cohort retention: users bucketed by first-activity week, "
+    "counted in each subsequent activity week — the classic "
+    "triangle. At 100 TB: both the first-event min and the distinct "
+    "(user, week) activity set key on user_id, so one hash partition "
+    "serves the aggregate, the distinct, AND the join (no second "
+    "shuffle); the result is O(weeks^2) rows. Week truncation is "
+    "Monday-based in both engines; the offset is exact integer "
+    "day-arithmetic.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# Z-score anomaly geometry: flag events more than sqrt(Z_THRESHOLD_SQ)
+# standard deviations from their event_type's mean value. The square
+# is the stored constant because the selection runs in decimal on z^2.
+Z_THRESHOLD_SQ = "6.25"  # T = 2.5
+
+
+@register(
+    "anomaly_zscore_events",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type,
+               count(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+               SUM(CAST(value AS DECIMAL(18,6))
+                   * CAST(value AS DECIMAL(18,6))) AS s2
+        FROM events GROUP BY event_type
+    ),
+    scored AS (
+        SELECT e.event_id, e.event_type, e.value,
+               s.n * CAST(e.value AS DECIMAL(18,6)) - s.s1 AS a,
+               s.n * s.s2 - s.s1 * s.s1 AS b
+        FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_id, event_type, value,
+           CAST(a AS DOUBLE) / sqrt(CAST(b AS DOUBLE)) AS zscore
+    FROM scored
+    WHERE a * a > CAST({Z_THRESHOLD_SQ} AS DECIMAL(18,6)) * b
+    """,
+    doc="Per-key z-score anomaly detection: one aggregate pass builds "
+    "(n, sum, sum-of-squares) per event_type (decimal-exact, "
+    "order-insensitive), broadcast back and every event scored in a "
+    "second map-only pass — two corpus scans, one 5-row shuffle, no "
+    "window. Selection is the ALL-DECIMAL inequality "
+    "(n*x - s1)^2 > T^2 * (n*s2 - s1^2) — algebraically |z| > T with "
+    "zero float steps, so the flag boundary cannot diverge between "
+    "engines; the reported z is then a two-op IEEE expression "
+    "(double cast of each exact decimal, one divide, one sqrt) that "
+    "is bitwise reproducible. At 100 TB the stats side is a "
+    "broadcast join; scoring is whole-stage codegen.",
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    a = F.col("n") * dec - F.col("s1")
+    b = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    scored = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        a.alias("a"),
+        b.alias("b"),
+    )
+    keep = (F.col("a") * F.col("a")) > (
+        F.lit(Z_THRESHOLD_SQ).cast("decimal(18,6)") * F.col("b")
+    )
+    return scored.filter(keep).select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            F.col("a").cast("double") / F.sqrt(F.col("b").cast("double"))
+        ).alias("zscore"),
+    )
+
+
+# Bloom-filter semi-join geometry: D hash probes into a W-bit space.
+BLOOM_D = 3
+BLOOM_W = 4096
+BLOOM_SEEDS = H.MINHASH_PERMS[CMS_DEPTH : CMS_DEPTH + BLOOM_D]
+HIGH_BALANCE = 9000.0
+
+
+def _sql_bloom_pos(d: int, key: str) -> str:
+    a, b = BLOOM_SEEDS[d]
+    return f"((({a} * {key} + {b}) % {H.MERSENNE_P}) % {BLOOM_W})"
+
+
+def _bloom_pos(d: int, key) -> F.Column:
+    a, b = BLOOM_SEEDS[d]
+    return ((F.lit(a) * key + F.lit(b)) % H.MERSENNE_P) % BLOOM_W
+
+
+@register(
+    "bloom_filter_semijoin",
+    oracle=f"""
+    WITH keys AS (
+        SELECT c_custkey FROM customer WHERE c_acctbal > {HIGH_BALANCE}
+    ),
+    bloom AS (
+        SELECT DISTINCT d.d,
+               CASE d.d {' '.join(f"WHEN {d} THEN {_sql_bloom_pos(d, 'c_custkey')}" for d in range(BLOOM_D))} END AS pos
+        FROM keys, (SELECT unnest(generate_series(0, {BLOOM_D - 1})) AS d) d
+    ),
+    opos AS (
+        SELECT o.o_orderkey, o.o_custkey, d.d,
+               CASE d.d {' '.join(f"WHEN {d} THEN {_sql_bloom_pos(d, 'o.o_custkey')}" for d in range(BLOOM_D))} END AS pos
+        FROM orders o,
+             (SELECT unnest(generate_series(0, {BLOOM_D - 1})) AS d) d
+    ),
+    probe AS (
+        SELECT op.o_orderkey, op.o_custkey, count(b.pos) AS hits
+        FROM opos op
+        LEFT JOIN bloom b ON b.d = op.d AND b.pos = op.pos
+        GROUP BY op.o_orderkey, op.o_custkey
+    ),
+    audit AS (
+        SELECT p.o_orderkey,
+               p.hits = {BLOOM_D} AS pass_bloom,
+               k.c_custkey IS NOT NULL AS true_member
+        FROM probe p LEFT JOIN keys k ON p.o_custkey = k.c_custkey
+    )
+    SELECT count(*) AS n_orders,
+           sum(CASE WHEN pass_bloom THEN 1 ELSE 0 END) AS n_pass_bloom,
+           sum(CASE WHEN true_member THEN 1 ELSE 0 END) AS n_true_members,
+           sum(CASE WHEN pass_bloom AND NOT true_member THEN 1 ELSE 0 END)
+               AS n_false_positives
+    FROM audit
+    """,
+    doc="Explicit Bloom-filter semi-join (the runtime-filter pattern "
+    "Spark injects for shuffle pruning, made inspectable): the small "
+    "side's keys set D=3 positions in a W=4096-bit space; the big "
+    "side passes when all D probes hit, and the audit row counts the "
+    "false positives the exact semi-join would have skipped. At "
+    "100 TB the bloom (<= W position rows after DISTINCT) broadcasts "
+    "where the key set itself might not, and the probe is a "
+    "map-side-only membership test — the pattern that cuts a "
+    "fact-fact shuffle's probe side before the real join.",
+)
+def bloom_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > HIGH_BALANCE)
+        .select("c_custkey")
+    )
+    bloom = (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _bloom_pos(d, F.col("c_custkey")).alias("pos"),
+                        )
+                        for d in range(BLOOM_D)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.d", "s.pos")
+        .distinct()
+    )
+    orders = _t(spark, sf_dir, "orders")
+    probes = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _bloom_pos(d, F.col("o_custkey")).alias("pos"),
+                    )
+                    for d in range(BLOOM_D)
+                ]
+            )
+        ).alias("s"),
+    ).select("o_orderkey", "o_custkey", "s.d", "s.pos")
+    hits = (
+        probes.join(F.broadcast(bloom), ["d", "pos"], "left_semi")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    # orders whose probe rows all missed drop out of the semi-join —
+    # restore them with hits=0 via a left join from the full order set
+    probe = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(hits, ["o_orderkey", "o_custkey"], "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+        )
+    )
+    audit = probe.join(
+        F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"), "left"
+    ).select(
+        (F.col("hits") == BLOOM_D).alias("pass_bloom"),
+        F.col("c_custkey").isNotNull().alias("true_member"),
+    )
+    return audit.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("pass_bloom"), 1).otherwise(0)).alias("n_pass_bloom"),
+        F.sum(F.when(F.col("true_member"), 1).otherwise(0)).alias("n_true_members"),
+        F.sum(
+            F.when(F.col("pass_bloom") & ~F.col("true_member"), 1).otherwise(0)
+        ).alias("n_false_positives"),
+    )

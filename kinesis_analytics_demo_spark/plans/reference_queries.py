@@ -521,3 +521,51 @@ def streaming_corpus_prep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay_events_stream(
         spark, sf_dir, "cprep", build, output_mode="append", table="documents"
     )
+
+
+@register(
+    "streaming_enrich_join_replay",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS w_start,
+           c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY date_trunc('hour', e.ts), c.c_mktsegment
+    """,
+    doc="Stream-static enrichment join as a TRUE streaming replay: "
+    "the events stream broadcast-joins the static customer dimension "
+    "(the per-micro-batch dim-lookup every production stream job "
+    "does), then a 1h tumbling rollup per market segment; complete "
+    "mode == the batch join exactly. Completes the value-checked "
+    "streaming join story next to the stream-STREAM interval join. "
+    "At scale: the static side broadcasts once per micro-batch "
+    "(re-resolved on dim refresh), the stream side never shuffles "
+    "before the windowed aggregate, and state is bounded by "
+    "(windows x segments).",
+)
+def streaming_enrich_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.session import read_table
+
+    def build(stream, name):
+        dim = F.broadcast(
+            read_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            )
+        )
+        joined = stream.join(dim, stream["user_id"] == dim["c_custkey"])
+        return (
+            joined.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("w_start"),
+                F.col("c_mktsegment").alias("segment"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+
+    return _replay_events_stream(spark, sf_dir, "enrich", build)

@@ -52,6 +52,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
+    import kinesis_analytics_demo_spark.operators.analytics  # noqa: F401
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.multimodal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.pipeline  # noqa: F401
@@ -236,6 +237,11 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "customer_order_count_distribution",
     "supplier_part_variety",
     "high_volume_part_suppliers",
+    "heavy_hitters_cms",
+    "cohort_retention",
+    "anomaly_zscore_events",
+    "bloom_filter_semijoin",
+    "streaming_enrich_join_replay",
     "forecast_revenue_change",
     "returned_item_customers",
     "late_lines_by_status",
