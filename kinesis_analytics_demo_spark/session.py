@@ -64,10 +64,23 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
 
+    # Local-mode driver and executors share one JVM; its heap defaults
+    # to 1g. Counter-intuitively, raising it to 16g measured *no
+    # faster* (slightly slower) on the sf0.1 suite — the working set is
+    # small and MEMORY_AND_DISK persists spill gracefully — so the
+    # default is left alone and the knob is opt-in for bigger local
+    # runs. Only effective when this call creates the JVM.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    )
+    if driver_mem:
+        builder = builder.config("spark.driver.memory", driver_mem)
+    builder = (
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
