@@ -86,6 +86,10 @@ HEADLINE = [
     # runtime-filter pattern + per-key outlier scan
     "bloom_filter_semijoin",
     "anomaly_zscore_events",
+    # retrieval / CDC / fuzzy-decontamination family
+    "bm25_search",
+    "scd2_event_type_intervals",
+    "decontamination_minhash",
 ]
 
 

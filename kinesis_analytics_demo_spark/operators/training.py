@@ -326,3 +326,69 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
     )
     return clusters.select("doc_id", "cluster_id", split.alias("split"))
+
+
+# ------------------------------------- fuzzy (minhash) decontamination
+#: Contamination bar — deliberately below the dedup bar (0.8): a train
+#: doc sharing half its 3-grams with a benchmark doc is contaminated
+#: even though it is not a near-duplicate.
+FUZZY_CONTAM_THRESHOLD = 0.5
+
+
+@register(
+    "decontamination_minhash",
+    oracle=f"""
+    WITH {_mh_cte()}
+    SELECT doc_b AS doc_id,
+           count(DISTINCT doc_a) AS n_contaminating_bench,
+           max(jaccard) AS max_jaccard
+    FROM jac
+    WHERE doc_a < {BENCHMARK_MAX_DOC_ID}
+      AND doc_b >= {BENCHMARK_MAX_DOC_ID}
+      AND jaccard >= {FUZZY_CONTAM_THRESHOLD}
+    GROUP BY doc_b
+    """,
+    doc="Fuzzy benchmark decontamination: training documents whose "
+    "3-gram Jaccard similarity to any held-out benchmark document is "
+    f">= {FUZZY_CONTAM_THRESHOLD}, found via the SAME banded-minhash "
+    "LSH as the dedup family (16 perms / 4 bands) rather than a "
+    "train-x-bench similarity scan. The benchmark band table is tiny "
+    "by construction and broadcast, so the training corpus is touched "
+    "exactly once (shingle scan -> band signatures, map-side "
+    "combined); the exact Jaccard verify runs only on LSH candidate "
+    "pairs, carrying 8-byte gram hashes. Complements "
+    "decontamination_ngram_overlap (exact ANY-shared-gram, high "
+    "recall / low precision) with a similarity-thresholded variant "
+    "(the Llama/GPT-style fuzzy contamination rule). Note the "
+    "LSH-candidate restriction is the same recall trade the dedup "
+    "pipeline makes: pairs below ~0.5 Jaccard rarely share a band, "
+    "which is exactly why the bar sits at 0.5.",
+)
+def decontamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+    from kinesis_analytics_demo_spark.operators.dedup import (
+        _minhash_banded,
+        jaccard_verify,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dsh = tracked_persist(_distinct_shingles(docs))
+    bands = _minhash_banded(dsh)
+    bench_b = bands.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID).select(
+        "band", "sig", F.col("doc_id").alias("doc_a")
+    )
+    train_b = bands.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID)
+    cand = (
+        train_b.join(F.broadcast(bench_b), ["band", "sig"])
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    jac = jaccard_verify(docs, cand, dsh=dsh)
+    return (
+        jac.filter(F.col("jaccard") >= FUZZY_CONTAM_THRESHOLD)
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(
+            F.count_distinct("doc_a").alias("n_contaminating_bench"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

@@ -53,6 +53,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import kinesis_analytics_demo_spark.operators.analytics  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.cdc  # noqa: F401
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.multimodal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.pipeline  # noqa: F401
@@ -62,6 +63,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.relational3  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational4  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational5  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.retrieval  # noqa: F401
     import kinesis_analytics_demo_spark.operators.similarity  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sketches  # noqa: F401
     import kinesis_analytics_demo_spark.operators.temporal  # noqa: F401
@@ -248,6 +250,14 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "similarity_ann_lsh_baseline",
     "corpus_split_leakage_safe",
     "streaming_corpus_prep_replay",
+    # -- retrieval / CDC / fuzzy-decontamination family (added after
+    #    the r3 driver sample was taken): never driver-checked
+    "tfidf_top_terms",
+    "bm25_search",
+    "inverted_index_postings",
+    "cdc_upsert_latest",
+    "scd2_event_type_intervals",
+    "decontamination_minhash",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:

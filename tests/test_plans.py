@@ -102,6 +102,9 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "similarity_pq_adc",
         "similarity_pq_adc_rerank",
         "high_volume_part_suppliers",  # 1-row avg-threshold broadcast = filter
+        "tfidf_top_terms",  # 1-row corpus-size broadcast
+        "bm25_search",  # 1-row (n_docs, avgdl) stats broadcast
+        "inverted_index_postings",  # 1-row corpus-size broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():
