@@ -90,6 +90,10 @@ HEADLINE = [
     "bm25_search",
     "scd2_event_type_intervals",
     "decontamination_minhash",
+    # exact-percentile outlier clipping (two-pass broadcast-bounds)
+    "winsorize_event_values",
+    # the composed production ANN stack (IVF pruning + PQ ADC + rerank)
+    "similarity_ivfpq_adc_rerank",
 ]
 
 

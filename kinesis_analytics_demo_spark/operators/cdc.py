@@ -38,10 +38,9 @@ from kinesis_analytics_demo_spark.session import read_table as _t
 
 TOMBSTONE_TYPE = "error"
 
-
-@register(
-    "cdc_upsert_latest",
-    oracle=f"""
+#: Shared by the batch op and the streaming replay — both must equal
+#: this exactly.
+_CDC_LATEST_ORACLE = """
     WITH ranked AS (
         SELECT user_id, ts, event_type, value,
                row_number() OVER (PARTITION BY user_id
@@ -55,8 +54,13 @@ TOMBSTONE_TYPE = "error"
            value AS last_value,
            n_changes
     FROM ranked
-    WHERE rn = 1 AND event_type <> '{TOMBSTONE_TYPE}'
-    """,
+    WHERE rn = 1 AND event_type <> '__TOMBSTONE__'
+    """.replace("__TOMBSTONE__", TOMBSTONE_TYPE)
+
+
+@register(
+    "cdc_upsert_latest",
+    oracle=_CDC_LATEST_ORACLE,
     doc="CDC apply, latest-state upsert: the newest change per entity "
     "wins (deterministic (ts, event_id) ordering); entities whose "
     "newest change is a tombstone are deleted from the materialized "
@@ -147,3 +151,42 @@ def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.isNull().alias("is_current"),
         "n_events",
     )
+
+
+@register(
+    "streaming_cdc_upsert_replay",
+    oracle=_CDC_LATEST_ORACLE,
+    doc="The CDC upsert run as a TRUE STRUCTURED-STREAMING job: the "
+    "events changelog replayed as a file micro-batch stream, "
+    "latest-state maintained by a streaming max-over-struct aggregate "
+    "(lexicographic (ts, event_id) — the streaming-safe spelling of "
+    "row_number=1), tombstones dropped from the final state, complete "
+    "mode into a memory sink. The final sink table must equal the "
+    "batch cdc_upsert_latest exactly — a value-checked CORRECTNESS "
+    "row for streaming CDC apply. In production this runs in update "
+    "mode against a keyed store; complete mode here is what makes the "
+    "end-of-stream state directly comparable.",
+)
+def streaming_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.plans.reference_queries import (
+        _replay_events_stream,
+    )
+
+    def build(stream: DataFrame, name: str) -> DataFrame:
+        latest = F.max(
+            F.struct("ts", "event_id", "event_type", "value")
+        ).alias("m")
+        return (
+            stream.groupBy("user_id")
+            .agg(latest, F.count(F.lit(1)).alias("n_changes"))
+            .filter(F.col("m.event_type") != TOMBSTONE_TYPE)
+            .select(
+                "user_id",
+                F.col("m.ts").alias("last_ts"),
+                F.col("m.event_type").alias("last_event_type"),
+                F.col("m.value").alias("last_value"),
+                "n_changes",
+            )
+        )
+
+    return _replay_events_stream(spark, sf_dir, "cdcreplay", build)

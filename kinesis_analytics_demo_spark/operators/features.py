@@ -1,0 +1,160 @@
+"""Feature-engineering operators over ``events`` — the tabular-side
+preparation a training pipeline does next to the text/dedup work:
+outlier winsorization and per-entity feature vectors.
+
+Scale notes (100 TB):
+
+- ``winsorize_event_values`` is two passes: a per-key exact-percentile
+  aggregate (5 keys -> a broadcast-sized bounds table) and a map-only
+  clip+aggregate pass. Exact percentile sorts each key's values; at
+  100 TB swap ``F.percentile`` for ``F.approx_percentile`` (KLL-style
+  mergeable sketch, no sort) — the clip pass is unchanged. The bounds
+  join is an explicit broadcast, so the event stream shuffles once
+  (the final per-key aggregate), with map-side combine.
+- ``user_feature_vector`` is ONE hash aggregate keyed by user_id:
+  every feature (counts, pivoted per-type counts, recency bounds,
+  decimal-exact sums) is a map-side-combinable aggregate, so the
+  shuffle carries one partial row per (map partition, user). No
+  windows, no joins, no second scan.
+
+Determinism: clip bounds come from ``F.percentile`` == DuckDB
+``quantile_cont`` (bit-identical, pinned by ``exact_percentiles``);
+clipping is least/greatest selection (no float arithmetic); sums go
+through DECIMAL(18,6) like every monetary aggregate in this repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+#: The five changelog event types, pivoted to fixed feature columns
+#: (a dynamic pivot would make the output schema data-dependent).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "winsorize_event_values",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, {WINSOR_LO}) AS lo,
+               quantile_cont(value, {WINSOR_HI}) AS hi
+        FROM events GROUP BY event_type
+    ),
+    clipped AS (
+        SELECT e.event_type,
+               e.value,
+               greatest(b.lo, least(b.hi, e.value)) AS cv,
+               b.lo, b.hi
+        FROM events e JOIN bounds b ON e.event_type = b.event_type
+    )
+    SELECT event_type,
+           ROUND(lo, 6) AS p01,
+           ROUND(hi, 6) AS p99,
+           count(*) AS n,
+           sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS n_clipped_low,
+           sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS n_clipped_high,
+           CAST(ROUND(SUM(CAST(cv AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_winsorized
+    FROM clipped
+    GROUP BY event_type, lo, hi
+    """,
+    doc="Outlier winsorization: per-key exact p01/p99 bounds "
+    "(F.percentile == quantile_cont bit-for-bit), values clipped by "
+    "least/greatest selection (no float arithmetic), decimal-exact "
+    "winsorized sum. Two passes: a 5-row broadcast bounds table, then "
+    "a map-only clip feeding one combined aggregate. At 100 TB the "
+    "exact percentile becomes approx_percentile (mergeable KLL "
+    "sketch, no per-key sort); everything downstream is unchanged.",
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", WINSOR_LO).alias("lo"),
+        F.percentile("value", WINSOR_HI).alias("hi"),
+    )
+    cv = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            "lo",
+            "hi",
+            "value",
+            cv.cast("decimal(18,6)").alias("cv_dec"),
+        )
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("value") < F.col("lo"), 1).otherwise(0)
+            ).alias("n_clipped_low"),
+            F.sum(
+                F.when(F.col("value") > F.col("hi"), 1).otherwise(0)
+            ).alias("n_clipped_high"),
+            F.round(F.sum("cv_dec"), 2).cast("double").alias("sum_winsorized"),
+        )
+        .select(
+            "event_type",
+            F.round("lo", 6).alias("p01"),
+            F.round("hi", 6).alias("p99"),
+            "n",
+            "n_clipped_low",
+            "n_clipped_high",
+            "sum_winsorized",
+        )
+    )
+
+
+def _sql_type_counts() -> str:
+    return ",\n           ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+
+
+@register(
+    "user_feature_vector",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           {_sql_type_counts()},
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_value,
+           count(DISTINCT CAST(ts AS DATE)) AS n_active_days
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Per-entity feature vector (the RFM-style tabular features a "
+    "training pipeline joins onto its examples): event counts, "
+    "first/last activity, per-type counts pivoted to FIXED columns "
+    "(schema independent of the data), decimal-exact value total, "
+    "active-day count. One hash aggregate keyed by user_id — every "
+    "feature is map-side combinable, so the shuffle carries one "
+    "partial row per (map partition, user); no windows, no joins.",
+)
+def user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    type_counts = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        *type_counts,
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+        F.count_distinct(F.col("ts").cast("date")).alias("n_active_days"),
+    )

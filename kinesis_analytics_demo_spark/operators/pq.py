@@ -381,3 +381,169 @@ def similarity_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+IVFPQ_NPROBE = 4
+
+
+@register(
+    "similarity_ivfpq_adc_rerank",
+    oracle=f"""
+    WITH {_SQL_CODEBOOK},
+    {_SQL_CODES},
+    centv AS (
+        SELECT c.cid, e.embedding AS cv
+        FROM cent c JOIN embeddings e ON e.vec_id = c.cid
+    ),
+    iassign AS (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {V.sql_cosine('e.embedding', 'c.cv', DIM)} DESC,
+                            c.cid) AS crank
+        FROM embeddings e, centv c
+    ),
+    lists AS (SELECT vec_id, cid FROM iassign WHERE crank = 1),
+    qprobe AS (
+        SELECT vec_id AS query_id, cid
+        FROM iassign WHERE vec_id < {N_QUERIES} AND crank <= {IVFPQ_NPROBE}
+    ),
+    cand AS (
+        SELECT q.query_id, l.vec_id
+        FROM lists l JOIN qprobe q ON l.cid = q.cid
+        WHERE l.vec_id != q.query_id
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, cb.subspace, cb.code,
+               {_sql_subdist('q.embedding', 'cb.cw', 'cb.subspace')} AS d
+        FROM embeddings q, codebook cb
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+        SELECT ca.query_id, c.vec_id AS neighbor_id,
+               CAST(ROUND(SUM(CAST(l.d AS DECIMAL(18,6))), 4) AS DOUBLE)
+                   AS adc_dist
+        FROM codes c
+        JOIN cand ca ON ca.vec_id = c.vec_id
+        JOIN lut l ON l.query_id = ca.query_id
+                  AND l.subspace = c.subspace AND l.code = c.code
+        GROUP BY ca.query_id, c.vec_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS arank
+        FROM adc
+    ),
+    shortlist AS (SELECT query_id, neighbor_id FROM short
+                  WHERE arank <= {SHORTLIST}),
+    re AS (
+        SELECT s.query_id, s.neighbor_id,
+               {V.sql_cosine('e.embedding', 'q.embedding', DIM)} AS sim
+        FROM shortlist s
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+        JOIN embeddings q ON q.vec_id = s.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM re
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    doc="IVF-PQ with exact re-rank — the full production ANN stack "
+    "(Jegou et al. 2011's IVFADC+R) composed from this repo's two "
+    "halves: the IVF coarse quantizer prunes each query's scan to "
+    f"nprobe={IVFPQ_NPROBE} inverted lists (per-query work O(nprobe "
+    "* list), not O(N)); within those lists distance is ADC over "
+    "8-byte PQ codes (32x less I/O than float vectors); only the "
+    "ADC shortlist fetches real vectors for the exact cosine top-k. "
+    "At 100 TB every piece is the scale path: broadcast centroids + "
+    "codebook LUTs, lists hash-partitioned by centroid id, code rows "
+    "are the only corpus-wide shuffle input, and the float re-rank "
+    "touches Q x SHORTLIST rows regardless of N. Recall floor pinned "
+    "in tests/test_pq.py.",
+)
+def similarity_ivfpq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = _codebook(spark, sf_dir)
+    codes = _codes(spark, sf_dir)
+    cent = (
+        emb.groupBy("label")
+        .agg(F.min("vec_id").alias("cid"))
+        .join(emb, F.col("cid") == F.col("vec_id"))
+        .select("cid", F.col("embedding").alias("cv"))
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("csim"), F.col("cid")
+                )
+            ),
+        )
+    )
+    lists = assign.filter(F.col("crank") == 1).select("vec_id", "cid")
+    qprobe = assign.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= IVFPQ_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    cand = (
+        lists.join(F.broadcast(qprobe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    d = _subdist(F.col("qv"), F.col("cw"), F.col("subspace"))
+    lut = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", "subspace", "code", d.alias("d")
+    )
+    adc = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.round(F.sum(F.col("d").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    short = (
+        adc.withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("arank") <= SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    re = (
+        short.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        re.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

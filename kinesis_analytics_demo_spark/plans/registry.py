@@ -55,6 +55,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.analytics  # noqa: F401
     import kinesis_analytics_demo_spark.operators.cdc  # noqa: F401
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.features  # noqa: F401
     import kinesis_analytics_demo_spark.operators.multimodal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.pipeline  # noqa: F401
     import kinesis_analytics_demo_spark.operators.pq  # noqa: F401
@@ -258,6 +259,10 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "cdc_upsert_latest",
     "scd2_event_type_intervals",
     "decontamination_minhash",
+    "streaming_cdc_upsert_replay",
+    "winsorize_event_values",
+    "user_feature_vector",
+    "similarity_ivfpq_adc_rerank",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -101,6 +101,7 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "embedding_pq_quantization_error",
         "similarity_pq_adc",
         "similarity_pq_adc_rerank",
+        "similarity_ivfpq_adc_rerank",
         "high_volume_part_suppliers",  # 1-row avg-threshold broadcast = filter
         "tfidf_top_terms",  # 1-row corpus-size broadcast
         "bm25_search",  # 1-row (n_docs, avgdl) stats broadcast

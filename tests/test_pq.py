@@ -82,3 +82,18 @@ def test_pq_codes_deterministic_under_repartitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert a == b
+
+
+def test_ivfpq_rerank_recall_floor(spark):
+    """The composed IVF-PQ path (coarse-quantizer pruning + ADC
+    shortlist + exact re-rank) must hold a recall floor close to the
+    un-pruned PQ re-rank: nprobe=4 of 10 lists measured 0.84 vs 0.82
+    (pruning occasionally HELPS by dropping ADC-confusable vectors
+    from other lists before the shortlist cut)."""
+    from kinesis_analytics_demo_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = _topk_sets(qs["similarity_cosine_topk"].fn(spark, SF_MEDIUM))
+    ivfpq = _topk_sets(qs["similarity_ivfpq_adc_rerank"].fn(spark, SF_MEDIUM))
+    r = _recall(exact, ivfpq)
+    assert r >= 0.75, f"IVF-PQ reranked recall@10 = {r:.2f}"
