@@ -62,28 +62,30 @@ _CDC_LATEST_ORACLE = """
     "cdc_upsert_latest",
     oracle=_CDC_LATEST_ORACLE,
     doc="CDC apply, latest-state upsert: the newest change per entity "
-    "wins (deterministic (ts, event_id) ordering); entities whose "
-    "newest change is a tombstone are deleted from the materialized "
-    "state. One user_id-keyed shuffle; the row_number+filter plans as "
-    "WindowGroupLimit (map-side top-1), so the exchange carries one "
-    "candidate row per map partition per key — the changelog itself "
-    "never shuffles. This is MERGE INTO semantics on plain parquet.",
+    "wins (deterministic — (ts, event_id) is unique, so the "
+    "lexicographic max-over-struct IS argmax by (ts, event_id)); "
+    "entities whose newest change is a tombstone are deleted from the "
+    "materialized state. Spelled as ONE map-side-combinable hash "
+    "aggregate, not a window: row_number+filter would qualify for "
+    "WindowGroupLimit alone, but the per-key n_changes count forces "
+    "the window plan to shuffle every changelog row — the aggregate "
+    "form combines both map-side, so the single exchange carries one "
+    "partial row per (map partition, key). Exactly the shape the "
+    "streaming variant below runs incrementally. This is MERGE INTO "
+    "semantics on plain parquet.",
 )
 def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    wall = Window.partitionBy("user_id")
+    latest = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_changes", F.count(F.lit(1)).over(wall))
-        .filter((F.col("rn") == 1) & (F.col("event_type") != TOMBSTONE_TYPE))
+        ev.groupBy("user_id")
+        .agg(latest, F.count(F.lit(1)).alias("n_changes"))
+        .filter(F.col("m.event_type") != TOMBSTONE_TYPE)
         .select(
             "user_id",
-            F.col("ts").alias("last_ts"),
-            F.col("event_type").alias("last_event_type"),
-            F.col("value").alias("last_value"),
+            F.col("m.ts").alias("last_ts"),
+            F.col("m.event_type").alias("last_event_type"),
+            F.col("m.value").alias("last_value"),
             "n_changes",
         )
     )

@@ -12,6 +12,10 @@ from kinesis_analytics_demo_spark.operators.cdc import (
     cdc_upsert_latest,
     scd2_event_type_intervals,
 )
+from kinesis_analytics_demo_spark.operators.features import (
+    user_feature_vector,
+    winsorize_event_values,
+)
 from kinesis_analytics_demo_spark.operators.retrieval import (
     BM25_TOP_K,
     POSTINGS_LIST_CAP,
@@ -122,3 +126,63 @@ def test_tfidf_plans_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def _formatted_plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_user_feature_vector_two_phase_distinct(spark):
+    """The planner's two-phase distinct aggregate and nothing more:
+    exactly two Exchanges (partial on (user_id, day), final on
+    user_id), no windows, no joins — the plan the docstring
+    promises."""
+    import re
+
+    plan = _formatted_plan(spark, user_feature_vector(spark, SF_MEDIUM))
+    lines = plan.splitlines()
+    exchanges = [l for l in lines if re.match(r"^\(\d+\) Exchange", l)]
+    assert len(exchanges) == 2
+    assert "hashpartitioning(user_id" in plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_cdc_upsert_single_combined_aggregate(spark):
+    """Latest-per-key as ONE map-side-combinable aggregate: a single
+    Exchange carrying partial rows, no window operator at all (the
+    row_number spelling shuffles every changelog row once n_changes
+    rides along)."""
+    import re
+
+    plan = _formatted_plan(spark, cdc_upsert_latest(spark, SF_MEDIUM))
+    lines = plan.splitlines()
+    exchanges = [l for l in lines if re.match(r"^\(\d+\) Exchange", l)]
+    assert len(exchanges) == 1
+    assert "Window" not in plan
+
+
+def test_scd2_single_user_shuffle(spark):
+    """The whole gaps-and-islands history build must reuse ONE
+    user_id partitioning: no exchange between the two row_numbers,
+    the groupBy, and the lead window."""
+    import re
+
+    plan = _formatted_plan(spark, scd2_event_type_intervals(spark, SF_MEDIUM))
+    lines = plan.splitlines()
+    exchanges = [l for l in lines if re.match(r"^\(\d+\) Exchange", l)]
+    # one shuffle for the (user_id, event_type) window, one for the
+    # user_id-only windows/groupBy at most — Spark cannot reuse a
+    # (user_id, event_type) partitioning for user_id windows, but the
+    # user_id-side chain (row_number, groupBy, lead) must share one
+    assert len(exchanges) <= 2, plan
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    """The 5-row bounds table must broadcast; the event stream must
+    not sort-merge against it."""
+    plan = _formatted_plan(spark, winsorize_event_values(spark, SF_MEDIUM))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
