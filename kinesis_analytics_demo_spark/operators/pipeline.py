@@ -110,6 +110,22 @@ def _sql_pipeline_ctes() -> str:
     "shuffles.",
 )
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uniq = corpus_prep_kept_docs(spark, sf_dir)
+    return uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
+
+
+def corpus_prep_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level output of the prep pipeline (library surface — the
+    registered query aggregates this to a per-source summary; callers
+    like ``examples/corpus_prep.py`` write these rows out as the
+    training corpus): documents surviving quality filter -> language
+    filter -> exact dedup -> minhash near-dedup, with their token
+    count and quality score."""
     docs = _t(spark, sf_dir, "documents")
     toks = H.words(F.col("text"))
     stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
@@ -176,11 +192,8 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    return uniq.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.min("quality").alias("min_quality"),
-        F.max("quality").alias("max_quality"),
+    return uniq.select(
+        "doc_id", "text", "source", "n_tokens", "quality", "en_score"
     )
 
 
