@@ -94,6 +94,8 @@ HEADLINE = [
     "winsorize_event_values",
     # the composed production ANN stack (IVF pruning + PQ ADC + rerank)
     "similarity_ivfpq_adc_rerank",
+    # embedding-space quality audit (decimal-exact centroids)
+    "embedding_outliers_centroid",
 ]
 
 

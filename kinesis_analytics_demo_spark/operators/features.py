@@ -161,3 +161,99 @@ def user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
         F.count_distinct(F.col("ts").cast("date")).alias("n_active_days"),
     )
+
+
+# ------------------------------------- embedding-space quality audit
+EMB_DIM = 64
+OUTLIERS_PER_LABEL = 3
+
+
+@register(
+    "embedding_outliers_centroid",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label, dim, embedding[dim] AS v
+        FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) t(dim)
+    ),
+    sums AS (
+        SELECT label, dim,
+               SUM(CAST(v AS DECIMAL(24,10))) AS s,
+               count(*) AS n
+        FROM ex GROUP BY label, dim
+    ),
+    cent AS (
+        SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cv
+        FROM sums GROUP BY label
+    ),
+    d AS (
+        SELECT e.vec_id, e.label,
+               list_sum([(CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                         * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                         for i in generate_series(1, {EMB_DIM})]) AS dist2
+        FROM embeddings e JOIN cent c ON e.label = c.label
+    ),
+    r AS (
+        SELECT vec_id, label, dist2,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY dist2 DESC, vec_id) AS outlier_rank
+        FROM d
+    )
+    SELECT vec_id, label, ROUND(dist2, 6) AS dist2, outlier_rank
+    FROM r WHERE outlier_rank <= {OUTLIERS_PER_LABEL}
+    """,
+    doc="Embedding-space quality audit: squared L2 distance of every "
+    "vector to its label's centroid; the top-3 farthest per label are "
+    "the mislabeled/corrupt-vector candidates a curation pipeline "
+    "reviews. Centroids are DECIMAL-exact per-dimension sums (float "
+    "summation order can never leak in), divided to double once; "
+    "distances accumulate left-to-right over fixed array indices "
+    "(the verified sql_dot pattern). Scale: the posexplode stream "
+    "combines map-side to labels x 64 decimal partials, centroids "
+    "broadcast back, the distance pass is one scan, and the per-label "
+    "top-k plans as WindowGroupLimit — no global sort, no N^2.",
+)
+def embedding_outliers_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim0", "v")
+    )
+    sums = ex.groupBy("label", "dim0").agg(
+        F.sum(F.col("v").cast("decimal(24,10)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = (
+        sums.select(
+            "label",
+            F.struct("dim0", (F.col("s").cast("double") / F.col("n")).alias("c")).alias(
+                "dc"
+            ),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("dc")), lambda x: x["c"]
+            ).alias("cv")
+        )
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    d = emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", diff2.alias("dist2")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), F.asc("vec_id"))
+    return (
+        d.withColumn("outlier_rank", F.row_number().over(w))
+        .filter(F.col("outlier_rank") <= OUTLIERS_PER_LABEL)
+        .select(
+            "vec_id", "label", F.round("dist2", 6).alias("dist2"), "outlier_rank"
+        )
+    )

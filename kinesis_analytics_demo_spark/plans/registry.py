@@ -263,6 +263,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "winsorize_event_values",
     "user_feature_vector",
     "similarity_ivfpq_adc_rerank",
+    "embedding_outliers_centroid",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
