@@ -1,0 +1,40 @@
+"""Smoke test for the example CLIs — they must run end-to-end from a
+plain shell (no pytest fixtures, their own SparkSession) because they
+are the repo's documented user surface."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_corpus_prep_example_cli(tmp_path):
+    out_dir = str(tmp_path / "corpus_out")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "corpus_prep.py"),
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            out_dir,
+            "--decontaminate",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(tmp_path),  # NOT the repo root: worker pickling must hold
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["out"] == out_dir
+    counts = summary["kept_by_split"]
+    assert counts.get("train", 0) > 0
+    assert sum(counts.values()) <= 1000  # never more docs than the corpus
+    # split-partitioned parquet layout on disk
+    subdirs = {d for d in os.listdir(out_dir) if d.startswith("split=")}
+    assert "split=train" in subdirs
