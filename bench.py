@@ -163,34 +163,42 @@ def main() -> None:
     # 32 stores for 5 keys is pure constant overhead (measured 6.3s
     # -> 1.7s at sf0.1). Batch queries above keep the session's 32.
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    with tempfile.TemporaryDirectory() as ckpt:
-        # file streams take a directory; stage the single-file table
-        # behind a symlink
-        stage = os.path.join(ckpt, "events_stream")
-        os.makedirs(stage)
-        os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(stage, "events.parquet"),
-        )
-        stream = create_stream_source(
-            spark, "file-parquet", path=stage, max_files_per_trigger=1000
-        )
-        result = tumbling_window_job(
-            spark, stream, ts_col="ts", key_col="event_type", value_col="value",
-            view_name="bench_stream",
-        )
-        t0 = time.perf_counter()
-        q = write_stream(
-            result,
-            "noop",
-            query_name="bench_streaming",
-            checkpoint=os.path.join(ckpt, "ck"),
-            trigger_available_now=True,
-        )
-        q.awaitTermination(600)
-        dt = time.perf_counter() - t0
-        timings["streaming_candlestick_replay"] = round(dt, 3)
-        total += dt
+    # Same min-of-reps discipline as the batch queries: each rep gets a
+    # FRESH checkpoint (no offset/state reuse — every rep replays the
+    # whole stream), so the min isolates steady-state replay cost from
+    # the one-time streaming-machinery JVM warmup (~+2.5s on rep 1)
+    # and co-tenant noise.
+    best = None
+    for rep in range(reps):
+        with tempfile.TemporaryDirectory() as ckpt:
+            # file streams take a directory; stage the single-file
+            # table behind a symlink
+            stage = os.path.join(ckpt, "events_stream")
+            os.makedirs(stage)
+            os.symlink(
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(stage, "events.parquet"),
+            )
+            stream = create_stream_source(
+                spark, "file-parquet", path=stage, max_files_per_trigger=1000
+            )
+            result = tumbling_window_job(
+                spark, stream, ts_col="ts", key_col="event_type",
+                value_col="value", view_name=f"bench_stream_{rep}",
+            )
+            t0 = time.perf_counter()
+            q = write_stream(
+                result,
+                "noop",
+                query_name=f"bench_streaming_{rep}",
+                checkpoint=os.path.join(ckpt, "ck"),
+                trigger_available_now=True,
+            )
+            q.awaitTermination(600)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    timings["streaming_candlestick_replay"] = round(best, 3)
+    total += best
 
     print(
         json.dumps(
