@@ -59,6 +59,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.multimodal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.pipeline  # noqa: F401
     import kinesis_analytics_demo_spark.operators.pq  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.profiling  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational3  # noqa: F401
@@ -264,6 +265,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "user_feature_vector",
     "similarity_ivfpq_adc_rerank",
     "embedding_outliers_centroid",
+    "profile_lineitem",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
