@@ -787,32 +787,36 @@ def embedding_near_dup_bucketed(
     )
 
 
-def _sql_bucketed_pair_ctes() -> str:
+def _sql_bucketed_pair_ctes(prefix: str = "") -> str:
     """Shared oracle CTE chain ending in ``epairs(vec_a, vec_b, sim)``
-    — the bucketed embedding near-dup pairs. One definition feeds both
-    the pair query's oracle and the cluster query built on top of it."""
-    return f"""cent AS (SELECT min(vec_id) AS cid FROM embeddings GROUP BY label),
-    centv AS (
+    — the bucketed embedding near-dup pairs. One definition feeds the
+    pair query's oracle, the cluster query built on top of it, and
+    (via ``prefix``, which renames the intermediate CTEs) oracles that
+    also embed the minhash CTE chain, whose names would otherwise
+    collide on ``cand``/``assign``."""
+    p = prefix
+    return f"""{p}cent AS (SELECT min(vec_id) AS cid FROM embeddings GROUP BY label),
+    {p}centv AS (
         SELECT c.cid, e.embedding AS cv
-        FROM cent c JOIN embeddings e ON e.vec_id = c.cid
+        FROM {p}cent c JOIN embeddings e ON e.vec_id = c.cid
     ),
-    assign AS (
+    {p}assign AS (
         SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY {V.sql_cosine('e.embedding', 'c.cv', 64)} DESC, c.cid)
                    AS crank
-        FROM embeddings e, centv c
+        FROM embeddings e, {p}centv c
     ),
-    member AS (SELECT vec_id, cid FROM assign WHERE crank <= {NEAR_DUP_NPROBE}),
-    cand AS (
+    {p}member AS (SELECT vec_id, cid FROM {p}assign WHERE crank <= {NEAR_DUP_NPROBE}),
+    {p}cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM member a JOIN member b
+        FROM {p}member a JOIN {p}member b
           ON a.cid = b.cid AND a.vec_id < b.vec_id
     ),
     epairs AS (
         SELECT c.vec_a, c.vec_b,
                {V.sql_cosine('ea.embedding', 'eb.embedding', 64)} AS sim
-        FROM cand c
+        FROM {p}cand c
         JOIN embeddings ea ON ea.vec_id = c.vec_a
         JOIN embeddings eb ON eb.vec_id = c.vec_b
         WHERE {V.sql_cosine('ea.embedding', 'eb.embedding', 64)}
@@ -1031,4 +1035,66 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score",
             (F.col("rn") == 1).alias("kept"),
         )
+    )
+
+
+@register(
+    "dedup_hybrid_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_sql_minhash_cte()},
+    {_sql_bucketed_pair_ctes(prefix='em_')},
+    dup AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+    hedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM dup
+        UNION ALL SELECT vec_a AS src, vec_b AS dst FROM epairs
+        UNION ALL SELECT vec_b AS src, vec_a AS dst FROM epairs
+    ),
+    hreach(doc_id, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.root FROM hreach r JOIN hedges e ON e.src = r.doc_id
+    ),
+    hcl AS (SELECT doc_id, min(root) AS cluster_id FROM hreach GROUP BY doc_id)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           doc_id = cluster_id AS kept
+    FROM hcl
+    """,
+    doc="HYBRID dedup: near-duplicate clusters over the UNION of the "
+    "lexical duplicate graph (banded-minhash pairs, exact Jaccard >= "
+    "0.8) and the semantic one (IVF-bucketed embedding cosine pairs; "
+    "vec_id IS the document's embedding id — a 1:1 correspondence in "
+    "this corpus). A paraphrased copy (caught only semantically) and "
+    "a boilerplate-edited copy (caught only lexically) land in ONE "
+    "cluster, so keep-lowest-id retention never keeps both — the "
+    "curation rule modern corpus pipelines apply (SemDeDup + MinHash "
+    "stacked). Scale: both edge generators are the existing "
+    "sub-quadratic paths; the union is edge-set concatenation; "
+    "components run on the combined graph in O(diameter) rounds — "
+    "nothing new shuffles beyond the two edge sets themselves.",
+)
+def dedup_hybrid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = minhash_dup_pairs(docs, JACCARD_THRESHOLD).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    sem = dedup_embedding_cosine_bucketed(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
+    und = lex.union(sem)
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    clusters = label_propagation(labels, edges, max_rounds=20)
+    size_w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(size_w).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
     )

@@ -266,6 +266,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "similarity_ivfpq_adc_rerank",
     "embedding_outliers_centroid",
     "profile_lineitem",
+    "dedup_hybrid_clusters",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:

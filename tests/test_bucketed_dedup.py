@@ -119,3 +119,34 @@ def test_label_propagation_raises_past_cap(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         _chain_labels(spark, 26, 20).collect()
+
+
+def test_hybrid_clusters_coarsen_both_graphs(spark):
+    """The hybrid (lexical UNION semantic) component partition must be
+    coarser than BOTH single-signal partitions: merging edge sets can
+    only merge clusters, never split them — and on this corpus it must
+    actually merge something (the planted near-dups overlap the two
+    signals only partially)."""
+    from kinesis_analytics_demo_spark.operators.dedup import (
+        dedup_embedding_clusters,
+        dedup_hybrid_clusters,
+        dedup_minhash_clusters,
+    )
+    from tests.conftest import SF_MEDIUM
+
+    n_hybrid = (
+        dedup_hybrid_clusters(spark, SF_MEDIUM)
+        .select("cluster_id").distinct().count()
+    )
+    n_lex = (
+        dedup_minhash_clusters(spark, SF_MEDIUM)
+        .select("cluster_id").distinct().count()
+    )
+    n_sem = (
+        dedup_embedding_clusters(spark, SF_MEDIUM)
+        .select("cluster_id").distinct().count()
+    )
+    assert n_hybrid <= min(n_lex, n_sem)
+    assert n_hybrid < max(n_lex, n_sem), (
+        f"hybrid={n_hybrid} lex={n_lex} sem={n_sem}: union merged nothing"
+    )
