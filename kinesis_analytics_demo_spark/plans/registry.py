@@ -72,6 +72,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.text  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text3  # noqa: F401
+    import kinesis_analytics_demo_spark.functions.udfs  # noqa: F401
     import kinesis_analytics_demo_spark.operators.training  # noqa: F401
     import kinesis_analytics_demo_spark.plans.reference_queries  # noqa: F401
 
@@ -267,6 +268,8 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "embedding_outliers_centroid",
     "profile_lineitem",
     "dedup_hybrid_clusters",
+    "udtf_word_chunks",
+    "udaf_value_spread",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
