@@ -323,3 +323,70 @@ def high_volume_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_name", "n_name", F.col("qty").cast("double").alias("shipped_qty"))
     )
+
+
+# ------------------------------------------------ FULL OUTER join shape
+FO_CUST_BAL = 9900.0
+FO_SUPP_BAL = 9000.0
+
+
+@register(
+    "full_outer_balance_audit",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_nationkey AS nation_key, count(*) AS n_rich_customers
+        FROM customer WHERE c_acctbal > {FO_CUST_BAL} GROUP BY c_nationkey
+    ),
+    s AS (
+        SELECT s_nationkey AS nation_key, count(*) AS n_rich_suppliers
+        FROM supplier WHERE s_acctbal > {FO_SUPP_BAL} GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nation_key, s.nation_key) AS nation_key,
+           COALESCE(c.n_rich_customers, 0) AS n_rich_customers,
+           COALESCE(s.n_rich_suppliers, 0) AS n_rich_suppliers,
+           CASE WHEN c.nation_key IS NULL THEN 'supplier_only'
+                WHEN s.nation_key IS NULL THEN 'customer_only'
+                ELSE 'both' END AS presence
+    FROM c FULL OUTER JOIN s ON c.nation_key = s.nation_key
+    """,
+    doc="FULL OUTER join (the one join kind the rest of the relational "
+    "family doesn't exercise): per-nation reconciliation of "
+    "high-balance customers vs high-balance suppliers, keeping "
+    "nations present on EITHER side with a presence tag — the "
+    "two-ledger audit shape. Both inputs aggregate BEFORE the join "
+    "(nation-cardinality row counts), so the full-outer join moves "
+    "dozens of rows however large the base tables are; the filters "
+    "push to the parquet scans.",
+)
+def full_outer_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > FO_CUST_BAL)
+        .groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > FO_SUPP_BAL)
+        .groupBy(F.col("s_nationkey").alias("nation_key"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    c, s = cust.alias("c"), supp.alias("s")
+    joined = c.join(s, F.col("c.nation_key") == F.col("s.nation_key"), "full_outer")
+    presence = (
+        F.when(F.col("c.nation_key").isNull(), "supplier_only")
+        .when(F.col("s.nation_key").isNull(), "customer_only")
+        .otherwise("both")
+    )
+    return joined.select(
+        F.coalesce(F.col("c.nation_key"), F.col("s.nation_key")).alias(
+            "nation_key"
+        ),
+        F.coalesce(F.col("n_rich_customers"), F.lit(0)).alias(
+            "n_rich_customers"
+        ),
+        F.coalesce(F.col("n_rich_suppliers"), F.lit(0)).alias(
+            "n_rich_suppliers"
+        ),
+        presence.alias("presence"),
+    )

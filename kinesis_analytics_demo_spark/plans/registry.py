@@ -270,6 +270,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "dedup_hybrid_clusters",
     "udtf_word_chunks",
     "udaf_value_spread",
+    "full_outer_balance_audit",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
