@@ -569,3 +569,80 @@ def streaming_enrich_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _replay_events_stream(spark, sf_dir, "enrich", build)
+
+
+@register(
+    "streaming_left_join_replay",
+    oracle="""
+    WITH m AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'error'),
+            (SELECT max(ts) FROM events WHERE event_type = 'click')
+        ) AS wm_base
+        FROM (VALUES (1))
+    ),
+    j AS (
+        SELECT e.event_id AS incident_id,
+               e.user_id,
+               e.ts,
+               c.event_id AS click_id,
+               c.value AS click_value
+        FROM events e LEFT JOIN events c
+          ON c.user_id = e.user_id
+         AND c.event_type = 'click'
+         AND c.ts <= e.ts
+         AND c.ts >= e.ts - INTERVAL 300 SECOND
+        WHERE e.event_type = 'error'
+    )
+    SELECT incident_id, user_id, click_id, click_value
+    FROM j, m
+    WHERE click_id IS NOT NULL OR ts < wm_base - INTERVAL 20 SECOND
+    """,
+    doc="STREAM-STREAM LEFT OUTER interval join, value-checked on the "
+    "streaming execution path: errors left-joined to clicks in the "
+    "preceding 5 minutes; errors with NO qualifying click emit a "
+    "null-padded row only once the watermark PROVES no match can "
+    "arrive. The oracle encodes that semantic exactly: matched rows "
+    "equal the batch left join everywhere, while unmatched rows "
+    "appear only for errors older than the GLOBAL watermark — "
+    "min(max event-time of the error stream, max of the click "
+    "stream) - 20s under the default min multipleWatermarkPolicy "
+    "(empirically pinned: the single held-back row at sf0.01 is the "
+    "globally-latest error, which the watermark can never pass). "
+    "Unmatched errors inside that horizon are, correctly per "
+    "Structured Streaming semantics, still buffered when the replay "
+    "ends. State stays bounded at watermark+lookback per key.",
+)
+def streaming_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.streaming.joins import interval_join
+
+    def build(stream, name):
+        errors = stream.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("incident_id"), "user_id", "ts"
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+            F.col("ts").alias("c_ts"),
+        )
+        joined = interval_join(
+            errors,
+            clicks,
+            on="user_id",
+            left_ts="ts",
+            right_ts="c_ts",
+            lookback="300 seconds",
+            watermark="20 seconds",
+            how="left_outer",
+        )
+        return joined.select(
+            "incident_id",
+            "user_id",
+            F.col("r_click_id").alias("click_id"),
+            F.col("r_click_value").alias("click_value"),
+        )
+
+    return _replay_events_stream(
+        spark, sf_dir, "ljoin", build, output_mode="append"
+    )

@@ -271,6 +271,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "udtf_word_chunks",
     "udaf_value_spread",
     "full_outer_balance_audit",
+    "streaming_left_join_replay",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
