@@ -322,3 +322,59 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_oov / F.count(F.lit(1))).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY doc_id, w),
+    l AS (SELECT doc_id,
+                 list(CAST(tf AS DOUBLE) ORDER BY tf, w) AS tfs,
+                 sum(tf) AS n
+          FROM tf GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           ROUND(ln(CAST(n AS DOUBLE))
+                 - (list_sum([x * ln(x) for x in tfs]) / n), 6) AS entropy
+    FROM l
+    """,
+    doc="Per-document Shannon token entropy (nats) — the lexical-"
+    "diversity quality signal (low entropy = repetitive/templated "
+    "text). Float summation order is the classic cross-engine trap "
+    "for entropy; here the per-token terms fold LEFT-TO-RIGHT over a "
+    "SORTED (tf, token) list on both engines (the proven list_sum == "
+    "F.aggregate LTR parity), and H = ln(n) - (1/n)*sum(tf*ln(tf)) "
+    "keeps every input to ln() an exact integer — so the result is "
+    "bit-reproducible with no decimal detour. Scale: one explode "
+    "scan, two doc_id-keyed aggregates that reuse one partitioning; "
+    "the per-doc tf list is bounded by document vocabulary.",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        _tokens_by_pos(docs)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    l = tf.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tf"), F.col("w")))
+            ),
+            lambda s: s["tf"].cast("double"),
+        ).alias("tfs"),
+        F.sum("tf").alias("n"),
+    )
+    fold = F.aggregate(
+        F.col("tfs"),
+        F.lit(0.0),
+        lambda acc, x: acc + (x * F.log(x)),
+    )
+    return l.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.log(F.col("n").cast("double")) - (fold / F.col("n")), 6
+        ).alias("entropy"),
+    )

@@ -272,6 +272,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "udaf_value_spread",
     "full_outer_balance_audit",
     "streaming_left_join_replay",
+    "text_token_entropy",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
