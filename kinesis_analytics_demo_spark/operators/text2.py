@@ -378,3 +378,84 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("n").cast("double")) - (fold / F.col("n")), 6
         ).alias("entropy"),
     )
+
+
+@register(
+    "source_token_kl",
+    oracle=f"""
+    WITH t AS (SELECT source, unnest({_SQL_TOKENS}) AS w FROM documents),
+    sf AS (SELECT source, w, count(*) AS tf_s FROM t GROUP BY source, w),
+    sn AS (SELECT source, sum(tf_s) AS n_s FROM sf GROUP BY source),
+    cf AS (SELECT w, sum(tf_s) AS tf_c FROM sf GROUP BY w),
+    cn AS (SELECT sum(tf_c) AS n_c FROM cf),
+    j AS (SELECT sf.source, sf.w,
+                 CAST(sf.tf_s AS DOUBLE) AS tf_s,
+                 CAST(cf.tf_c AS DOUBLE) AS tf_c
+          FROM sf JOIN cf ON sf.w = cf.w),
+    l AS (SELECT source,
+                 list(struct_pack(tf_s := tf_s, tf_c := tf_c) ORDER BY w)
+                     AS terms
+          FROM j GROUP BY source)
+    SELECT l.source,
+           CAST(sn.n_s AS BIGINT) AS n_tokens,
+           ROUND(list_sum([
+               (x.tf_s / sn.n_s)
+               * ln((x.tf_s * cn.n_c) / (sn.n_s * x.tf_c))
+               for x in l.terms]), 6) AS kl_nats
+    FROM l JOIN sn ON l.source = sn.source CROSS JOIN cn
+    """,
+    doc="Distribution-shift audit: KL(P_source || P_corpus) over the "
+    "token unigram distributions, per source — the signal a data-"
+    "mixing pipeline watches to spot a crawl slice drifting from the "
+    "corpus (and the weight temperature_mix decisions key off). "
+    "Determinism: each term (tf_s/n_s)*ln((tf_s*n_c)/(n_s*tf_c)) "
+    "takes only exact integers into ln(), and terms fold left-to-"
+    "right over the token-SORTED list on both engines — the same "
+    "structural fix as text_token_entropy, no decimal detour. "
+    "Scale: token-keyed aggregates with map-side combine; the per-"
+    "source term list is vocab-bounded (cap to a top-K vocab at web "
+    "scale, as vocab_top_tokens does).",
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(H.words(F.col("text"))).alias("w")
+    )
+    sf_ = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf_s"))
+    sn = sf_.groupBy("source").agg(F.sum("tf_s").alias("n_s"))
+    cf = sf_.groupBy("w").agg(F.sum("tf_s").alias("tf_c"))
+    cn = cf.agg(F.sum("tf_c").alias("n_c"))
+    j = sf_.join(cf, "w").select(
+        "source",
+        "w",
+        F.col("tf_s").cast("double").alias("tf_s"),
+        F.col("tf_c").cast("double").alias("tf_c"),
+    )
+    l = j.groupBy("source").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("w"), F.col("tf_s"), F.col("tf_c")))
+            ),
+            lambda s: F.struct(s["tf_s"].alias("tf_s"), s["tf_c"].alias("tf_c")),
+        ).alias("terms")
+    )
+    n_s = F.col("n_s").cast("double")
+    n_c = F.col("n_c").cast("double")
+    fold = F.aggregate(
+        F.col("terms"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (
+            (x["tf_s"] / n_s)
+            * F.log((x["tf_s"] * n_c) / (n_s * x["tf_c"]))
+        ),
+    )
+    return (
+        l.join(sn, "source")
+        .crossJoin(F.broadcast(cn))
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            F.round(fold, 6).alias("kl_nats"),
+        )
+    )

@@ -273,6 +273,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "full_outer_balance_audit",
     "streaming_left_join_replay",
     "text_token_entropy",
+    "source_token_kl",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -106,6 +106,7 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "tfidf_top_terms",  # 1-row corpus-size broadcast
         "bm25_search",  # 1-row (n_docs, avgdl) stats broadcast
         "inverted_index_postings",  # 1-row corpus-size broadcast
+        "source_token_kl",  # 1-row corpus-token-total broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():
