@@ -459,3 +459,85 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(fold, 6).alias("kl_nats"),
         )
     )
+
+
+#: Zipf fit uses the top-K vocabulary by frequency (rank-frequency law
+#: only holds over the head; also caps the fold list at web scale).
+ZIPF_TOP_K = 1000
+
+
+@register(
+    "corpus_zipf_alpha",
+    oracle=f"""
+    WITH t AS (SELECT unnest({_SQL_TOKENS}) AS w FROM documents),
+    cf AS (SELECT w, count(*) AS tf FROM t GROUP BY w),
+    r AS (SELECT w, tf,
+                 row_number() OVER (ORDER BY tf DESC, w) AS rnk
+          FROM cf),
+    topk AS (SELECT * FROM r WHERE rnk <= {ZIPF_TOP_K}),
+    l AS (SELECT list(struct_pack(
+                     x := ln(CAST(rnk AS DOUBLE)),
+                     y := ln(CAST(tf AS DOUBLE))) ORDER BY rnk) AS pts,
+                 count(*) AS n
+          FROM topk),
+    s AS (SELECT n,
+                 list_sum([p.x for p in pts]) AS sx,
+                 list_sum([p.y for p in pts]) AS sy,
+                 list_sum([p.x * p.y for p in pts]) AS sxy,
+                 list_sum([p.x * p.x for p in pts]) AS sxx
+          FROM l)
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           ROUND(-(((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))), 6)
+               AS zipf_alpha
+    FROM s
+    """,
+    doc="Corpus Zipf exponent: least-squares slope of ln(frequency) "
+    "on ln(rank) over the top-K vocabulary — natural text sits near "
+    "alpha=1; a corpus drifting far off is template/spam-heavy (a "
+    "crawl-health dashboard number). Regression sums (Sx, Sy, Sxy, "
+    "Sxx) are LEFT-TO-RIGHT folds over the rank-SORTED point list on "
+    "both engines, then one closed-form slope expression — covar/var "
+    "built-ins would be partial-aggregation-order-dependent, folds "
+    "are not. Token counting is map-side combined; only the top-K "
+    "head (WindowGroupLimit-able rank) reaches the fold.",
+)
+def corpus_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    cf = (
+        docs.select(F.explode(H.words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rnk = F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("w")))
+    topk = cf.withColumn("rnk", rnk).filter(F.col("rnk") <= ZIPF_TOP_K)
+    pts = topk.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("rnk"),
+                        F.log(F.col("rnk").cast("double")).alias("x"),
+                        F.log(F.col("tf").cast("double")).alias("y"),
+                    )
+                )
+            ),
+            lambda s: F.struct(s["x"].alias("x"), s["y"].alias("y")),
+        ).alias("pts"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+
+    def fold(expr):
+        return F.aggregate(F.col("pts"), F.lit(0.0), expr)
+
+    sx = fold(lambda acc, p: acc + p["x"])
+    sy = fold(lambda acc, p: acc + p["y"])
+    sxy = fold(lambda acc, p: acc + (p["x"] * p["y"]))
+    sxx = fold(lambda acc, p: acc + (p["x"] * p["x"]))
+    n = F.col("n")
+    slope = ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))
+    return pts.select(
+        n.cast("bigint").alias("n_vocab"),
+        F.round(-slope, 6).alias("zipf_alpha"),
+    )

@@ -274,6 +274,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "streaming_left_join_replay",
     "text_token_entropy",
     "source_token_kl",
+    "corpus_zipf_alpha",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
