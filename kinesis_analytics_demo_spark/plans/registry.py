@@ -275,6 +275,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "text_token_entropy",
     "source_token_kl",
     "corpus_zipf_alpha",
+    "scd2_incremental_apply",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
