@@ -646,3 +646,98 @@ def streaming_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay_events_stream(
         spark, sf_dir, "ljoin", build, output_mode="append"
     )
+
+
+_CUMULATE_ORACLE = """
+WITH e AS (
+    SELECT event_type,
+           CAST(value AS DECIMAL(18,6)) AS v,
+           CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS bs,
+           CAST(floor(epoch(ts)/21600) AS BIGINT)*21600 AS ss
+    FROM events),
+x AS (
+    SELECT event_type, v, bs,
+           unnest(generate_series(CAST((ss - bs)/21600 AS BIGINT) + 1, 4)) AS k
+    FROM e)
+SELECT event_type,
+       TIMESTAMP '1970-01-01' + to_seconds(bs) AS window_start,
+       TIMESTAMP '1970-01-01' + to_seconds(bs + k*21600) AS window_end,
+       CAST(ROUND(SUM(v), 2) AS DOUBLE) AS sum_value
+FROM x
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "cumulate_window_revenue",
+    oracle=_CUMULATE_ORACLE,
+    doc="CUMULATE windows — Flink's third windowing TVF (the "
+    "reference's engine family: TUMBLE and HOP are covered by the "
+    "two reference jobs, CUMULATE completes the set). Per "
+    "event_type, daily base period, 6-hour step: expanding-prefix "
+    "sums [day, day+6h), [day, day+12h), ..., [day, day+24h). "
+    "Spark-first two-level decomposition (streaming/windows.py::"
+    "cumulate_window_agg): per-step tumbling partials, then the "
+    "prefix fan-out runs on O(keys x steps) aggregate rows — no raw-"
+    "row amplification, both levels codegen'd HashAggregates. Sum in "
+    "DECIMAL through both levels (associative, exact), rounded once.",
+)
+def cumulate_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.streaming.windows import cumulate_window_agg
+
+    events = tbl(spark, sf_dir, "events").select(
+        "event_type", "ts", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    out = cumulate_window_agg(
+        events,
+        ts_col="ts",
+        key_col="event_type",
+        value_col="v",
+        max_size="1 day",
+        step="6 hours",
+        agg="sum",
+    )
+    return out.select(
+        "event_type",
+        "window_start",
+        "window_end",
+        F.round(F.col("p"), 2).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "streaming_cumulate_replay",
+    oracle=_CUMULATE_ORACLE,
+    doc="The cumulate-window aggregate as a TRUE STRUCTURED-STREAMING "
+    "job: events replayed as a file micro-batch stream, complete "
+    "mode into a memory sink. The streaming path explodes each raw "
+    "row into its <= max_size/step prefix windows and aggregates "
+    "once (chained stateful aggs only support window-on-window_time; "
+    "docstring of cumulate_window_agg) — complete mode emits the "
+    "full aggregate at stream end, equal to the batch/oracle result.",
+)
+def streaming_cumulate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.streaming.windows import cumulate_window_agg
+
+    def build(stream, name):
+        out = cumulate_window_agg(
+            stream.select(
+                "event_type",
+                "ts",
+                F.col("value").cast("decimal(18,6)").alias("v"),
+            ),
+            ts_col="ts",
+            key_col="event_type",
+            value_col="v",
+            max_size="1 day",
+            step="6 hours",
+            agg="sum",
+        )
+        return out.select(
+            "event_type",
+            "window_start",
+            "window_end",
+            F.round(F.col("p"), 2).cast("double").alias("sum_value"),
+        )
+
+    return _replay_events_stream(spark, sf_dir, "cumulate", build)

@@ -270,3 +270,118 @@ def sliding_window_agg_twolevel(
         .agg(merge_fn("hp").alias("p"))
         .select(key_col, "p", "t")
     )
+
+
+def cumulate_window_agg(
+    df: DataFrame,
+    ts_col: str = "utc",
+    key_col: str = "ticker",
+    value_col: str = "price",
+    max_size: str = "1 day",
+    step: str = "6 hours",
+    watermark: str | None = None,
+    agg: str = "sum",
+) -> DataFrame:
+    """CUMULATE windows — the third of Flink's windowing TVFs
+    (TUMBLE / HOP / CUMULATE), the one window kind of the reference's
+    engine family not yet covered by ``tumbling_candlestick`` /
+    ``sliding_window_agg``.
+
+    Semantics (Flink docs, "Windowing TVF / CUMULATE"): fix a base
+    grid of width ``max_size``; within each base period ``[b, b +
+    max_size)`` emit one window per ``step`` — ``[b, b+step)``,
+    ``[b, b+2*step)``, …, ``[b, b+max_size)`` — an expanding prefix
+    aggregate that resets at every base boundary. The classic use is
+    "cumulative daily total, updated every hour".
+
+    Spark has no native cumulate window; the BATCH path mirrors
+    ``sliding_window_agg_twolevel``: aggregate per STEP first (each
+    raw row lands in exactly one tumbling step window), then fan each
+    step aggregate out to the cumulate windows whose prefix contains
+    it — windows ending at ``b + k*step`` for ``k`` in ``i+1 .. n``,
+    ``i`` the step's index inside its base period, ``n =
+    max_size/step``. The fan-out multiplies O(keys x steps) aggregate
+    rows, never raw rows, and both aggregations are codegen'd
+    HashAggregates — the same 100-TB shape as the two-level hop.
+
+    The STREAMING path cannot chain a second, non-window aggregation
+    (Structured Streaming supports chained stateful aggs only for
+    window-on-window_time), so it explodes each RAW row into its <= n
+    prefix windows and aggregates once — run it in update/complete
+    mode (the replay harness uses complete). At scale prefer
+    streaming the per-step partials (append mode, watermark-bounded
+    state) and folding the prefix downstream — exactly what the batch
+    decomposition does.
+
+    Output: ``(key_col, window_start, window_end, p)`` where
+    ``window_start`` is the base-period start ``b`` and ``p`` the
+    aggregate over ``[window_start, window_end)``.
+
+    Restricted to decomposable aggregates (``_HOP_MERGE``); DECIMAL
+    sums stay exact through both levels (decimal addition is
+    associative), so oracle-grade determinism needs only casting the
+    input.
+    """
+    if agg not in _HOP_MERGE:
+        raise ValueError(
+            f"cumulate decomposition needs a decomposable aggregate "
+            f"(one of {sorted(_HOP_MERGE)}), got {agg!r}"
+        )
+    from kinesis_analytics_demo_spark.config import duration_millis
+
+    size_ms, step_ms = duration_millis(max_size), duration_millis(step)
+    if size_ms % step_ms:
+        raise ValueError(
+            f"max_size ({max_size}) must be a multiple of step ({step})"
+        )
+    if size_ms % 1000 or step_ms % 1000:
+        raise ValueError("max_size/step must be whole seconds")
+    size_s, step_s = size_ms // 1000, step_ms // 1000
+    n = size_ms // step_ms
+    agg_fn = getattr(F, agg)
+
+    def _expand(rows: DataFrame, sec_col, payload_cols: list[str]) -> DataFrame:
+        """Explode rows at epoch-second ``sec_col`` into their
+        (window_start, window_end) prefix windows."""
+        base_s = F.floor(sec_col / size_s) * size_s
+        idx = F.floor((sec_col - base_s) / step_s).cast("long")
+        ends = F.transform(
+            F.sequence(idx + 1, F.lit(n).cast("long")),
+            lambda k: F.timestamp_seconds(base_s + k * step_s),
+        )
+        return rows.select(
+            *payload_cols,
+            F.timestamp_seconds(base_s).alias("window_start"),
+            F.explode(ends).alias("window_end"),
+        )
+
+    if df.isStreaming:
+        df = ensure_event_time(df, ts_col)
+        if watermark is not None:
+            df = df.withWatermark(ts_col, watermark)
+        # NTZ-safe epoch seconds (session tz pinned to UTC)
+        expanded = _expand(
+            df,
+            F.col(ts_col).cast("timestamp").cast("long"),
+            [key_col, value_col],
+        )
+        return expanded.groupBy(key_col, "window_start", "window_end").agg(
+            agg_fn(value_col).alias("p")
+        )
+    steps = (
+        df.groupBy(F.window(F.col(ts_col), step), F.col(key_col))
+        .agg(agg_fn(value_col).alias("sp"))
+        .select(F.col("window.start").alias("step_start"), key_col, "sp")
+    )
+    merge_fn = getattr(F, _HOP_MERGE[agg])
+    # window() of an NTZ event time yields NTZ bounds — same NTZ-safe
+    # epoch extraction as the streaming branch
+    expanded = _expand(
+        steps,
+        F.col("step_start").cast("timestamp").cast("long"),
+        [key_col, "sp"],
+    )
+    return (
+        expanded.groupBy(key_col, "window_start", "window_end")
+        .agg(merge_fn("sp").alias("p"))
+    )
