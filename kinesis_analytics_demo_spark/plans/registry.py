@@ -66,6 +66,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.relational4  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational5  # noqa: F401
     import kinesis_analytics_demo_spark.operators.retrieval  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.rollup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.similarity  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sketches  # noqa: F401
     import kinesis_analytics_demo_spark.operators.temporal  # noqa: F401
@@ -276,6 +277,11 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "source_token_kl",
     "corpus_zipf_alpha",
     "scd2_incremental_apply",
+    # -- second round-3 session: CUMULATE windows (Flink's third
+    #    windowing TVF), hierarchical rollup reuse, and later additions
+    "cumulate_window_revenue",
+    "streaming_cumulate_replay",
+    "rollup_hierarchy_events",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
