@@ -1,0 +1,192 @@
+"""Graph analytics: PageRank over the order-derived trade graph.
+
+PageRank (Page et al. 1999) with a fixed iteration count, expressed as
+pure DataFrame joins/aggregations — the canonical "iterative algorithm
+on Spark" shape: the per-iteration plan is
+
+    ranks (small)  --broadcast-->  edges (large)  --shuffle on dst-->
+    next ranks
+
+so each iteration costs one hash aggregation over the edge list; the
+edge list itself is computed once and persisted. Driver-side work is
+loop control only (K is a constant), never data.
+
+Cross-engine determinism (the float-accumulation trap): the only
+order-sensitive operation in PageRank is the per-destination SUM of
+contributions. Each per-edge contribution is computed in float64,
+rounded to 12 digits, cast to DECIMAL(28,12), and summed in DECIMAL —
+order-insensitive and exact. The scalar update (teleport + damped
+dangling mass + damped contribution sum) is a fixed left-to-right
+chain of single IEEE-754 double ops, identical on both engines, and
+the result is re-rounded to 12 digits before it becomes the next
+iteration's DECIMAL state.
+
+Scale: ranks are O(nodes) and broadcast; at node counts beyond
+broadcast limits, drop the hint and let AQE pick a shuffle join with
+both sides hash-partitioned on the join key — the iteration count
+doesn't change the asymptotics (K x one shuffle of O(edges)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.caching import tracked_persist
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+DAMPING = 0.85
+PR_ITERS = 5
+_SCALE = 12  #: decimal digits carried between iterations
+
+
+def pagerank(
+    nodes: DataFrame,  # (node_id)
+    edges: DataFrame,  # (src, dst), distinct
+    iters: int = PR_ITERS,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Fixed-iteration PageRank with uniform teleport and dangling-
+    mass redistribution. Returns ``(node_id, rank)`` with rank a
+    12-digit-rounded double; ranks sum to ~1."""
+    edges = tracked_persist(edges.select("src", "dst").distinct())
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # nodes with outdeg joined once; dangling = no out-edges
+    base = tracked_persist(
+        nodes.select("node_id").distinct().join(
+            outdeg, nodes["node_id"] == outdeg["src"], "left"
+        ).select("node_id", "outdeg")
+    )
+    n_nodes = base.count()  # loop-control scalar, not data movement
+    init = round(1.0 / n_nodes, _SCALE)
+    ranks = base.select(
+        "node_id",
+        "outdeg",
+        F.lit(init).cast(f"decimal(28,{_SCALE})").alias("rank"),
+    )
+    for _ in range(iters):
+        ranks = tracked_persist(ranks)
+        # order-insensitive dangling mass: DECIMAL sum of exact state
+        dangling = (
+            ranks.filter(F.col("outdeg").isNull())
+            .agg(F.sum("rank").alias("dm"))
+            .select(F.coalesce(F.col("dm"), F.lit(0).cast("decimal(28,12)")).alias("dm"))
+        )
+        contrib = (
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["node_id"])
+            .select(
+                "dst",
+                F.round(
+                    F.col("rank").cast("double") / F.col("outdeg"), _SCALE
+                )
+                .cast(f"decimal(28,{_SCALE})")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+        )
+        new_rank = F.round(
+            F.lit(1.0 - damping) / n_nodes
+            + F.lit(damping) * F.col("dm").cast("double") / n_nodes
+            + F.lit(damping)
+            * F.coalesce(F.col("csum"), F.lit(0).cast("decimal(28,12)")).cast(
+                "double"
+            ),
+            _SCALE,
+        )
+        ranks = (
+            base.join(contrib, base["node_id"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node_id",
+                "outdeg",
+                new_rank.cast(f"decimal(28,{_SCALE})").alias("rank"),
+            )
+        )
+    return ranks.select(
+        "node_id", F.col("rank").cast("double").alias("rank")
+    )
+
+
+def _pr_oracle(iters: int = PR_ITERS, damping: float = DAMPING) -> str:
+    """DuckDB twin: the identical unrolled iteration chain."""
+    d = damping
+    parts = [
+        f"""
+WITH edges AS (
+    SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+nodes AS (
+    SELECT 'c' || c_custkey AS node_id FROM customer
+    UNION ALL
+    SELECT 's' || s_suppkey FROM supplier),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+base AS (
+    SELECT n.node_id, o.outdeg
+    FROM nodes n LEFT JOIN outdeg o ON n.node_id = o.src),
+nn AS (SELECT count(*) AS n FROM base),
+r0 AS (
+    SELECT node_id, outdeg,
+           CAST(ROUND(1.0 / (SELECT n FROM nn), {_SCALE})
+                AS DECIMAL(28,{_SCALE})) AS rank
+    FROM base)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+dm{i} AS (
+    SELECT COALESCE(SUM(rank), CAST(0 AS DECIMAL(28,{_SCALE}))) AS dm
+    FROM r{p} WHERE outdeg IS NULL),
+cs{i} AS (
+    SELECT e.dst,
+           SUM(CAST(ROUND(CAST(r.rank AS DOUBLE) / r.outdeg, {_SCALE})
+                    AS DECIMAL(28,{_SCALE}))) AS csum
+    FROM edges e JOIN r{p} r ON e.src = r.node_id
+    GROUP BY e.dst),
+r{i} AS (
+    SELECT b.node_id, b.outdeg,
+           CAST(ROUND({1.0 - d} / (SELECT n FROM nn)
+                      + {d} * CAST((SELECT dm FROM dm{i}) AS DOUBLE)
+                        / (SELECT n FROM nn)
+                      + {d} * CAST(COALESCE(c.csum,
+                            CAST(0 AS DECIMAL(28,{_SCALE}))) AS DOUBLE),
+                      {_SCALE}) AS DECIMAL(28,{_SCALE})) AS rank
+    FROM base b LEFT JOIN cs{i} c ON b.node_id = c.dst)""")
+    tail = f"""
+SELECT node_id, CAST(rank AS DOUBLE) AS rank FROM r{iters}"""
+    return ",".join(parts) + tail
+
+
+@register(
+    "pagerank_trade_graph",
+    oracle=_pr_oracle(),
+    doc="PageRank (5 fixed iterations, damping 0.85, dangling-mass "
+    "redistribution) over the bipartite customer->supplier trade "
+    "graph derived from orders x lineitem. Iterative-algorithm-on-"
+    "Spark template: broadcast small rank state into the persisted "
+    "edge list, one shuffle per iteration; the only order-sensitive "
+    "op (per-dst contribution sum) runs in DECIMAL over 12-digit-"
+    "rounded terms, so Spark and the unrolled-CTE DuckDB oracle agree "
+    "bit-for-bit.",
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    edges = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    nodes = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("node_id")
+    ).unionByName(
+        supplier.select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node_id"))
+    )
+    return pagerank(nodes, edges)

@@ -56,6 +56,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.cdc  # noqa: F401
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.features  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.graph  # noqa: F401
     import kinesis_analytics_demo_spark.operators.multimodal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.pipeline  # noqa: F401
     import kinesis_analytics_demo_spark.operators.pq  # noqa: F401
@@ -282,6 +283,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "cumulate_window_revenue",
     "streaming_cumulate_replay",
     "rollup_hierarchy_events",
+    "pagerank_trade_graph",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -1,0 +1,57 @@
+"""PageRank: closed-form sanity on tiny synthetic graphs plus the
+probability-mass invariant on the trade graph."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_analytics_demo_spark.caching import release_tracked
+from kinesis_analytics_demo_spark.operators.graph import pagerank
+from kinesis_analytics_demo_spark.plans.registry import get_query
+from tests.conftest import SF_MEDIUM
+
+
+def _run(spark, nodes, edges, **kw):
+    n = spark.createDataFrame([(x,) for x in nodes], "node_id string")
+    e = spark.createDataFrame(list(edges), "src string, dst string")
+    try:
+        return {r["node_id"]: r["rank"] for r in pagerank(n, e, **kw).collect()}
+    finally:
+        release_tracked()
+
+
+def test_two_node_cycle_is_uniform(spark):
+    """a<->b: symmetric, so rank stays exactly 1/2 each iteration."""
+    ranks = _run(spark, ["a", "b"], [("a", "b"), ("b", "a")])
+    assert ranks["a"] == pytest.approx(0.5, abs=1e-9)
+    assert ranks["b"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_sink_absorbs_rank(spark):
+    """a->b, b dangling: b must outrank a, mass stays ~1 (dangling
+    redistribution keeps the distribution stochastic)."""
+    ranks = _run(spark, ["a", "b"], [("a", "b")])
+    assert ranks["b"] > ranks["a"]
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_star_center_dominates(spark):
+    leaves = [f"l{i}" for i in range(6)]
+    edges = [(leaf, "hub") for leaf in leaves] + [("hub", leaf) for leaf in leaves]
+    ranks = _run(spark, ["hub", *leaves], edges)
+    assert all(ranks["hub"] > ranks[leaf] for leaf in leaves)
+    # leaves are symmetric: identical rank (bit-equal by determinism)
+    assert len({ranks[leaf] for leaf in leaves}) == 1
+
+
+def test_trade_graph_mass_and_oracle_shape(spark):
+    spec = get_query("pagerank_trade_graph")
+    df = spec.fn(spark, SF_MEDIUM)
+    try:
+        rows = df.collect()
+    finally:
+        release_tracked()
+    ranks = [r["rank"] for r in rows]
+    assert all(r > 0 for r in ranks)
+    # mass conservation within rounding drift (5 iters x 12 digits)
+    assert sum(ranks) == pytest.approx(1.0, abs=1e-6)
