@@ -70,6 +70,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.rollup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.similarity  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sketches  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.sq  # noqa: F401
     import kinesis_analytics_demo_spark.operators.temporal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text2  # noqa: F401
@@ -284,6 +285,8 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "streaming_cumulate_replay",
     "rollup_hierarchy_events",
     "pagerank_trade_graph",
+    "embedding_sq8_error",
+    "similarity_sq8_topk",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
