@@ -1,0 +1,127 @@
+"""N-gram language-model scoring: per-document cross-entropy under a
+corpus-trained bigram model with add-one smoothing — the "perplexity
+filter" from CCNet/CC-style pipelines (Wenzek et al. 2020 train a
+KenLM and drop high-perplexity documents; the bigram MLE here is the
+engine-native analog that needs no external model artifact).
+
+    P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+    H(doc)     = -(1/m) * sum over bigram occurrences of ln P
+
+where c(w1 w2) is the corpus bigram count, c(w1 ·) the count of
+bigrams starting with w1, V the corpus vocabulary size, and m the
+document's bigram count. Low H = text the corpus finds predictable;
+documents with H far above the corpus median are word salad, far
+below are boilerplate — both standard drop candidates.
+
+Scale: the bigram stream is ONE `lead()`-shingle scan of the corpus;
+model counts are two hash aggregates on that stream (map-side
+combined); scoring re-joins the stream to the counts on the bigram /
+context string keys (hash joins — at 100 TB you'd pre-hash the keys
+to 8 bytes exactly like the dedup family; kept as strings here for
+oracle readability). The per-doc fold is bounded by document length.
+
+Determinism: every ln() input is a ratio of exact integers (single
+IEEE double division), each term multiplies by an integer tf, and the
+per-doc sum folds LEFT-TO-RIGHT over the bigram-sorted term list on
+both engines — the proven entropy/KL pattern (operators/text2.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.functions import hashing as H
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+_SQL_TOKENS = "string_split_regex(text, '\\s+')"
+
+
+@register(
+    "doc_lm_cross_entropy",
+    oracle=f"""
+    WITH bg AS (
+        SELECT doc_id, unnest({H.sql_word_shingles('text', 2)}) AS b
+        FROM documents),
+    vocab AS (
+        SELECT count(DISTINCT w) AS v
+        FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents)),
+    c12 AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+    c1 AS (SELECT string_split(b, ' ')[1] AS w1, count(*) AS c1
+           FROM bg GROUP BY 1),
+    tf AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY doc_id, b),
+    terms AS (
+        SELECT tf.doc_id, tf.b, tf.tf,
+               ln((c12.c12 + 1) / (c1.c1 + (SELECT v FROM vocab))) AS lp
+        FROM tf
+        JOIN c12 ON tf.b = c12.b
+        JOIN c1 ON string_split(tf.b, ' ')[1] = c1.w1),
+    l AS (
+        SELECT doc_id,
+               list(struct_pack(tf := CAST(tf AS DOUBLE), lp := lp)
+                    ORDER BY b) AS ts,
+               sum(tf) AS m
+        FROM terms GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(m AS BIGINT) AS n_bigrams,
+           ROUND(-(list_sum([s.tf * s.lp for s in ts]) / m), 6)
+               AS cross_entropy
+    FROM l
+    """,
+    doc="Per-document cross-entropy under a corpus bigram LM with "
+    "add-one smoothing — the engine-native perplexity filter (CCNet-"
+    "style). One lead()-shingle scan feeds the model counts and the "
+    "scoring join; the only order-sensitive sum folds left-to-right "
+    "over the bigram-sorted terms, and every ln() input is an exact "
+    "integer ratio — bit-reproducible across engines.",
+)
+def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(H.word_shingles(F.col("text"), 2)).alias("b")
+    )
+    vocab = (
+        docs.select(F.explode(H.words(F.col("text"))).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    c12 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (
+        bg.select(F.split(F.col("b"), " ")[0].alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tf = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    terms = (
+        tf.join(c12, "b")
+        .withColumn("w1", F.split(F.col("b"), " ")[0])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "b",
+            "tf",
+            F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    l = terms.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("b"), F.col("tf"), F.col("lp")))
+            ),
+            lambda s: F.struct(
+                s["tf"].cast("double").alias("tf"), s["lp"].alias("lp")
+            ),
+        ).alias("ts"),
+        F.sum("tf").alias("m"),
+    )
+    fold = F.aggregate(
+        F.col("ts"),
+        F.lit(0.0),
+        lambda acc, s: acc + s["tf"] * s["lp"],
+    )
+    return l.select(
+        "doc_id",
+        F.col("m").cast("bigint").alias("n_bigrams"),
+        F.round(-(fold / F.col("m")), 6).alias("cross_entropy"),
+    )

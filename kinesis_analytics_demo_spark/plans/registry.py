@@ -57,6 +57,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.features  # noqa: F401
     import kinesis_analytics_demo_spark.operators.graph  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.lm  # noqa: F401
     import kinesis_analytics_demo_spark.operators.multimodal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.pipeline  # noqa: F401
     import kinesis_analytics_demo_spark.operators.pq  # noqa: F401
@@ -287,6 +288,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "pagerank_trade_graph",
     "embedding_sq8_error",
     "similarity_sq8_topk",
+    "doc_lm_cross_entropy",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
