@@ -57,6 +57,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.features  # noqa: F401
     import kinesis_analytics_demo_spark.operators.graph  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.layout  # noqa: F401
     import kinesis_analytics_demo_spark.operators.lm  # noqa: F401
     import kinesis_analytics_demo_spark.operators.multimodal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.pipeline  # noqa: F401
@@ -289,6 +290,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "embedding_sq8_error",
     "similarity_sq8_topk",
     "doc_lm_cross_entropy",
+    "zorder_key_events",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
