@@ -70,6 +70,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.relational5  # noqa: F401
     import kinesis_analytics_demo_spark.operators.retrieval  # noqa: F401
     import kinesis_analytics_demo_spark.operators.rollup  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.rp  # noqa: F401
     import kinesis_analytics_demo_spark.operators.similarity  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sketches  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sq  # noqa: F401
@@ -291,6 +292,8 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "similarity_sq8_topk",
     "doc_lm_cross_entropy",
     "zorder_key_events",
+    "embedding_random_projection",
+    "similarity_rp_topk_rerank",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
