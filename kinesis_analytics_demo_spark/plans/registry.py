@@ -74,6 +74,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.similarity  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sketches  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sq  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.stats  # noqa: F401
     import kinesis_analytics_demo_spark.operators.temporal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text2  # noqa: F401
@@ -294,6 +295,9 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "zorder_key_events",
     "embedding_random_projection",
     "similarity_rp_topk_rerank",
+    "corr_matrix_lineitem",
+    "ols_discount_vs_quantity",
+    "chisq_event_type_weekday",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
