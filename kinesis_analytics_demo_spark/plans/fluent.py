@@ -81,6 +81,65 @@ class Tumble:
         return _WindowSpec(over)
 
 
+class _CumulateSpec(_WindowSpec):
+    """CUMULATE window spec (Flink windowing-TVF family): expanding
+    prefix windows over a base grid. The fluent chain assembles the
+    plan by exploding each row into its <= max_size/step prefix
+    windows before the grouped aggregate — the fully-general form
+    (arbitrary DSL aggregates); the registry's
+    ``cumulate_window_revenue`` uses the two-level decomposition in
+    ``streaming/windows.py`` when the aggregate is decomposable."""
+
+    def step(self, step: str) -> "_CumulateSpec":
+        self._every = canonical_duration(step)
+        return self
+
+    def expand(self, df: DataFrame) -> DataFrame:
+        """Return ``df`` with an exploded ``__w`` struct(start, end)
+        column — one row per prefix window containing the event."""
+        from kinesis_analytics_demo_spark.config import duration_millis
+
+        if self._on is None:
+            raise ValueError("window spec needs .on(<event-time column>)")
+        if self._every is None:
+            raise ValueError("Cumulate needs .step(<duration>)")
+        size_ms = duration_millis(self._over)
+        step_ms = duration_millis(self._every)
+        if size_ms % step_ms or size_ms % 1000 or step_ms % 1000:
+            raise ValueError(
+                "Cumulate max_size must be a whole-second multiple of step"
+            )
+        size_s, step_s = size_ms // 1000, step_ms // 1000
+        n = size_ms // step_ms
+        sec = F.col(self._on).cast("timestamp").cast("long")
+        base = F.floor(sec / size_s) * size_s
+        idx = F.floor((sec - base) / step_s).cast("long")
+        ends = F.transform(
+            F.sequence(idx + 1, F.lit(n).cast("long")),
+            lambda k: F.timestamp_seconds(base + k * step_s),
+        )
+        return df.withColumn(
+            "__we", F.explode(ends)
+        ).withColumn(
+            "__w",
+            F.struct(
+                F.timestamp_seconds(base).alias("start"),
+                F.col("__we").alias("end"),
+            ),
+        )
+
+
+class Cumulate:
+    """Cumulate window factory: Cumulate.over('1 day')
+    .step('6 hours').on('ts').alias('w') — the Table-API analog of
+    Flink SQL's CUMULATE(TABLE t, DESCRIPTOR(ts), INTERVAL '6' HOURS,
+    INTERVAL '1' DAY)."""
+
+    @staticmethod
+    def over(max_size: str) -> _CumulateSpec:
+        return _CumulateSpec(max_size)
+
+
 _AGGS = {
     "min": F.min,
     "max": F.max,
@@ -138,10 +197,15 @@ class FluentTable:
     def _grouped_select(self, parts: list[str]) -> DataFrame:
         win = self._window
         walias = win._alias if win else None
+        df = self._df
         group_cols: list[Column] = []
         for g in self._group_cols:
             if walias and g == walias:
-                group_cols.append(win.to_column().alias("__w"))
+                if isinstance(win, _CumulateSpec):
+                    df = win.expand(df)
+                    group_cols.append(F.col("__w"))
+                else:
+                    group_cols.append(win.to_column().alias("__w"))
             else:
                 group_cols.append(F.col(g))
 
@@ -178,7 +242,7 @@ class FluentTable:
 
         if not aggs:
             raise ValueError("grouped select needs at least one aggregate")
-        grouped = self._df.groupBy(*group_cols).agg(*aggs)
+        grouped = df.groupBy(*group_cols).agg(*aggs)
         out_cols: list[Column] = []
         for base, method, alias in parsed:
             if method is None:

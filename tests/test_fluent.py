@@ -126,3 +126,66 @@ def test_bad_expressions_raise(env, exprs, err):
     )
     with pytest.raises(ValueError, match=err):
         chain.select(*exprs)
+
+
+def test_fluent_cumulate_equals_operator(spark):
+    """Cumulate.over().step() in the fluent chain must build the same
+    result as cumulate_window_agg (sum aggregate, daily/6h)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_analytics_demo_spark.plans.fluent import Cumulate, TableEnv
+    from kinesis_analytics_demo_spark.session import read_table
+    from kinesis_analytics_demo_spark.streaming.windows import cumulate_window_agg
+    from tests.conftest import SF_MEDIUM
+
+    events = read_table(spark, SF_MEDIUM, "events")
+    env = TableEnv(spark)
+    fluent = (
+        env.from_df(events)
+        .window(Cumulate.over("1 day").step("6 hours").on("ts").alias("w"))
+        .group_by("event_type, w")
+        .select("event_type, value.sum as p, w.start as ws, w.end as we")
+    )
+    op = cumulate_window_agg(
+        events,
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        max_size="1 day",
+        step="6 hours",
+        agg="sum",
+    )
+    f_rows = {
+        (r["event_type"], r["ws"], r["we"]): r["p"] for r in fluent.collect()
+    }
+    o_rows = {
+        (r["event_type"], r["window_start"].replace(tzinfo=None) if r["window_start"].tzinfo else r["window_start"],
+         r["window_end"].replace(tzinfo=None) if r["window_end"].tzinfo else r["window_end"]): r["p"]
+        for r in op.collect()
+    }
+    f_rows = {
+        (k[0], k[1].replace(tzinfo=None) if k[1].tzinfo else k[1],
+         k[2].replace(tzinfo=None) if k[2].tzinfo else k[2]): v
+        for k, v in f_rows.items()
+    }
+    assert f_rows.keys() == o_rows.keys()
+    for k in f_rows:  # float sum vs decomposed sum: tolerance
+        assert abs(f_rows[k] - o_rows[k]) < 1e-6 * max(1.0, abs(o_rows[k]))
+
+
+def test_fluent_cumulate_requires_step(spark):
+    import pytest as _pytest
+
+    from kinesis_analytics_demo_spark.plans.fluent import Cumulate, TableEnv
+    from kinesis_analytics_demo_spark.session import read_table
+    from tests.conftest import SF_MEDIUM
+
+    events = read_table(spark, SF_MEDIUM, "events")
+    env = TableEnv(spark)
+    with _pytest.raises(ValueError, match="step"):
+        (
+            env.from_df(events)
+            .window(Cumulate.over("1 day").on("ts").alias("w"))
+            .group_by("event_type, w")
+            .select("event_type, value.sum as p, w.end as t")
+        )
