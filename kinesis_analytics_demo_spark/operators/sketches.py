@@ -198,3 +198,104 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common_in_sketch"
         ),
     )
+
+
+# ------------------------------------------------- histogram quantiles
+N_BINS = 256
+QUANTILES = [0.5, 0.9, 0.99]
+
+
+@register(
+    "quantile_histogram_events",
+    oracle=f"""
+    WITH stats AS (
+        SELECT min(value) AS mn, max(value) AS mx,
+               (max(value) - min(value)) / {N_BINS} AS w
+        FROM events),
+    binned AS (
+        SELECT event_type,
+               CAST(least(floor((value - stats.mn) / stats.w),
+                          {N_BINS - 1}) AS BIGINT) AS bin
+        FROM events, stats),
+    hist AS (
+        SELECT event_type, bin, count(*) AS cnt
+        FROM binned GROUP BY 1, 2),
+    cum AS (
+        SELECT event_type, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM hist),
+    qs AS (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in QUANTILES)}]) AS q),
+    hit AS (
+        SELECT cum.event_type, qs.q, cum.bin, cum.cnt,
+               cum.c - cum.cnt AS cb, cum.n
+        FROM cum, qs
+        WHERE (cum.c - cum.cnt) < qs.q * cum.n
+          AND qs.q * cum.n <= cum.c)
+    SELECT hit.event_type, hit.q,
+           CAST(hit.n AS BIGINT) AS n,
+           ROUND(stats.mn
+                 + (hit.bin + (hit.q * hit.n - hit.cb) / hit.cnt)
+                   * stats.w, 6) AS estimate
+    FROM hit, stats
+    """,
+    doc=f"Streaming-friendly quantile estimation: a fixed {N_BINS}-"
+    "uniform-bin histogram between broadcast global min/max, linear "
+    "interpolation inside the crossing bin for p50/p90/p99 per "
+    "event_type. THE scale alternative to exact percentiles: exact "
+    "needs a per-key sort of all values; this shuffles only keys x "
+    f"{N_BINS} integer rows and is mergeable across shards/batches. "
+    "Error bound <= one bin width (pinned vs the exact percentile in "
+    "tests/test_sketches_quantile.py). All arithmetic is integer "
+    "counts plus a fixed chain of double ops — engine-exact.",
+)
+def quantile_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        ((F.max("value") - F.min("value")) / N_BINS).alias("w"),
+    )
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        "mn",
+        "w",
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / F.col("w")),
+            F.lit(N_BINS - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "mn", "w", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    wn = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "mn",
+        "w",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    qs = F.array(*[F.lit(q) for q in QUANTILES])
+    hit = (
+        cum.select("*", F.explode(qs).alias("q"))
+        .filter(
+            ((F.col("c") - F.col("cnt")) < F.col("q") * F.col("n"))
+            & (F.col("q") * F.col("n") <= F.col("c"))
+        )
+    )
+    est = F.col("mn") + (
+        F.col("bin")
+        + (F.col("q") * F.col("n") - (F.col("c") - F.col("cnt"))) / F.col("cnt")
+    ) * F.col("w")
+    return hit.select(
+        "event_type",
+        "q",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(est, 6).alias("estimate"),
+    )

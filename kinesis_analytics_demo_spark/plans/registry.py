@@ -298,6 +298,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "corr_matrix_lineitem",
     "ols_discount_vs_quantity",
     "chisq_event_type_weekday",
+    "quantile_histogram_events",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
