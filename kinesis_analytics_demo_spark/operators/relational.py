@@ -284,6 +284,46 @@ def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_rank_battery",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        o_orderkey,
+        dense_rank() OVER w AS drank,
+        ntile(4) OVER w AS quartile,
+        ROUND(percent_rank() OVER w, 9) AS pct_rank,
+        ROUND(cume_dist() OVER w, 9) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(o_totalprice AS DECIMAL(18,6)) DESC,
+                          o_orderkey)
+    """,
+    doc="The remaining ranking window functions: dense_rank, "
+    "ntile(4), percent_rank, cume_dist per order priority — "
+    "completes the analytic-function surface beyond "
+    "window_functions' row_number/rank/lag/lead. percent_rank and "
+    "cume_dist are exact integer ratios (single double division), "
+    "so both engines agree bitwise; deterministic total order via "
+    "the (price DESC, orderkey) tiebreak.",
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        _dec("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+    )
+
+
 # --------------------------------------------------------------------
 # Semi / anti joins (EXISTS / NOT EXISTS).
 # --------------------------------------------------------------------

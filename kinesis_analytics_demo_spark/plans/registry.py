@@ -299,6 +299,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "ols_discount_vs_quantity",
     "chisq_event_type_weekday",
     "quantile_histogram_events",
+    "window_rank_battery",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
