@@ -46,7 +46,6 @@ HEADLINE = [
     # "similarity_ann_lsh" (the single-probe variant, now registered
     # as similarity_ann_lsh_baseline and dropped from the headline).
     "similarity_ann_lsh",
-    "text_token_stats",
     "text_quality_score",
     "multimodal_binary_features",
     "multimodal_decode_pipeline",
@@ -69,7 +68,6 @@ HEADLINE = [
     "dedup_keep_best_quality",
     "corpus_sample_exact_k",
     # TPC-H adaptations Q4/Q6/Q10
-    "order_priority_check",
     "forecast_revenue_change",
     "returned_item_customers",
     # round-3 additions: PQ compression ANN, span/chunk-level dedup,
@@ -77,7 +75,6 @@ HEADLINE = [
     "similarity_pq_adc_rerank",
     "dedup_repeated_ngram_spans",
     "text_c4_filters",
-    "dedup_chunk_exact",
     "product_profit_by_nation_year",
     "customer_order_count_distribution",
     # bounded-memory frequency sketch + lifecycle rollup
@@ -96,6 +93,24 @@ HEADLINE = [
     "similarity_ivfpq_adc_rerank",
     # embedding-space quality audit (decimal-exact centroids)
     "embedding_outliers_centroid",
+    # round-3 additions, second pass: the completed window-TVF family,
+    # continuous-aggregate reuse, the vector-compression ladder,
+    # LM-based quality scoring, bounded-shuffle quantiles, and the
+    # moment-method stats battery. pagerank_trade_graph is registered
+    # and correctness-graded but NOT benched: a 5-iteration algorithm
+    # pays ~0.3s of local-mode scheduling latency per broadcast/agg
+    # sub-job regardless of data size, which swamps the toy-scale
+    # signal (its scale behavior is judged by plan shape instead).
+    # Three near-duplicate shapes (order_priority_check,
+    # text_token_stats, dedup_chunk_exact) left the headline to keep
+    # the wall under the 45s hygiene bar as the set grew to 54.
+    "cumulate_window_revenue",
+    "rollup_hierarchy_events",
+    "similarity_sq8_topk",
+    "similarity_rp_topk_rerank",
+    "doc_lm_cross_entropy",
+    "quantile_histogram_events",
+    "corr_matrix_lineitem",
 ]
 
 
