@@ -748,3 +748,56 @@ def similarity_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("crank") == 1)
         .select("vec_id", F.col("cid").alias("assigned_list"), "sim")
     )
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    sims AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {V.sql_cosine('e.embedding', 'q.qv', DIM)} AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id != q.query_id AND e.label != q.ql),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Hard-negative mining for contrastive training: per query "
+    "vector, the top-5 most similar vectors with a DIFFERENT label — "
+    "the negatives that actually teach the model something (random "
+    "negatives are trivially easy). Same broadcast brute-force shape "
+    "as similarity_cosine_topk with the label anti-filter pushed "
+    "below the top-k; at 100 TB generate candidates with the "
+    "IVF/LSH paths first and anti-filter the shortlist.",
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("ql"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int"))
+    )

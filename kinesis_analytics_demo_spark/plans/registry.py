@@ -300,6 +300,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "chisq_event_type_weekday",
     "quantile_histogram_events",
     "window_rank_battery",
+    "similarity_hard_negatives",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
