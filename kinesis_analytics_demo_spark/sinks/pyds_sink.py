@@ -1,0 +1,140 @@
+"""Custom Python DataSource WRITER: a transactional JSON-lines sink
+("jsonl_audit") for batch and streaming — the writer half of the
+connector API, completing what ``sources/pyds.py`` starts on the read
+side. It models the commit discipline a Kinesis/queue producer sink
+needs (the reference's S3 sink batches puts but has no transactional
+story; reference flink/tumbling_window.py:127-128):
+
+- each task writes to a TEMP file and reports a commit message
+  (path + row count) — no partial output is ever visible;
+- ``commit()`` atomically renames every temp into place and writes a
+  ``_manifest-<batch>.json`` with per-file row counts (the audit
+  trail downstream consumers reconcile against);
+- ``abort()`` deletes temps, so failed/speculative attempts leave
+  nothing;
+- the STREAMING writer keys manifests by micro-batch id: a replayed
+  batch (checkpoint recovery) overwrites the same manifest and file
+  names idempotently — at-least-once execution, exactly-once visible
+  output.
+
+Scale: tasks write independently (no driver data); commit touches
+only O(tasks) renames. Executor pickling follows the repo's
+pickle-by-value convention so workers need no package install.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, final_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.final_path = final_path
+        self.n_rows = n_rows
+
+
+def _write_partition(path: str, prefix: str, iterator) -> _FileCommit:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{prefix}-{uuid.uuid4().hex}.tmp")
+    n = 0
+    with open(tmp, "w") as fh:
+        for row in iterator:
+            fh.write(json.dumps(row.asDict(), default=str) + "\n")
+            n += 1
+    final = os.path.join(path, f"{prefix}-{uuid.uuid4().hex[:12]}.jsonl")
+    return _FileCommit(tmp, final, n)
+
+
+def _commit_files(path: str, manifest_name: str, messages) -> None:
+    entries = []
+    for m in messages:
+        if m is None or m.n_rows == 0:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+            continue
+        os.rename(m.tmp_path, m.final_path)
+        entries.append(
+            {"file": os.path.basename(m.final_path), "rows": m.n_rows}
+        )
+    manifest = os.path.join(path, manifest_name)
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"files": entries, "total_rows": sum(e["rows"] for e in entries)},
+            fh,
+        )
+    os.rename(tmp, manifest)
+
+
+def _abort_files(messages) -> None:
+    for m in messages:
+        if m is not None and os.path.exists(m.tmp_path):
+            os.remove(m.tmp_path)
+
+
+class _JsonlBatchWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_audit requires a 'path' option")
+
+    def write(self, iterator):
+        return _write_partition(self.path, "part", iterator)
+
+    def commit(self, messages):
+        _commit_files(self.path, "_manifest.json", messages)
+
+    def abort(self, messages):
+        _abort_files(messages)
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_audit requires a 'path' option")
+
+    def write(self, iterator):
+        return _write_partition(self.path, "stream", iterator)
+
+    def commit(self, messages, batchId):
+        _commit_files(self.path, f"_manifest-{batchId:08d}.json", messages)
+
+    def abort(self, messages, batchId):
+        _abort_files(messages)
+
+
+class JsonlAuditDataSource(DataSource):
+    """``df.write.format("jsonl_audit").option("path", ...)`` /
+    ``df.writeStream.format("jsonl_audit")``."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_audit"
+
+    def writer(self, schema, overwrite):
+        return _JsonlBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return _JsonlStreamWriter(self.options)
+
+
+def register_jsonl_audit(spark) -> None:
+    """Register the sink; ships this module by value (no executor
+    package install)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(JsonlAuditDataSource)

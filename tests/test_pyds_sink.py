@@ -1,0 +1,81 @@
+"""jsonl_audit writer: atomic commit with manifest reconciliation,
+no partial files, streaming per-batch manifests."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from kinesis_analytics_demo_spark.sinks.pyds_sink import register_jsonl_audit
+
+
+def _manifest_total(path, name="_manifest.json"):
+    with open(os.path.join(path, name)) as fh:
+        m = json.load(fh)
+    return m["total_rows"], m["files"]
+
+
+def test_batch_write_manifest_reconciles(spark, tmp_path):
+    register_jsonl_audit(spark)
+    out = str(tmp_path / "out")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS doubled")
+    df.repartition(4).write.format("jsonl_audit").option("path", out).mode(
+        "append"
+    ).save()
+    total, files = _manifest_total(out)
+    assert total == 1000
+    # every manifest file exists, no temp leftovers, counts add up
+    n = 0
+    for e in files:
+        p = os.path.join(out, e["file"])
+        assert os.path.exists(p)
+        with open(p) as fh:
+            rows = [json.loads(line) for line in fh]
+        assert len(rows) == e["rows"]
+        n += len(rows)
+    assert n == 1000
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_streaming_write_per_batch_manifests(spark, tmp_path):
+    from kinesis_analytics_demo_spark.sources.pyds import register_stock_ticks
+
+    register_jsonl_audit(spark)
+    register_stock_ticks(spark)
+    out = str(tmp_path / "stream_out")
+    stream = (
+        spark.readStream.format("stock_ticks")
+        .option("rows_per_batch", 60)
+        .option("n_partitions", 2)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("jsonl_audit")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            manifests = [
+                f for f in os.listdir(out) if f.startswith("_manifest-")
+            ] if os.path.exists(out) else []
+            if len(manifests) >= 2:
+                break
+            time.sleep(0.5)
+        else:
+            pytest.fail("no streaming manifests appeared")
+    finally:
+        q.stop()
+    manifests = sorted(f for f in os.listdir(out) if f.startswith("_manifest-"))
+    for mf in manifests:
+        total, files = _manifest_total(out, mf)
+        assert total == 60, (mf, total)
+        for e in files:
+            assert os.path.exists(os.path.join(out, e["file"]))
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
