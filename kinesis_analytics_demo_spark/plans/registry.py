@@ -55,6 +55,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.analytics  # noqa: F401
     import kinesis_analytics_demo_spark.operators.cdc  # noqa: F401
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.expectations  # noqa: F401
     import kinesis_analytics_demo_spark.operators.features  # noqa: F401
     import kinesis_analytics_demo_spark.operators.graph  # noqa: F401
     import kinesis_analytics_demo_spark.operators.layout  # noqa: F401
@@ -301,6 +302,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "quantile_histogram_events",
     "window_rank_battery",
     "similarity_hard_negatives",
+    "data_quality_expectations",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
