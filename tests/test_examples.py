@@ -38,3 +38,32 @@ def test_corpus_prep_example_cli(tmp_path):
     # split-partitioned parquet layout on disk
     subdirs = {d for d in os.listdir(out_dir) if d.startswith("split=")}
     assert "split=train" in subdirs
+
+
+def test_connector_pipeline_example_cli(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "candles")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "connector_pipeline.py"),
+            "--out", out,
+            "--rows-per-batch", "80",
+            "--batches", "2",
+            "--timeout-s", "90",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "batches=" in proc.stdout
+    manifests = [f for f in os.listdir(out) if f.startswith("_manifest-")]
+    assert manifests, proc.stdout
+    with open(os.path.join(out, sorted(manifests)[-1])) as fh:
+        m = json.load(fh)
+    assert m["total_rows"] > 0
