@@ -167,6 +167,64 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sessionize_dynamic_gap",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               ts + CASE WHEN event_type = 'error'
+                         THEN INTERVAL 2 MINUTE
+                         ELSE INTERVAL 10 MINUTE END AS e
+        FROM events),
+    o AS (
+        SELECT user_id, ts, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_end
+        FROM g),
+    m AS (
+        SELECT user_id, ts, e,
+               CASE WHEN prev_end IS NULL OR ts > prev_end
+                    THEN 1 ELSE 0 END AS is_new
+        FROM o),
+    s AS (
+        SELECT user_id, ts, e,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+        FROM m)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(e) AS session_end,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+    doc="DYNAMIC-gap sessionization: the session timeout depends on "
+    "the event (errors close after 2 minutes, everything else after "
+    "10) — Spark's session_window with a gap EXPRESSION. The oracle "
+    "is the generalized gaps-and-islands: a running MAX of per-event "
+    "interval ends (a long-gap event can bridge past a short-gap "
+    "one, so lag(ts) alone is wrong). Same single-shuffle shape as "
+    "the fixed-gap sessionize_events.",
+)
+def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("2 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # Ordered string aggregation.
 # --------------------------------------------------------------------

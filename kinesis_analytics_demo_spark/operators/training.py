@@ -392,3 +392,53 @@ def decontamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+# ------------------------------------------------- temporal split
+EMBARGO_S = 86400  #: 1 day between train end and test start
+
+
+@register(
+    "temporal_split_embargo",
+    oracle=f"""
+    WITH c AS (SELECT quantile_cont(epoch(ts), 0.8) AS cut FROM events),
+    a AS (
+        SELECT CASE WHEN epoch(ts) <= c.cut THEN 'train'
+                    WHEN epoch(ts) <= c.cut + {EMBARGO_S} THEN 'embargo'
+                    ELSE 'test' END AS split,
+               ts
+        FROM events, c)
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS min_ts,
+           max(ts) AS max_ts
+    FROM a GROUP BY split
+    """,
+    doc="Time-based train/test split with an EMBARGO window: train = "
+    "first 80% of event time (exact p80 cutoff), then one full day "
+    "is DROPPED before test begins — the leakage guard for "
+    "time-series features with lookback windows (a feature computed "
+    "at test start must not see label-period rows; de Prado's "
+    "purged/embargoed split). Contrast with corpus_train_split "
+    "(hash-based, exchangeable rows). One tiny percentile aggregate "
+    "broadcast into a single scan.",
+)
+def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    cut = ev.agg(F.percentile(sec, 0.8).alias("cut"))
+    split = (
+        F.when(sec <= F.col("cut"), "train")
+        .when(sec <= F.col("cut") + EMBARGO_S, "embargo")
+        .otherwise("test")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cut))
+        .select(split.alias("split"), "ts")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )

@@ -303,6 +303,8 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "window_rank_battery",
     "similarity_hard_negatives",
     "data_quality_expectations",
+    "sessionize_dynamic_gap",
+    "temporal_split_embargo",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
