@@ -524,6 +524,50 @@ def json_extraction_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "variant_props_extraction",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT)
+                              % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_even_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing')
+                              IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Spark 4 VARIANT ingestion: props parsed ONCE to the binary "
+    "VARIANT type, then typed variant_get extractions feed the "
+    "aggregate — the modern semi-structured path (vs per-path "
+    "get_json_object re-parsing in json_extraction_events). Absent "
+    "paths return NULL (counted per group). At scale the parse cost "
+    "is paid once per row regardless of how many paths are read.",
+)
+def variant_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    missing = F.expr("variant_get(v, '$.missing', 'string')")
+    return (
+        v.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_even_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # UNPIVOT (melt): wide numeric columns -> (metric, value) rows.
 # --------------------------------------------------------------------

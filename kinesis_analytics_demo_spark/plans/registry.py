@@ -305,6 +305,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "data_quality_expectations",
     "sessionize_dynamic_gap",
     "temporal_split_embargo",
+    "variant_props_extraction",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -50,6 +50,10 @@ class BatchMetricsListener(StreamingQueryListener):
             "state_rows": sum(
                 s.numRowsTotal for s in (p.stateOperators or [])
             ),
+            # late-data health: rows the watermark dropped this batch
+            "late_rows_dropped": sum(
+                s.numRowsDroppedByWatermark for s in (p.stateOperators or [])
+            ),
         }
         with self._lock:
             self._by_query[p.name or p.id].append(snap)
@@ -80,6 +84,9 @@ class BatchMetricsListener(StreamingQueryListener):
             "mean_rows_per_second": (sum(rates) / len(rates)) if rates else 0.0,
             "max_trigger_ms": max(lat) if lat else None,
             "latest_state_rows": done[-1]["state_rows"] if done else 0,
+            "total_late_rows_dropped": sum(
+                r.get("late_rows_dropped", 0) for r in done
+            ),
         }
 
 
