@@ -195,3 +195,88 @@ def running_candlestick_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------- running top-k
+_TOPK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("item_id", T.LongType()),
+    ]
+)
+
+_TOPK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("values", T.ArrayType(T.DoubleType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _make_topk_fn(k: int, value_col: str, id_col: str):
+    def topk_fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (key_val,) = key
+        pairs: list[tuple[float, int]] = []
+        if state.exists:
+            vals, ids = state.get
+            pairs = list(zip([float(v) for v in vals], [int(i) for i in ids]))
+        for pdf in pdf_iter:
+            pairs.extend(
+                zip(
+                    (float(v) for v in pdf[value_col]),
+                    (int(i) for i in pdf[id_col]),
+                )
+            )
+        # deterministic: value desc, id asc; ids are unique so the
+        # kept set is a pure function of the data seen so far
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        pairs = pairs[:k]
+        state.update(([p[0] for p in pairs], [p[1] for p in pairs]))
+        yield pd.DataFrame(
+            {
+                "key": [key_val] * len(pairs),
+                "rank": list(range(1, len(pairs) + 1)),
+                "value": [p[0] for p in pairs],
+                "item_id": [p[1] for p in pairs],
+            }
+        )
+
+    return topk_fn
+
+
+def running_topk_stateful(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-key running top-k (value desc, id tiebreak) across
+    micro-batches — streaming ranking, which Structured Streaming's
+    declarative surface cannot express (no window functions on
+    unbounded streams): a custom stateful operator in the W4 family
+    (applyInPandasWithState) alongside the EMA and running-OHLC.
+
+    State per key is EXACTLY k (value, id) pairs — O(keys x k)
+    total, independent of stream length: each batch merges its rows
+    into the kept k and re-emits the current ranking. The emitted
+    rows per batch ARE the updated leaderboard (consumers upsert by
+    (key, rank)).
+
+    Determinism: unique ids make the kept set and order a pure
+    function of the rows seen, regardless of batch boundaries —
+    pinned against the batch window-function ranking in
+    tests/test_streaming.py.
+    """
+    grouped = df.groupBy(key_col)
+    return grouped.applyInPandasWithState(
+        _make_topk_fn(k, value_col, id_col),
+        outputStructType=_TOPK_OUTPUT_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

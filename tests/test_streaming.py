@@ -812,3 +812,58 @@ def test_streaming_corpus_prep(spark, tmp_path):
     _run_available_now(out, "corpus_prep_stream", tmp_path)
     kept = sorted(r.doc_id for r in spark.table("corpus_prep_stream").collect())
     assert kept == [0, 3]  # 1 fails quality, 2 is a near-exact dup of 0
+
+
+def test_stateful_topk_streaming_equals_batch_ranking(spark, tmp_path):
+    """Running top-k over a replayed events stream: the final emitted
+    leaderboard per key must equal the batch window-function top-k of
+    all data, regardless of micro-batch boundaries."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kinesis_analytics_demo_spark.session import read_table
+    from kinesis_analytics_demo_spark.streaming.stateful import (
+        running_topk_stateful,
+    )
+    from tests.conftest import SF_SMALL
+
+    stage = tmp_path / "ev_stream"
+    stage.mkdir()
+    os.symlink(
+        os.path.join(SF_SMALL, "events.parquet"),
+        str(stage / "events.parquet"),
+    )
+    stream = create_stream_source(
+        spark, "file-parquet", path=str(stage), max_files_per_trigger=1
+    )
+    out = running_topk_stateful(
+        stream, key_col="event_type", value_col="value",
+        id_col="event_id", k=5,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topk_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table("topk_probe").collect()
+    # last emission per (key, rank) is the final leaderboard
+    final = {}
+    for r in emitted:
+        final[(r["key"], r["rank"])] = (r["value"], r["item_id"])
+    ev = read_table(spark, SF_SMALL, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    exp = {
+        (r["event_type"], r["rn"]): (r["value"], r["event_id"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    assert final == exp
