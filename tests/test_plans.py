@@ -107,6 +107,18 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "bm25_search",  # 1-row (n_docs, avgdl) stats broadcast
         "inverted_index_postings",  # 1-row corpus-size broadcast
         "source_token_kl",  # 1-row corpus-token-total broadcast
+        # round-3 second-session additions, same two intended shapes:
+        # (a) 1-row stats/threshold broadcast against a scan,
+        # (b) O(10)-row query-set broadcast against the corpus
+        "embedding_sq8_error",  # 1-row per-dim min/max stats broadcast
+        "similarity_sq8_topk",  # 1-row stats + 10 broadcast queries
+        "similarity_rp_topk_rerank",  # 10 broadcast projected queries
+        "similarity_hard_negatives",  # 10 broadcast queries x corpus
+        "doc_lm_cross_entropy",  # 1-row vocab-size broadcast
+        "quantile_histogram_events",  # 1-row min/max/width broadcast
+        "chisq_event_type_weekday",  # 1-row grand-total broadcast
+        "temporal_split_embargo",  # 1-row percentile-cutoff broadcast
+        "pagerank_trade_graph",  # 1-row dangling-mass broadcast per iter
     }
     offenders = {}
     for name, spec in all_queries().items():
