@@ -15,10 +15,10 @@ below are boilerplate — both standard drop candidates.
 
 Scale: the bigram stream is ONE `lead()`-shingle scan of the corpus;
 model counts are two hash aggregates on that stream (map-side
-combined); scoring re-joins the stream to the counts on the bigram /
-context string keys (hash joins — at 100 TB you'd pre-hash the keys
-to 8 bytes exactly like the dedup family; kept as strings here for
-oracle readability). The per-doc fold is bounded by document length.
+combined); scoring re-joins the stream to the counts on md5-hashed 8-byte
+bigram/context keys (the dedup-family shuffle-width discipline —
+strings never leave the scan stage). The per-doc fold is bounded by
+document length and ordered by the hash key on both engines.
 
 Determinism: every ln() input is a ratio of exact integers (single
 IEEE double division), each term multiplies by an integer tf, and the
@@ -44,23 +44,28 @@ _SQL_TOKENS = "string_split_regex(text, '\\s+')"
     WITH bg AS (
         SELECT doc_id, unnest({H.sql_word_shingles('text', 2)}) AS b
         FROM documents),
+    hh AS (
+        SELECT doc_id,
+               {H.sql_md5_long('b')} AS bh,
+               {H.sql_md5_long("string_split(b, ' ')[1]")} AS w1h
+        FROM bg),
     vocab AS (
         SELECT count(DISTINCT w) AS v
         FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents)),
-    c12 AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
-    c1 AS (SELECT string_split(b, ' ')[1] AS w1, count(*) AS c1
-           FROM bg GROUP BY 1),
-    tf AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY doc_id, b),
+    c12 AS (SELECT bh, count(*) AS c12 FROM hh GROUP BY bh),
+    c1 AS (SELECT w1h, count(*) AS c1 FROM hh GROUP BY w1h),
+    tf AS (SELECT doc_id, bh, w1h, count(*) AS tf
+           FROM hh GROUP BY doc_id, bh, w1h),
     terms AS (
-        SELECT tf.doc_id, tf.b, tf.tf,
+        SELECT tf.doc_id, tf.bh, tf.tf,
                ln((c12.c12 + 1) / (c1.c1 + (SELECT v FROM vocab))) AS lp
         FROM tf
-        JOIN c12 ON tf.b = c12.b
-        JOIN c1 ON string_split(tf.b, ' ')[1] = c1.w1),
+        JOIN c12 ON tf.bh = c12.bh
+        JOIN c1 ON tf.w1h = c1.w1h),
     l AS (
         SELECT doc_id,
                list(struct_pack(tf := CAST(tf AS DOUBLE), lp := lp)
-                    ORDER BY b) AS ts,
+                    ORDER BY bh) AS ts,
                sum(tf) AS m
         FROM terms GROUP BY doc_id)
     SELECT doc_id,
@@ -78,28 +83,32 @@ _SQL_TOKENS = "string_split_regex(text, '\\s+')"
 )
 def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    # hash the bigram and its first-word context to 8-byte keys at the
+    # scan: model counts, the scoring joins, and the per-doc fold key
+    # all carry longs — bigram STRINGS never shuffle (the dedup-family
+    # discipline; md5 is engine-identical so any negligible collision
+    # hits both sides equally)
     bg = docs.select(
         "doc_id", F.explode(H.word_shingles(F.col("text"), 2)).alias("b")
+    ).select(
+        "doc_id",
+        H.md5_long(F.col("b")).alias("bh"),
+        H.md5_long(F.split(F.col("b"), " ")[0]).alias("w1h"),
     )
     vocab = (
         docs.select(F.explode(H.words(F.col("text"))).alias("w"))
         .agg(F.count_distinct("w").alias("v"))
     )
-    c12 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = (
-        bg.select(F.split(F.col("b"), " ")[0].alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
-    tf = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    c12 = bg.groupBy("bh").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1h").agg(F.count(F.lit(1)).alias("c1"))
+    tf = bg.groupBy("doc_id", "bh", "w1h").agg(F.count(F.lit(1)).alias("tf"))
     terms = (
-        tf.join(c12, "b")
-        .withColumn("w1", F.split(F.col("b"), " ")[0])
-        .join(c1, "w1")
+        tf.join(c12, "bh")
+        .join(c1, "w1h")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
-            "b",
+            "bh",
             "tf",
             F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))).alias("lp"),
         )
@@ -107,7 +116,7 @@ def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = terms.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(
-                F.collect_list(F.struct(F.col("b"), F.col("tf"), F.col("lp")))
+                F.collect_list(F.struct(F.col("bh"), F.col("tf"), F.col("lp")))
             ),
             lambda s: F.struct(
                 s["tf"].cast("double").alias("tf"), s["lp"].alias("lp")
