@@ -114,6 +114,11 @@ class _StockStreamReader(DataSourceStreamReader):
         return {"index": self._current}
 
     def partitions(self, start, end):
+        # Restart-safety: after checkpoint recovery Spark hands this
+        # FRESH reader instance the restored offsets; sync the poll
+        # counter so the next latestOffset() continues from where the
+        # recovered stream actually is instead of replaying from 0.
+        self._current = max(self._current, end["index"])
         return _split(start["index"], end["index"], self.n_partitions)
 
     def read(self, partition: _RangePartition):
@@ -121,7 +126,7 @@ class _StockStreamReader(DataSourceStreamReader):
             yield tick_at(i)
 
     def commit(self, end):
-        pass
+        self._current = max(self._current, end["index"])
 
     def stop(self):
         pass
