@@ -741,3 +741,106 @@ def streaming_cumulate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _replay_events_stream(spark, sf_dir, "cumulate", build)
+
+
+@register(
+    "streaming_full_outer_join_replay",
+    oracle="""
+    WITH m AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'error'),
+            (SELECT max(ts) FROM events WHERE event_type = 'click')
+        ) AS wm_base
+        FROM (VALUES (1))
+    ),
+    matched AS (
+        SELECT e.event_id AS incident_id,
+               e.user_id,
+               c.event_id AS click_id,
+               c.value AS click_value
+        FROM events e JOIN events c
+          ON c.user_id = e.user_id
+         AND c.event_type = 'click'
+         AND c.ts <= e.ts
+         AND c.ts >= e.ts - INTERVAL 300 SECOND
+        WHERE e.event_type = 'error'
+    ),
+    unmatched_err AS (
+        SELECT e.event_id AS incident_id,
+               e.user_id,
+               CAST(NULL AS BIGINT) AS click_id,
+               CAST(NULL AS DOUBLE) AS click_value
+        FROM events e, m
+        WHERE e.event_type = 'error'
+          AND e.ts < m.wm_base - INTERVAL 20 SECOND
+          AND NOT EXISTS (
+              SELECT 1 FROM events c
+              WHERE c.event_type = 'click'
+                AND c.user_id = e.user_id
+                AND c.ts <= e.ts
+                AND c.ts >= e.ts - INTERVAL 300 SECOND)
+    ),
+    unmatched_click AS (
+        SELECT CAST(NULL AS BIGINT) AS incident_id,
+               c.user_id,
+               c.event_id AS click_id,
+               c.value AS click_value
+        FROM events c, m
+        WHERE c.event_type = 'click'
+          AND c.ts + INTERVAL 300 SECOND < m.wm_base - INTERVAL 20 SECOND
+          AND NOT EXISTS (
+              SELECT 1 FROM events e
+              WHERE e.event_type = 'error'
+                AND e.user_id = c.user_id
+                AND c.ts <= e.ts
+                AND c.ts >= e.ts - INTERVAL 300 SECOND)
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched_err
+    UNION ALL SELECT * FROM unmatched_click
+    """,
+    doc="STREAM-STREAM FULL OUTER interval join — completes the "
+    "streaming join-kind matrix (inner enrich, LEFT outer, FULL "
+    "outer): errors x clicks-in-the-preceding-5-minutes; BOTH "
+    "unmatched sides emit null-padded rows once the global watermark "
+    "proves no partner can arrive — an unmatched error needs the "
+    "watermark past its own timestamp, an unmatched click past its "
+    "timestamp PLUS the lookback (it could still match a future "
+    "error until then). The oracle encodes both horizons against "
+    "min(max error ts, max click ts) - 20s. State bounded at "
+    "watermark+lookback per side.",
+)
+def streaming_full_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.streaming.joins import interval_join
+
+    def build(stream, name):
+        errors = stream.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("incident_id"), "user_id", "ts"
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+            F.col("ts").alias("c_ts"),
+            F.col("user_id").alias("cu"),
+        )
+        joined = interval_join(
+            errors,
+            clicks,
+            on="user_id",
+            left_ts="ts",
+            right_ts="c_ts",
+            lookback="300 seconds",
+            watermark="20 seconds",
+            how="full_outer",
+        )
+        return joined.select(
+            "incident_id",
+            F.coalesce(F.col("user_id"), F.col("r_cu")).alias("user_id"),
+            F.col("r_click_id").alias("click_id"),
+            F.col("r_click_value").alias("click_value"),
+        )
+
+    return _replay_events_stream(
+        spark, sf_dir, "fjoin", build, output_mode="append"
+    )

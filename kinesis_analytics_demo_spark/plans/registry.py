@@ -306,6 +306,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "sessionize_dynamic_gap",
     "temporal_split_embargo",
     "variant_props_extraction",
+    "streaming_full_outer_join_replay",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
