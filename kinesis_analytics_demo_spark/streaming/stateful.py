@@ -280,3 +280,110 @@ def running_topk_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------- timeout-closed sessions
+_SESS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _make_session_fn(gap_s: int, ts_col: str):
+    def session_fn(key, pdf_iter, state: GroupState):
+        import datetime
+
+        import pandas as pd
+
+        (key_val,) = key
+        out_rows = []
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: the open session is
+            # provably closed — emit and clear
+            start_ts, last_ts, n = state.get
+            out_rows.append((key_val, start_ts,
+                             last_ts + datetime.timedelta(seconds=gap_s), n))
+            state.remove()
+        else:
+            cur = state.get if state.exists else None
+            ts_all = []
+            for pdf in pdf_iter:
+                ts_all.extend(pdf[ts_col])
+            ts_all.sort()
+            for ts in ts_all:
+                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                if cur is None:
+                    cur = (ts, ts, 1)
+                elif (ts - cur[1]).total_seconds() <= gap_s:
+                    cur = (cur[0], max(cur[1], ts), cur[2] + 1)
+                else:
+                    out_rows.append(
+                        (key_val, cur[0],
+                         cur[1] + datetime.timedelta(seconds=gap_s), cur[2])
+                    )
+                    cur = (ts, ts, 1)
+            if cur is not None:
+                state.update(cur)
+                # close the open session once the event-time watermark
+                # passes last_ts + gap
+                state.setTimeoutTimestamp(
+                    int(cur[1].timestamp() * 1000) + gap_s * 1000
+                )
+        yield pd.DataFrame(
+            out_rows,
+            columns=["key", "session_start", "session_end", "n_events"],
+        )
+
+    return session_fn
+
+
+def sessionize_stateful(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    watermark: str = "20 seconds",
+) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM stateful operator with
+    EVENT-TIME TIMEOUTS (GroupStateTimeout.EventTimeTimeout) — the
+    state-API capability the built-in ``session_window`` hides:
+    a session closes and emits exactly when the watermark proves its
+    gap can no longer be extended, not merely when the next batch
+    happens to contain the key. Within a batch, rows fold in event-
+    time order; across batches the open session lives in state
+    ``(start, last_ts, n)`` — O(1) per key.
+
+    Emits CLOSED sessions only (session_end = last event + gap, the
+    session_window convention). Sessions still open when the stream
+    ends stay in state — the same horizon semantics as the outer-join
+    replays, pinned in tests/test_streaming.py.
+    """
+    from kinesis_analytics_demo_spark.config import duration_millis
+    from kinesis_analytics_demo_spark.streaming.windows import ensure_event_time
+
+    gap_ms = duration_millis(gap)
+    if gap_ms % 1000:
+        raise ValueError("gap must be whole seconds")
+    if df.isStreaming:
+        df = ensure_event_time(df, ts_col)
+        df = df.withWatermark(ts_col, watermark)
+    grouped = df.groupBy(key_col)
+    return grouped.applyInPandasWithState(
+        _make_session_fn(gap_ms // 1000, ts_col),
+        outputStructType=_SESS_OUTPUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

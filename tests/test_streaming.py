@@ -867,3 +867,98 @@ def test_stateful_topk_streaming_equals_batch_ranking(spark, tmp_path):
         .collect()
     }
     assert final == exp
+
+
+def test_stateful_session_timeout_equals_batch_sessions(spark, tmp_path):
+    """Timeout-closed sessions from the replayed stream must equal
+    the batch gaps-and-islands sessions whose close horizon the final
+    watermark passed; no session may be emitted twice."""
+    import datetime
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kinesis_analytics_demo_spark.session import read_table
+    from kinesis_analytics_demo_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+    from tests.conftest import SF_SMALL
+
+    stage = tmp_path / "ev_stream"
+    stage.mkdir()
+    os.symlink(
+        os.path.join(SF_SMALL, "events.parquet"),
+        str(stage / "events.parquet"),
+    )
+    stream = create_stream_source(
+        spark, "file-parquet", path=str(stage), max_files_per_trigger=1
+    )
+    out = sessionize_stateful(
+        stream, key_col="user_id", ts_col="ts", gap="5 minutes",
+        watermark="20 seconds",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sess_probe").collect()
+    }
+    assert len(got) == spark.table("sess_probe").count(), "duplicate emission"
+
+    ev = read_table(spark, SF_SMALL, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select("user_id", "ts", "event_id").withColumn(
+        "is_new",
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+            > 300
+        ).cast("int"),
+    ).fillna(1, subset=["is_new"])
+    sess = (
+        lagged.withColumn(
+            "sid",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    rows = sess.collect()
+    wm = max(r["last_ts"] for r in rows) - datetime.timedelta(seconds=20)
+    exp = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["last_ts"] + datetime.timedelta(seconds=300),
+            r["n_events"],
+        )
+        for r in rows
+        if r["last_ts"] + datetime.timedelta(seconds=300) <= wm
+    }
+    # every provably-closed batch session was emitted by the stream,
+    # and the stream emitted nothing outside the batch session set
+    all_batch = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["last_ts"] + datetime.timedelta(seconds=300),
+            r["n_events"],
+        )
+        for r in rows
+    }
+    assert exp <= got, f"missing {len(exp - got)} closed sessions"
+    assert got <= all_batch, "stream emitted a non-session"
