@@ -54,6 +54,7 @@ def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import kinesis_analytics_demo_spark.operators.analytics  # noqa: F401
     import kinesis_analytics_demo_spark.operators.cdc  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.curation  # noqa: F401
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.expectations  # noqa: F401
     import kinesis_analytics_demo_spark.operators.features  # noqa: F401
@@ -307,6 +308,8 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "temporal_split_embargo",
     "variant_props_extraction",
     "streaming_full_outer_join_replay",
+    "corpus_token_budget_select",
+    "corpus_soft_dedup_weights",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
