@@ -59,6 +59,11 @@ def pagerank(
         ).select("node_id", "outdeg")
     )
     n_nodes = base.count()  # loop-control scalar, not data movement
+    if n_nodes == 0:
+        # empty graph: empty result with the output schema
+        return base.select(
+            "node_id", F.lit(None).cast("double").alias("rank")
+        )
     init = round(1.0 / n_nodes, _SCALE)
     ranks = base.select(
         "node_id",

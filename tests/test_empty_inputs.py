@@ -1,0 +1,63 @@
+"""Empty-input robustness: a representative query from every family
+must run (not crash) against zero-row tables — the behavior of a
+pipeline pointed at an empty ingest day."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kinesis_analytics_demo_spark.caching import release_tracked
+from kinesis_analytics_demo_spark.plans.registry import all_queries
+from tests.conftest import SF_SMALL, TABLE_NAMES
+
+SAMPLE = [
+    "pricing_summary",
+    "candlestick_tumbling",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_minhash_clusters",
+    "text_quality_score",
+    "similarity_cosine_topk",
+    "corpus_prep_pipeline",
+    "exact_percentiles",
+    "sessionize_events",
+    "quantile_histogram_events",
+    "corr_matrix_lineitem",
+    "pagerank_trade_graph",
+    "doc_lm_cross_entropy",
+    "rollup_hierarchy_events",
+    "cumulate_window_revenue",
+    "data_quality_expectations",
+    "corpus_token_budget_select",
+    "temporal_split_embargo",
+    "bm25_search",
+    "cdc_upsert_latest",
+    "asof_join_events",
+    "zorder_key_events",
+    "embedding_sq8_error",
+    "similarity_rp_topk_rerank",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in TABLE_NAMES:
+        p = os.path.join(SF_SMALL, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).limit(0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(dst, f"{t}.parquet"))
+    return dst
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_survives_empty_tables(spark, empty_sf, name):
+    try:
+        df = all_queries()[name].fn(spark, empty_sf)
+        assert df.count() >= 0
+        assert len(df.columns) > 0
+    finally:
+        release_tracked()
