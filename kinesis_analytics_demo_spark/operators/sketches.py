@@ -245,9 +245,13 @@ QUANTILES = [0.5, 0.9, 0.99]
     "event_type. THE scale alternative to exact percentiles: exact "
     "needs a per-key sort of all values; this shuffles only keys x "
     f"{N_BINS} integer rows and is mergeable across shards/batches. "
-    "Error bound <= one bin width (pinned vs the exact percentile in "
-    "tests/test_sketches_quantile.py). All arithmetic is integer "
-    "counts plus a fixed chain of double ops — engine-exact.",
+    "Guarantee: the estimate lies within one bin width of the "
+    "CROSSING ORDER STATISTIC (k-th smallest, k = ceil(q*n)) — "
+    "property-checked on random distributions in "
+    "tests/test_properties.py; on dense data it also tracks "
+    "quantile_cont within a bin (tests/test_sketches_quantile.py). "
+    "All arithmetic is integer counts plus a fixed chain of double "
+    "ops — engine-exact.",
 )
 def quantile_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")

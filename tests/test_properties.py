@@ -393,3 +393,126 @@ def test_interval_join_matches_naive_model(spark, ipw):
         if not matched:
             expect.append((i, None))
     assert got == sorted(expect, key=_sk)
+
+
+# --------------------------------------------------------------- CUMULATE
+cumulate_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7200),  # seconds offset (2h span)
+        st.sampled_from(["A", "B"]),
+        st.floats(min_value=-1e4, max_value=1e4,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=cumulate_strategy,
+    cfg=st.sampled_from([(3600, 900), (1800, 600), (7200, 3600)]),
+)
+def test_cumulate_matches_naive_model_random(spark, rows, cfg):
+    """Random data x random (max_size, step): the two-level cumulate
+    equals the per-row prefix-window model."""
+    from collections import defaultdict
+
+    from kinesis_analytics_demo_spark.streaming.windows import (
+        cumulate_window_agg,
+    )
+
+    size_s, step_s = cfg
+    df = spark.createDataFrame(
+        [(BASE + timedelta(seconds=s), k, v) for s, k, v in rows],
+        "ts timestamp, key string, v double",
+    )
+    got = {
+        (r["key"], r["window_start"], r["window_end"]): r["p"]
+        for r in cumulate_window_agg(
+            df, ts_col="ts", key_col="key", value_col="v",
+            max_size=f"{size_s} seconds", step=f"{step_s} seconds",
+            agg="sum",
+        ).collect()
+    }
+    model = defaultdict(float)
+    n = size_s // step_s
+    for s, k, v in rows:
+        sec = int((BASE + timedelta(seconds=s)).timestamp())
+        b = (sec // size_s) * size_s
+        i = (sec - b) // step_s
+        for j in range(i + 1, n + 1):
+            model[(k, b, b + j * step_s)] += v
+    got_keys = {
+        (k, int(ws.timestamp()), int(we.timestamp()))
+        for (k, ws, we) in got
+    }
+    assert got_keys == set(model)
+    for (k, ws, we), p in got.items():
+        assert p == pytest.approx(
+            model[(k, int(ws.timestamp()), int(we.timestamp()))], rel=1e-9,
+            abs=1e-9,
+        )
+
+
+# ---------------------------------------------------- histogram quantiles
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3,
+                  allow_nan=False, allow_infinity=False),
+        min_size=5,
+        max_size=200,
+    )
+)
+def test_histogram_quantile_error_bound_random(spark, vals, tmp_path_factory):
+    """On arbitrary distributions the 256-bin estimate stays within
+    one bin width of the CROSSING ORDER STATISTIC (the k-th smallest
+    value, k = ceil(q*n)) — the sketch's true guarantee. It can sit
+    far from quantile_cont's between-points interpolation when data
+    is sparse (e.g. [0,0,0,0,1] at q=0.9), which is not an error."""
+    import math
+
+    from kinesis_analytics_demo_spark.plans.registry import get_query
+
+    lo, hi = min(vals), max(vals)
+    if hi == lo:
+        return  # degenerate: zero-width bins undefined
+    tmp = tmp_path_factory.mktemp("qh")
+    df = spark.createDataFrame(
+        [(i, "x", float(v)) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    ).selectExpr(
+        "event_id",
+        "timestamp '2024-01-01' AS ts",
+        "CAST(0 AS BIGINT) AS user_id",
+        "event_type",
+        "value",
+        "'{}' AS props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp / "events.parquet")
+    )
+    est = {
+        r["q"]: r["estimate"]
+        for r in get_query("quantile_histogram_events")
+        .fn(spark, str(tmp))
+        .collect()
+    }
+    binw = (hi - lo) / 256
+    ordered = sorted(vals)
+    n = len(vals)
+    for q in (0.5, 0.9, 0.99):
+        k = max(1, math.ceil(q * n))  # crossing bin holds this value
+        target = ordered[k - 1]
+        assert abs(est[q] - target) <= binw + 1e-9, (
+            q, est[q], target, binw,
+        )
