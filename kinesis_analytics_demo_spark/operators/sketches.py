@@ -205,9 +205,7 @@ N_BINS = 256
 QUANTILES = [0.5, 0.9, 0.99]
 
 
-@register(
-    "quantile_histogram_events",
-    oracle=f"""
+_QH_ORACLE = f"""
     WITH stats AS (
         SELECT min(value) AS mn, max(value) AS mx,
                (max(value) - min(value)) / {N_BINS} AS w
@@ -238,7 +236,83 @@ QUANTILES = [0.5, 0.9, 0.99]
                  + (hit.bin + (hit.q * hit.n - hit.cb) / hit.cnt)
                    * stats.w, 6) AS estimate
     FROM hit, stats
-    """,
+    """
+
+
+def histogram_bin_counts(
+    ev: DataFrame, mn: float | None = None, mx: float | None = None
+) -> DataFrame:
+    """(event_type, mn, w, bin, cnt) — the mergeable sketch: a plain
+    count aggregate, legal in STREAMING (complete/update) as well as
+    batch; partials merge by integer addition.
+
+    Batch derives the bin bounds from the data in the same plan; a
+    STREAMING caller must pass calibrated ``mn``/``mx`` (two scalars
+    from history — a second aggregation over the stream itself is
+    not expressible), the standard stream-the-sketch calibration."""
+    if mn is not None and mx is not None:
+        stats = ev.sparkSession.range(1).select(
+            F.lit(float(mn)).alias("mn"),
+            F.lit(float(mx)).alias("mx"),
+            F.lit((float(mx) - float(mn)) / N_BINS).alias("w"),
+        )
+    else:
+        stats = ev.agg(
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            ((F.max("value") - F.min("value")) / N_BINS).alias("w"),
+        )
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        "mn",
+        "w",
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / F.col("w")),
+            F.lit(N_BINS - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return binned.groupBy("event_type", "mn", "w", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def quantiles_from_histogram(hist: DataFrame) -> DataFrame:
+    """Finalize p50/p90/p99 from a (event_type, mn, w, bin, cnt)
+    sketch — a tiny keys x bins batch computation, the downstream
+    step of the stream-the-sketch pattern."""
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    wn = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "mn",
+        "w",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    qs = F.array(*[F.lit(q) for q in QUANTILES])
+    hit = cum.select("*", F.explode(qs).alias("q")).filter(
+        ((F.col("c") - F.col("cnt")) < F.col("q") * F.col("n"))
+        & (F.col("q") * F.col("n") <= F.col("c"))
+    )
+    est = F.col("mn") + (
+        F.col("bin")
+        + (F.col("q") * F.col("n") - (F.col("c") - F.col("cnt"))) / F.col("cnt")
+    ) * F.col("w")
+    return hit.select(
+        "event_type",
+        "q",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(est, 6).alias("estimate"),
+    )
+
+
+@register(
+    "quantile_histogram_events",
+    oracle=_QH_ORACLE,
     doc=f"Streaming-friendly quantile estimation: a fixed {N_BINS}-"
     "uniform-bin histogram between broadcast global min/max, linear "
     "interpolation inside the crossing bin for p50/p90/p99 per "
@@ -255,51 +329,4 @@ QUANTILES = [0.5, 0.9, 0.99]
 )
 def quantile_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    stats = ev.agg(
-        F.min("value").alias("mn"),
-        F.max("value").alias("mx"),
-        ((F.max("value") - F.min("value")) / N_BINS).alias("w"),
-    )
-    binned = ev.crossJoin(F.broadcast(stats)).select(
-        "event_type",
-        "mn",
-        "w",
-        F.least(
-            F.floor((F.col("value") - F.col("mn")) / F.col("w")),
-            F.lit(N_BINS - 1),
-        )
-        .cast("bigint")
-        .alias("bin"),
-    )
-    hist = binned.groupBy("event_type", "mn", "w", "bin").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    wc = Window.partitionBy("event_type").orderBy("bin")
-    wn = Window.partitionBy("event_type")
-    cum = hist.select(
-        "event_type",
-        "mn",
-        "w",
-        "bin",
-        "cnt",
-        F.sum("cnt").over(wc).alias("c"),
-        F.sum("cnt").over(wn).alias("n"),
-    )
-    qs = F.array(*[F.lit(q) for q in QUANTILES])
-    hit = (
-        cum.select("*", F.explode(qs).alias("q"))
-        .filter(
-            ((F.col("c") - F.col("cnt")) < F.col("q") * F.col("n"))
-            & (F.col("q") * F.col("n") <= F.col("c"))
-        )
-    )
-    est = F.col("mn") + (
-        F.col("bin")
-        + (F.col("q") * F.col("n") - (F.col("c") - F.col("cnt"))) / F.col("cnt")
-    ) * F.col("w")
-    return hit.select(
-        "event_type",
-        "q",
-        F.col("n").cast("bigint").alias("n"),
-        F.round(est, 6).alias("estimate"),
-    )
+    return quantiles_from_histogram(histogram_bin_counts(ev))

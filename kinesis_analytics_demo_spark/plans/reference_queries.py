@@ -844,3 +844,45 @@ def streaming_full_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFr
     return _replay_events_stream(
         spark, sf_dir, "fjoin", build, output_mode="append"
     )
+
+
+def _qh_oracle():
+    from kinesis_analytics_demo_spark.operators.sketches import _QH_ORACLE
+
+    return _QH_ORACLE
+
+
+@register(
+    "streaming_quantile_replay",
+    oracle=_qh_oracle(),
+    doc="The histogram quantile sketch on the STREAMING path — the "
+    "stream-the-sketch pattern end-to-end: bin bounds calibrated "
+    "once from history (two scalars; a second aggregation over the "
+    "stream itself is not expressible), per-(key, bin) counts "
+    "maintained as the single streaming aggregate (mergeable by "
+    "integer addition, complete mode), and the p50/p90/p99 "
+    "finalization runs downstream on the keys x 256 sketch table. "
+    "Result equals the batch sketch and its oracle exactly because "
+    "the sketch is a pure count table — no float state crosses the "
+    "stream.",
+)
+def streaming_quantile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.operators.sketches import (
+        histogram_bin_counts,
+        quantiles_from_histogram,
+    )
+    from kinesis_analytics_demo_spark.session import read_table
+
+    # calibration: bounds from history (here: the same table batch-side)
+    b = read_table(spark, sf_dir, "events").agg(
+        F.min("value"), F.max("value")
+    ).collect()[0]
+    mn, mx = float(b[0]), float(b[1])
+
+    def build(stream, name):
+        return histogram_bin_counts(
+            stream.select("event_type", "value"), mn=mn, mx=mx
+        )
+
+    sink = _replay_events_stream(spark, sf_dir, "qsketch", build)
+    return quantiles_from_histogram(sink)

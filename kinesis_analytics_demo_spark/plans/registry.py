@@ -310,6 +310,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "streaming_full_outer_join_replay",
     "corpus_token_budget_select",
     "corpus_soft_dedup_weights",
+    "streaming_quantile_replay",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
