@@ -1,0 +1,176 @@
+"""Complex-event-processing patterns — the MATCH_RECOGNIZE analog.
+
+Flink SQL (the reference's engine family) ships row-pattern matching
+as MATCH_RECOGNIZE; Spark has no direct equivalent, but the two
+workhorse pattern classes reduce to single-pass window functions over
+the per-key event-time order:
+
+- ``cep_click_error_no_purchase``: sequence-with-veto — an error
+  preceded by a click within 5 minutes with NO purchase between them
+  (the "user clicked, hit an error, never recovered" incident
+  pattern; MATCH_RECOGNIZE ``PATTERN (C NOT_P* E)``).
+- ``cep_rising_streaks``: consecutive-condition runs — maximal
+  strictly-rising value runs of length >= 3 per user
+  (``PATTERN (A B+)`` with a DEFINE on the previous row).
+
+Scale: both are one shuffle on the key followed by streaming window
+evaluation within each partition — no joins, no row explosion; the
+same cost shape as any per-key analytic. A streaming deployment of
+the veto pattern is the stateful top-k/session family
+(applyInPandasWithState keeping the last click/purchase per key).
+
+Determinism: pattern decisions compare exact timestamps/values;
+tiebreaks on event_id everywhere a sort order matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+CLICK_WINDOW_S = 300
+
+
+@register(
+    "cep_click_error_no_purchase",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               MAX(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER w AS last_click_ts,
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                   OVER w AS last_purchase_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS error_id, user_id, ts AS error_ts,
+           last_click_ts
+    FROM o
+    WHERE event_type = 'error'
+      AND last_click_ts IS NOT NULL
+      AND ts - last_click_ts <= INTERVAL {CLICK_WINDOW_S} SECOND
+      AND (last_purchase_ts IS NULL OR last_purchase_ts < last_click_ts)
+    """,
+    doc="CEP sequence-with-veto (MATCH_RECOGNIZE 'C NOT_P* E'): "
+    "errors preceded by a click within 5 minutes with no purchase "
+    "between — one running-MAX window pass per key, no joins. The "
+    "incident pattern a funnel can't express (the veto needs "
+    "BETWEEN-ness, not stage counts).",
+)
+def cep_click_error_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts.asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", ts)
+    ).over(w)
+    last_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", ts)
+    ).over(w)
+    o = ev.select(
+        "user_id",
+        ts.alias("ts"),
+        "event_id",
+        "event_type",
+        last_click.alias("last_click_ts"),
+        last_purchase.alias("last_purchase_ts"),
+    )
+    return o.filter(
+        (F.col("event_type") == "error")
+        & F.col("last_click_ts").isNotNull()
+        & (
+            F.col("ts").cast("long") - F.col("last_click_ts").cast("long")
+            <= CLICK_WINDOW_S
+        )
+        & (
+            F.col("last_purchase_ts").isNull()
+            | (F.col("last_purchase_ts") < F.col("last_click_ts"))
+        )
+    ).select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        "last_click_ts",
+    )
+
+
+MIN_STREAK = 3
+
+
+@register(
+    "cep_rising_streaks",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END
+                   AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+        SELECT user_id, ts, event_id, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run_id
+        FROM o
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+           CAST(count(*) AS BIGINT) AS run_len,
+           min(ts) AS run_start, max(ts) AS run_end,
+           min(value) AS first_value, max(value) AS last_value
+    FROM g
+    GROUP BY user_id, run_id
+    HAVING count(*) >= {MIN_STREAK}
+    """,
+    doc="CEP consecutive-condition runs (MATCH_RECOGNIZE 'A B+' with "
+    "DEFINE B AS B.value > PREV(value)): maximal strictly-rising "
+    "value streaks of length >= 3 per user via gaps-and-islands — "
+    "lag + break-flag cumulative sum, one shuffle. min/max value "
+    "equal first/last BECAUSE the run is strictly rising (the "
+    "invariant itself).",
+)
+def cep_rising_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(ts.asc(), F.col("event_id").asc())
+    brk = F.when(
+        F.col("value") > F.lag("value").over(w), F.lit(0)
+    ).otherwise(F.lit(1))
+    g = ev.select(
+        "user_id", ts.alias("ts"), "event_id", "value", brk.alias("brk")
+    ).withColumn(
+        "run_id",
+        F.sum("brk").over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        g.groupBy("user_id", "run_id")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.min("value").alias("first_value"),
+            F.max("value").alias("last_value"),
+        )
+        .filter(F.col("run_len") >= MIN_STREAK)
+        .select(
+            "user_id",
+            F.col("run_id").cast("bigint").alias("run_id"),
+            F.col("run_len").cast("bigint").alias("run_len"),
+            "run_start",
+            "run_end",
+            "first_value",
+            "last_value",
+        )
+    )

@@ -54,6 +54,7 @@ def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import kinesis_analytics_demo_spark.operators.analytics  # noqa: F401
     import kinesis_analytics_demo_spark.operators.cdc  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.cep  # noqa: F401
     import kinesis_analytics_demo_spark.operators.curation  # noqa: F401
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.expectations  # noqa: F401
@@ -311,6 +312,8 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "corpus_token_budget_select",
     "corpus_soft_dedup_weights",
     "streaming_quantile_replay",
+    "cep_click_error_no_purchase",
+    "cep_rising_streaks",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
