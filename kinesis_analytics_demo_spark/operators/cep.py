@@ -174,3 +174,49 @@ def cep_rising_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_value",
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    t AS (SELECT prev_type AS from_type, event_type AS to_type,
+                 count(*) AS n
+          FROM o WHERE prev_type IS NOT NULL
+          GROUP BY 1, 2),
+    rt AS (SELECT from_type, SUM(n) AS row_n FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type,
+           CAST(t.n AS BIGINT) AS n,
+           ROUND(CAST(t.n AS DOUBLE) / rt.row_n, 6) AS prob
+    FROM t JOIN rt ON t.from_type = rt.from_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag() pairs consecutive events (one shuffle on "
+    "user_id), counts aggregate map-side, and row-normalized "
+    "probabilities are exact integer ratios — the behavioral-"
+    "modeling summary (what follows what) that feeds journey "
+    "analysis and synthetic-sequence generators.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(ts.asc(), F.col("event_id").asc())
+    o = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = o.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rt = t.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return t.join(F.broadcast(rt), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("prob"),
+    )

@@ -314,6 +314,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "streaming_quantile_replay",
     "cep_click_error_no_purchase",
     "cep_rising_streaks",
+    "event_transition_matrix",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
