@@ -220,3 +220,85 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("prob"),
     )
+
+
+MIN_PAIR_SUPPORT = 2
+
+
+@register(
+    "market_basket_part_pairs",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM b),
+    item AS (SELECT l_partkey, count(*) AS n_item FROM b GROUP BY 1),
+    pair AS (
+        SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+               count(*) AS n_both
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_PAIR_SUPPORT})
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(ia.n_item AS BIGINT) AS n_a,
+           CAST(ib.n_item AS BIGINT) AS n_b,
+           ROUND(CAST(p.n_both AS DOUBLE) / nb.n_baskets, 6) AS support,
+           ROUND(CAST(p.n_both AS DOUBLE) * nb.n_baskets
+                 / (ia.n_item * ib.n_item), 6) AS lift
+    FROM pair p
+    JOIN item ia ON p.part_a = ia.l_partkey
+    JOIN item ib ON p.part_b = ib.l_partkey, nb
+    """,
+    doc="Market-basket association rules: part pairs co-occurring in "
+    f">= {MIN_PAIR_SUPPORT} orders with support and lift. The pair "
+    "generation is a self-equi-join on the basket key — candidate "
+    "pairs per basket are C(items,2) with items bounded (<= 13 here; "
+    "cap or top-k per basket at scale), so the join output is "
+    "O(baskets x basket_size^2), never parts^2. Support/lift are "
+    "exact integer ratios, rounded once.",
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    nb = b.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    c = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pair = (
+        a.join(c, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= MIN_PAIR_SUPPORT)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_baskets"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -315,6 +315,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "cep_click_error_no_purchase",
     "cep_rising_streaks",
     "event_transition_matrix",
+    "market_basket_part_pairs",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
