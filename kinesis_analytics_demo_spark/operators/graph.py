@@ -210,3 +210,75 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), ((F.col("node_id") - 1) / 2).cast("bigint"))
     )
     return out.select(label.alias("node_id"), "rank")
+
+
+MB_MIN_SUPPORT = 2  #: co-purchase edge threshold (matches market basket)
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS u, c.l_partkey AS v
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MB_MIN_SUPPORT}),
+    nodes AS (SELECT u AS x FROM e UNION SELECT v FROM e),
+    tri AS (
+        SELECT count(*) AS t
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(tri.t AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+    doc="Triangle counting over the co-purchase graph (part pairs "
+    "sharing >= 2 orders): edges are stored ORIENTED (u < v), so "
+    "each triangle is found exactly once by the wedge join "
+    "e1(u,v) x e2(v,w) closed by e3(u,w) — the standard distributed "
+    "triangle scheme. At scale, orient by (degree, id) instead of "
+    "raw id so wedge counts are bounded by sqrt(edges) per node "
+    "(heavy hitters become wedge CENTERS, never wedge ENDS). Two "
+    "hash joins on integer pairs; the graph-cohesion audit number.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    c = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    e = tracked_persist(
+        a.join(c, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= MB_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    n_nodes = (
+        e.select(F.col("u").alias("x"))
+        .union(e.select(F.col("v").alias("x")))
+        .distinct()
+        .count()
+    )
+    n_edges = e.count()
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .count()
+    )
+    return e.sparkSession.range(1).select(
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.lit(tri).cast("bigint").alias("n_triangles"),
+    )

@@ -316,6 +316,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "cep_rising_streaks",
     "event_transition_matrix",
     "market_basket_part_pairs",
+    "graph_triangle_count",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
