@@ -196,3 +196,86 @@ def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int"))
     )
+
+
+@register(
+    "embedding_drift_by_label",
+    oracle=f"""
+    WITH h AS (
+        SELECT label, vec_id % 2 = 0 AS old_half, embedding
+        FROM embeddings),
+    cn AS (SELECT label, old_half, count(*) AS n
+           FROM h GROUP BY label, old_half),
+    dims AS (
+        SELECT label, old_half, i,
+               CAST(ROUND(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6)
+                                   AS DECIMAL(18,6))), 6) AS DOUBLE)
+                   / count(*) AS c
+        FROM h, (SELECT unnest(generate_series(1, {DIM})) AS i) t
+        GROUP BY label, old_half, i),
+    cent AS (
+        SELECT label, old_half, list(c ORDER BY i) AS c
+        FROM dims GROUP BY label, old_half),
+    p AS (
+        SELECT a.label,
+               list_sum([(a.c[i] - b.c[i]) * (a.c[i] - b.c[i])
+                         for i in generate_series(1, {DIM})]) AS d2
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.old_half AND NOT b.old_half)
+    SELECT p.label,
+           CAST(na.n AS BIGINT) AS n_old,
+           CAST(nb.n AS BIGINT) AS n_new,
+           ROUND(sqrt(p.d2), 6) AS centroid_l2_drift
+    FROM p
+    JOIN cn na ON na.label = p.label AND na.old_half
+    JOIN cn nb ON nb.label = p.label AND NOT nb.old_half
+    """,
+    doc="Embedding drift monitor: per-label L2 distance between the "
+    "centroids of two corpus halves (vec_id parity standing in for "
+    "an old/new ingest split) — the embedding-space health number a "
+    "retraining trigger watches. Centroid sums run in DECIMAL over "
+    "6-digit-rounded components (order-free, the "
+    "embedding_outliers_centroid discipline); the distance fold is "
+    "left-to-right over fixed indices.",
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    h = emb.select(
+        "label", (F.col("vec_id") % 2 == 0).alias("old_half"), "embedding"
+    )
+    comp = [
+        (
+            F.sum(
+                F.round(F.element_at("embedding", i).cast("double"), 6).cast(
+                    "decimal(18,6)"
+                )
+            )
+        )
+        for i in range(1, DIM + 1)
+    ]
+    cent = h.groupBy("label", "old_half").agg(
+        F.array(
+            *[
+                (F.round(c, 6).cast("double") / F.count(F.lit(1)))
+                for c in comp
+            ]
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = cent.filter(F.col("old_half")).select(
+        "label", F.col("c").alias("ca"), F.col("n").alias("n_old")
+    )
+    b = cent.filter(~F.col("old_half")).select(
+        "label", F.col("c").alias("cb"), F.col("n").alias("n_new")
+    )
+    d2 = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return a.join(b, "label").select(
+        "label",
+        F.col("n_old").cast("bigint").alias("n_old"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        F.round(F.sqrt(d2), 6).alias("centroid_l2_drift"),
+    )

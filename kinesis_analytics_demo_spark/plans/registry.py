@@ -286,8 +286,12 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "source_token_kl",
     "corpus_zipf_alpha",
     "scd2_incremental_apply",
-    # -- second round-3 session: CUMULATE windows (Flink's third
-    #    windowing TVF), hierarchical rollup reuse, and later additions
+    # -- second round-3 session additions (below): when trimming this
+    #    list to 50 next round, give these TOP priority alongside the
+    #    streaming replays — each is a distinct capability family
+    #    (window TVF completion, continuous aggregates, graph, vector
+    #    compression, LM scoring, layout, stats, CEP, curation,
+    #    expectations) with no driver row in any round
     "cumulate_window_revenue",
     "streaming_cumulate_replay",
     "rollup_hierarchy_events",
@@ -317,6 +321,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "event_transition_matrix",
     "market_basket_part_pairs",
     "graph_triangle_count",
+    "embedding_drift_by_label",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
