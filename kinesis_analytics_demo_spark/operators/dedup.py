@@ -1098,3 +1098,105 @@ def dedup_hybrid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(size_w).cast("bigint").alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
     )
+
+
+# ---------------------------------------------------- LSH recall audit
+@register(
+    "dedup_lsh_recall_audit",
+    oracle=f"""
+    WITH {_sql_minhash_cte()},
+    allinter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM dsh a JOIN dsh b ON a.hv = b.hv AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    alljac AS (
+        SELECT i.doc_a, i.doc_b,
+               i.c / (sa.n + sb.n - i.c) AS jaccard
+        FROM allinter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id),
+    truth AS (SELECT doc_a, doc_b FROM alljac
+              WHERE jaccard >= {JACCARD_THRESHOLD}),
+    verified AS (SELECT doc_a, doc_b FROM jac
+                 WHERE jaccard >= {JACCARD_THRESHOLD}),
+    missed AS (
+        SELECT t.doc_a FROM truth t
+        LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        WHERE c.doc_a IS NULL),
+    wasted AS (
+        SELECT 1 FROM jac WHERE jaccard < {JACCARD_THRESHOLD})
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM verified) AS BIGINT)
+               AS n_verified_true,
+           CAST((SELECT count(*) FROM missed) AS BIGINT) AS n_missed,
+           CAST((SELECT count(*) FROM wasted) AS BIGINT) AS n_wasted,
+           ROUND(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+                      ELSE CAST((SELECT count(*) FROM verified) AS DOUBLE)
+                           / (SELECT count(*) FROM truth) END, 6)
+               AS recall
+    """,
+    doc="LSH self-audit: MEASURE the banding scheme's recall instead "
+    "of trusting the s-curve. Ground truth = ALL pairs with exact "
+    f"Jaccard >= {JACCARD_THRESHOLD} via the shared-shingle join "
+    "(complete for any threshold > 0 — a pair with nonzero Jaccard "
+    "shares a gram; the all-pairs intersection is the deliberately "
+    "expensive eval twin, like the exact embedding baseline). "
+    "Reports true/candidate/verified/missed/wasted pair counts and "
+    "recall — the number that justifies the band/row configuration "
+    "in production.",
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dsh = tracked_persist(_distinct_shingles(docs))
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = dsh.alias("ia")
+    b = dsh.alias("ib")
+    allinter = (
+        a.join(
+            b,
+            (F.col("ia.h") == F.col("ib.h"))
+            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
+        )
+        .groupBy(
+            F.col("ia.doc_id").alias("doc_a"),
+            F.col("ib.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    alljac = (
+        allinter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    truth = tracked_persist(
+        alljac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+            "doc_a", "doc_b"
+        )
+    )
+    cand = tracked_persist(minhash_candidate_pairs(docs, dsh=dsh))
+    verified = jaccard_verify(docs, cand, dsh=dsh)
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_verified = verified.filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    ).count()
+    n_missed = truth.join(cand, ["doc_a", "doc_b"], "left_anti").count()
+    n_wasted = verified.filter(F.col("jaccard") < JACCARD_THRESHOLD).count()
+    recall = 1.0 if n_truth == 0 else round(n_verified / n_truth, 6)
+    return spark.range(1).select(
+        F.lit(n_truth).cast("bigint").alias("n_true_pairs"),
+        F.lit(n_cand).cast("bigint").alias("n_candidates"),
+        F.lit(n_verified).cast("bigint").alias("n_verified_true"),
+        F.lit(n_missed).cast("bigint").alias("n_missed"),
+        F.lit(n_wasted).cast("bigint").alias("n_wasted"),
+        F.lit(recall).alias("recall"),
+    )

@@ -322,6 +322,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "market_basket_part_pairs",
     "graph_triangle_count",
     "embedding_drift_by_label",
+    "dedup_lsh_recall_audit",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
