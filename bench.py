@@ -47,7 +47,6 @@ HEADLINE = [
     # as similarity_ann_lsh_baseline and dropped from the headline).
     "similarity_ann_lsh",
     "text_quality_score",
-    "multimodal_binary_features",
     "multimodal_decode_pipeline",
     # temporal joins
     "asof_join_events",
@@ -68,7 +67,6 @@ HEADLINE = [
     "dedup_keep_best_quality",
     "corpus_sample_exact_k",
     # TPC-H adaptations Q4/Q6/Q10
-    "forecast_revenue_change",
     "returned_item_customers",
     # round-3 additions: PQ compression ANN, span/chunk-level dedup,
     # the C4 rule battery, and two of the new TPC-H shapes
@@ -103,7 +101,10 @@ HEADLINE = [
     # signal (its scale behavior is judged by plan shape instead).
     # Three near-duplicate shapes (order_priority_check,
     # text_token_stats, dedup_chunk_exact) left the headline to keep
-    # the wall under the 45s hygiene bar as the set grew to 54.
+    # the wall under the 45s hygiene bar as the set grew to 52
+    # (also forecast_revenue_change and multimodal_binary_features —
+    # their families stay covered by returned_item_customers and
+    # multimodal_decode_pipeline).
     "cumulate_window_revenue",
     "rollup_hierarchy_events",
     "similarity_sq8_topk",
@@ -111,6 +112,11 @@ HEADLINE = [
     "doc_lm_cross_entropy",
     "quantile_histogram_events",
     "corr_matrix_lineitem",
+    # CEP analytics (cheap, distinct family). market_basket_part_pairs
+    # measured 2.4s at sf0.1 (1M+ pair rows) and stays out of the
+    # headline for the 45s hygiene bar — correctness-graded like every
+    # registered query.
+    "cep_rising_streaks",
 ]
 
 
