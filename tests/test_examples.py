@@ -67,3 +67,40 @@ def test_connector_pipeline_example_cli(tmp_path):
     with open(os.path.join(out, sorted(manifests)[-1])) as fh:
         m = json.load(fh)
     assert m["total_rows"] > 0
+
+
+def test_cumulate_example_cli(tmp_path):
+    import subprocess
+    import sys
+
+    ticks = str(tmp_path / "ticks")
+    gen = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "datagen", "stock.py"),
+            "--target", "dir",
+            "--out-dir", ticks,
+            "--base-time", "2024-06-01T00:00:00",
+            "--step-s", "600",
+            "--n-files", "2",
+            "--seed", "7",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert gen.returncode == 0, gen.stderr[-500:]
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "cumulate_window.py"),
+            "--path", ticks,
+            "--max-size", "1 day",
+            "--step", "6 hours",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    assert "window_start" in proc.stdout and "window_end" in proc.stdout
