@@ -131,3 +131,43 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@register(
+    "file_provenance_audit",
+    oracle="""
+    SELECT 'events.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(ts) AS min_ts,
+           max(ts) AS max_ts,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+    FROM events
+    """,
+    doc="File-level provenance/lineage audit via Spark's hidden "
+    "_metadata column: per input file, row count, event-time span, "
+    "and type cardinality — the which-file-broke-the-pipeline query "
+    "(skew hunting, late-file detection, backfill verification). "
+    "Zero extra scan cost: _metadata is populated by the reader "
+    "itself. The fixture is single-file, so one row here; on a real "
+    "lake this is one row per ingested file.",
+)
+def file_provenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    # _metadata exists only on the raw scan (not after repartition),
+    # so read directly rather than through read_table
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        df.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.count_distinct("event_type").alias("n_event_types"),
+        )
+    )

@@ -323,6 +323,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "graph_triangle_count",
     "embedding_drift_by_label",
     "dedup_lsh_recall_audit",
+    "file_provenance_audit",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
