@@ -886,3 +886,63 @@ def streaming_quantile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = _replay_events_stream(spark, sf_dir, "qsketch", build)
     return quantiles_from_histogram(sink)
+
+
+@register(
+    "streaming_session_timeout_replay",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 5 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+    s AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sid
+        FROM o),
+    sess AS (
+        SELECT user_id, sid, min(ts) AS st, max(ts) AS lt,
+               count(*) AS n
+        FROM s GROUP BY 1, 2),
+    m AS (SELECT max(ts) AS mx FROM events),
+    marked AS (
+        SELECT sess.*,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY st DESC) = 1 AS is_last
+        FROM sess)
+    SELECT CAST(user_id AS BIGINT) AS key,
+           st AS session_start,
+           lt + INTERVAL 5 MINUTE AS session_end,
+           CAST(n AS BIGINT) AS n_events
+    FROM marked, m
+    WHERE NOT is_last
+       OR (lt + INTERVAL 5 MINUTE <= m.mx - INTERVAL 20 SECOND)
+    """,
+    doc="The timeout-closed stateful sessionizer as a value-checked "
+    "STREAMING oracle row (the tenth): a session emits either when a "
+    "later event data-closes it (every non-final session of a user) "
+    "or when the event-time watermark passes its last_ts + gap "
+    "(GroupStateTimeout.EventTimeTimeout). The oracle encodes both "
+    "emission causes against the replay-end watermark max(ts) - 20s "
+    "— empirically pinned exact at sf0.01 (9,918 sessions).",
+)
+def streaming_session_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    def build(stream, name):
+        return sessionize_stateful(
+            stream, key_col="user_id", ts_col="ts", gap="5 minutes",
+            watermark="20 seconds",
+        )
+
+    return _replay_events_stream(
+        spark, sf_dir, "sessto", build, output_mode="append"
+    )

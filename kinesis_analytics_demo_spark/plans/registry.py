@@ -324,6 +324,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "embedding_drift_by_label",
     "dedup_lsh_recall_audit",
     "file_provenance_audit",
+    "streaming_session_timeout_replay",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
