@@ -119,6 +119,8 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "chisq_event_type_weekday",  # 1-row grand-total broadcast
         "temporal_split_embargo",  # 1-row percentile-cutoff broadcast
         "pagerank_trade_graph",  # 1-row dangling-mass broadcast per iter
+        "corpus_token_budget_select",  # 1-row corpus-total broadcast
+        "market_basket_part_pairs",  # 1-row basket-count broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():
