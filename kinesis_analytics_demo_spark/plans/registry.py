@@ -84,6 +84,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.text3  # noqa: F401
     import kinesis_analytics_demo_spark.functions.udfs  # noqa: F401
     import kinesis_analytics_demo_spark.operators.training  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.tsearch  # noqa: F401
     import kinesis_analytics_demo_spark.plans.reference_queries  # noqa: F401
 
 
@@ -325,6 +326,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "dedup_lsh_recall_audit",
     "file_provenance_audit",
     "streaming_session_timeout_replay",
+    "timeseries_similarity_topk",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -121,6 +121,7 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "pagerank_trade_graph",  # 1-row dangling-mass broadcast per iter
         "corpus_token_budget_select",  # 1-row corpus-total broadcast
         "market_basket_part_pairs",  # 1-row basket-count broadcast
+        "timeseries_similarity_topk",  # 1-row day0 + 5 query profiles
     }
     offenders = {}
     for name, spec in all_queries().items():
