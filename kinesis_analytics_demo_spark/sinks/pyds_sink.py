@@ -57,15 +57,31 @@ def _write_partition(path: str, prefix: str, iterator) -> _FileCommit:
 
 def _commit_files(path: str, manifest_name: str, messages) -> None:
     entries = []
+    own_tmps = set()
     for m in messages:
-        if m is None or m.n_rows == 0:
-            if m is not None and os.path.exists(m.tmp_path):
+        if m is None:
+            continue
+        own_tmps.add(os.path.basename(m.tmp_path))
+        if m.n_rows == 0:
+            if os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
             continue
         os.rename(m.tmp_path, m.final_path)
         entries.append(
             {"file": os.path.basename(m.final_path), "rows": m.n_rows}
         )
+    # Janitor: a query killed mid-batch strands its dot-prefixed temp
+    # files (workers die before abort() runs). Temps are invisible to
+    # readers, but sweep orphans here so a restarted writer leaves a
+    # clean directory. Safe because the sink is single-writer-per-path
+    # (batches are sequential within a query; concurrent queries must
+    # use distinct paths).
+    for f in os.listdir(path):
+        if f.startswith(".") and f.endswith(".tmp") and f not in own_tmps:
+            try:
+                os.remove(os.path.join(path, f))
+            except OSError:
+                pass
     manifest = os.path.join(path, manifest_name)
     tmp = manifest + ".tmp"
     with open(tmp, "w") as fh:

@@ -73,9 +73,15 @@ def test_streaming_write_per_batch_manifests(spark, tmp_path):
     finally:
         q.stop()
     manifests = sorted(f for f in os.listdir(out) if f.startswith("_manifest-"))
+    manifested = set()
     for mf in manifests:
         total, files = _manifest_total(out, mf)
         assert total == 60, (mf, total)
         for e in files:
             assert os.path.exists(os.path.join(out, e["file"]))
-    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+            manifested.add(e["file"])
+    # reader-visibility invariant: every VISIBLE data file is
+    # manifest-committed (dot-prefixed temps from a batch aborted by
+    # q.stop() are hidden from readers and swept by the next commit)
+    visible = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert visible == manifested, (visible - manifested, manifested - visible)
