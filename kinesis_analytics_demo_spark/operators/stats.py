@@ -241,3 +241,36 @@ def chisq_event_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
     )
+
+
+@register(
+    "daily_p95_value",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Windowed exact percentile: p95 of value per (event_type, "
+    "day) — the SLO/latency-dashboard shape (global percentiles hide "
+    "regressions that daily ones expose). Exact per-group sort is "
+    "fine because groups are day-bounded; at larger windows swap in "
+    "the mergeable histogram sketch (quantile_histogram_events). "
+    "F.percentile == quantile_cont bit-for-bit (the winsorize-"
+    "established parity), rounded once.",
+)
+def daily_p95_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        )
+        .select("event_type", "day", F.col("n").cast("bigint"), "p95")
+    )

@@ -327,6 +327,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "file_provenance_audit",
     "streaming_session_timeout_replay",
     "timeseries_similarity_topk",
+    "daily_p95_value",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
