@@ -302,3 +302,65 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               MAX(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS last_view_ts
+        FROM events),
+    conv AS (
+        SELECT user_id,
+               epoch(ts) - epoch(last_view_ts) AS secs
+        FROM o
+        WHERE event_type = 'purchase' AND last_view_ts IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           ROUND(quantile_cont(secs, 0.5), 6) AS p50_secs,
+           ROUND(quantile_cont(secs, 0.9), 6) AS p90_secs,
+           ROUND(min(secs), 6) AS min_secs,
+           ROUND(max(secs), 6) AS max_secs
+    FROM conv
+    """,
+    doc="Funnel latency: the time-to-convert distribution (seconds "
+    "from each purchase back to the user's most recent prior view) — "
+    "the metric stage-count funnels can't give you. One running-MAX "
+    "window pass (the CEP shape) feeds exact p50/p90; durations are "
+    "exact epoch differences, so both engines agree to the "
+    "microsecond.",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts.asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = ev.select(
+        "user_id",
+        ts.alias("ts"),
+        "event_type",
+        F.max(F.when(F.col("event_type") == "view", ts)).over(w).alias(
+            "last_view_ts"
+        ),
+    )
+    conv = o.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_view_ts").isNotNull()
+    ).select(
+        (
+            F.col("ts").cast("double") - F.col("last_view_ts").cast("double")
+        ).alias("secs")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.round(F.percentile("secs", 0.5), 6).alias("p50_secs"),
+        F.round(F.percentile("secs", 0.9), 6).alias("p90_secs"),
+        F.round(F.min("secs"), 6).alias("min_secs"),
+        F.round(F.max("secs"), 6).alias("max_secs"),
+    )

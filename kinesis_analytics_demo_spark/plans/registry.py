@@ -328,6 +328,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "streaming_session_timeout_replay",
     "timeseries_similarity_topk",
     "daily_p95_value",
+    "funnel_time_to_convert",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
