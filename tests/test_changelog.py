@@ -1,0 +1,102 @@
+"""Changelog (retract-stream) emission: replaying the log
+reconstructs the batch aggregate exactly, retractions carry the
+correct previous values, and unchanged re-emissions are dropped."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.streaming.changelog import (
+    changelog_writer,
+    latest_state,
+)
+
+
+def test_changelog_reconstructs_batch_aggregate(spark, tmp_path):
+    from kinesis_analytics_demo_spark.sources.pyds import register_stock_ticks
+
+    register_stock_ticks(spark)
+    log = str(tmp_path / "log")
+    stream = (
+        spark.readStream.format("stock_ticks")
+        .option("rows_per_batch", 150)
+        .option("n_partitions", 2)
+        .load()
+    )
+    agg = stream.groupBy("ticker").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("price").alias("max_price"),
+    )
+    q = (
+        agg.writeStream.foreachBatch(
+            changelog_writer(log, ["ticker"], ["n", "max_price"])
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows_seen = 0
+        while time.time() < deadline:
+            try:
+                cl = spark.read.parquet(log)
+                ids = [r["batch_id"] for r in cl.select("batch_id").distinct().collect()]
+                if len(ids) >= 3:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        else:
+            raise AssertionError("fewer than 3 changelog batches")
+    finally:
+        q.stop()
+
+    cl = spark.read.parquet(log)
+    done_batches = sorted(
+        r["batch_id"] for r in cl.select("batch_id").distinct().collect()
+    )
+    # the final batch may have been half-appended when q.stop() landed
+    # mid-write — analyze only provably complete batches
+    cl = cl.filter(F.col("batch_id") < done_batches[-1])
+    # reconstruct the snapshot from the log alone
+    snap = {
+        r["ticker"]: (r["n"], r["max_price"])
+        for r in latest_state(cl, ["ticker"]).collect()
+    }
+    # ground truth: batch aggregate over the tick prefix the completed
+    # changelog batches cover (total rows = sum of per-batch inputs =
+    # max n across tickers summed — derive from the log's own totals)
+    total_rows = sum(n for n, _ in snap.values())
+    batch = (
+        spark.read.format("stock_ticks")
+        .option("n_rows", total_rows)
+        .load()
+        .groupBy("ticker")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("price").alias("max_price"))
+    )
+    exp = {
+        r["ticker"]: (r["n"], r["max_price"]) for r in batch.collect()
+    }
+    assert snap == exp
+
+    # retractions must carry the exact value previously inserted
+    rows = cl.collect()
+    by_key_ordered = {}
+    for r in sorted(rows, key=lambda r: (r["batch_id"], r["seq"])):
+        by_key_ordered.setdefault(r["ticker"], []).append(r)
+    for ticker, seq in by_key_ordered.items():
+        last_val = None
+        for r in seq:
+            if r["op"] in ("I", "U+"):
+                last_val = (r["n"], r["max_price"])
+            elif r["op"] == "U-":
+                assert (r["n"], r["max_price"]) == last_val, (
+                    ticker, r["batch_id"],
+                )
+        # counts never decrease for a running aggregate
+        ns = [r["n"] for r in seq if r["op"] in ("I", "U+")]
+        assert ns == sorted(ns)
