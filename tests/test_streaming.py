@@ -962,3 +962,92 @@ def test_stateful_session_timeout_equals_batch_sessions(spark, tmp_path):
     }
     assert exp <= got, f"missing {len(exp - got)} closed sessions"
     assert got <= all_batch, "stream emitted a non-session"
+
+
+def test_dimension_refresh_via_versioned_pointer(spark, tmp_path):
+    """The broadcast-state analog done right: in-place overwrite of a
+    parquet dimension RACES in-flight batches (the planned file list
+    goes stale -> FILE_NOT_EXIST kills the query), so the refresh
+    pattern is versioned dim directories published via an atomically
+    renamed pointer file; foreachBatch resolves the pointer and loads
+    that immutable version each batch."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kinesis_analytics_demo_spark.sources.pyds import register_stock_ticks
+
+    register_stock_ticks(spark)
+    root = str(tmp_path)
+    out_path = os.path.join(root, "enriched")
+    pointer = os.path.join(root, "dim_CURRENT")
+
+    def publish_dim(version: str, rating: str):
+        path = os.path.join(root, f"dim_{version}")
+        spark.createDataFrame(
+            [("AAPL", rating), ("AMZN", rating),
+             ("MSFT", rating), ("TSLA", rating)],
+            "ticker string, rating string",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        with open(pointer + ".tmp", "w") as fh:
+            fh.write(path)
+        os.rename(pointer + ".tmp", pointer)  # atomic publish
+
+    publish_dim("v1", "old")
+    stream = (
+        spark.readStream.format("stock_ticks")
+        .option("rows_per_batch", 50)
+        .load()
+    )
+
+    def enrich(batch_df, batch_id):
+        with open(pointer) as fh:
+            dim_path = fh.read().strip()
+        dim = spark.read.parquet(dim_path)  # immutable version: no race
+        (
+            batch_df.join(F.broadcast(dim), "ticker")
+            .select("ticker", "price", "rating")
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+
+        def n_rows():
+            try:
+                return spark.read.parquet(out_path).count()
+            except Exception:
+                return 0
+
+        while time.time() < deadline and n_rows() < 50:
+            time.sleep(0.3)
+        n_before = n_rows()
+        publish_dim("v2", "new")  # refresh mid-stream, atomically
+        while time.time() < deadline:
+            try:
+                if (
+                    spark.read.parquet(out_path)
+                    .filter(F.col("rating") == "new")
+                    .count()
+                    > 0
+                ):
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    ratings = {
+        r["rating"]
+        for r in spark.read.parquet(out_path).select("rating").distinct().collect()
+    }
+    assert ratings == {"old", "new"}, ratings
+    assert n_before > 0
