@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kinesis_analytics_demo_spark.functions import hashing as _H
 from kinesis_analytics_demo_spark.plans.registry import register
 from kinesis_analytics_demo_spark.session import read_table as tbl
 from kinesis_analytics_demo_spark.streaming.windows import (
@@ -945,4 +946,69 @@ def streaming_session_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFr
 
     return _replay_events_stream(
         spark, sf_dir, "sessto", build, output_mode="append"
+    )
+
+
+@register(
+    "streaming_kmv_replay",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               {_H.sql_md5_long('user_id::VARCHAR')} AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rn
+        FROM h
+    )
+    SELECT event_type AS key,
+           CAST(count(*) AS BIGINT) AS sketch_size,
+           max(h) AS kth_min_hash,
+           CASE WHEN count(*) < 256
+                THEN CAST(count(*) AS DOUBLE)
+                ELSE CAST(ROUND(255 * {1 << 60}.0 / max(h), 4) AS DOUBLE)
+           END AS approx_distinct
+    FROM ranked
+    WHERE rn <= 256
+    GROUP BY event_type
+    """,
+    doc="The KMV distinct sketch on the STREAMING path as a custom "
+    "stateful operator (bottom-256 longs per key, set-union merge "
+    "per batch). The bottom-k set is a pure function of the values "
+    "seen, so the FINAL emission — recovered from the append log by "
+    "the sketch's monotonicity (max sketch_size, then min "
+    "kth_min_hash per key) — equals the batch KMV oracle exactly, "
+    "regardless of micro-batch boundaries. Distinct users per "
+    "event type.",
+)
+def streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.functions import hashing as H
+    from kinesis_analytics_demo_spark.streaming.stateful import (
+        running_kmv_stateful,
+    )
+
+    def build(stream, name):
+        hashed = stream.select(
+            "event_type",
+            H.md5_long(F.col("user_id").cast("string")).alias("uh"),
+        )
+        return running_kmv_stateful(
+            hashed, key_col="event_type", hash_col="uh"
+        )
+
+    sink = _replay_events_stream(
+        spark, sf_dir, "kmv", build, output_mode="append"
+    )
+    # final sketch per key out of the append log (monotone evolution)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("key").orderBy(
+        F.desc("sketch_size"), F.asc("kth_min_hash")
+    )
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )

@@ -329,6 +329,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "timeseries_similarity_topk",
     "daily_p95_value",
     "funnel_time_to_convert",
+    "streaming_kmv_replay",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -387,3 +387,81 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ------------------------------------------------------ streaming KMV
+_KMV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("sketch_size", T.LongType()),
+        T.StructField("kth_min_hash", T.LongType()),
+        T.StructField("approx_distinct", T.DoubleType()),
+    ]
+)
+
+_KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("hashes", T.ArrayType(T.LongType()))]
+)
+
+
+def _make_kmv_fn(k: int, hash_space: int, hash_col: str):
+    def kmv_fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (key_val,) = key
+        hs = set()
+        if state.exists:
+            (stored,) = state.get
+            hs = set(int(h) for h in stored)
+        for pdf in pdf_iter:
+            hs.update(int(h) for h in pdf[hash_col])
+        bottom = sorted(hs)[:k]
+        state.update((bottom,))
+        size = len(bottom)
+        hk = bottom[-1] if bottom else None
+        est = (
+            float(size)
+            if size < k
+            else round((k - 1) * float(hash_space) / hk, 4)
+        )
+        yield pd.DataFrame(
+            {
+                "key": [key_val],
+                "sketch_size": [size],
+                "kth_min_hash": [hk],
+                "approx_distinct": [est],
+            }
+        )
+
+    return kmv_fn
+
+
+def running_kmv_stateful(
+    df: DataFrame,
+    key_col: str,
+    hash_col: str,
+    k: int = 256,
+    hash_space: int = 1 << 60,
+) -> DataFrame:
+    """Per-key KMV (bottom-k) distinct-count sketch across
+    micro-batches — the streaming twin of
+    ``operators/sketches.py::approx_distinct_kmv`` as a custom
+    stateful operator: state per key is at most ``k`` longs, each
+    batch merges its hashes and re-emits the sketch summary.
+
+    The bottom-k set is a pure function of the VALUES seen (set
+    union is order-free), so the final emission equals the batch KMV
+    of the same data exactly — oracle-checkable despite arbitrary
+    micro-batch boundaries. Sketch evolution is monotone
+    (sketch_size nondecreasing, kth_min_hash nonincreasing once
+    full), which is what lets a consumer pick the final row out of an
+    append-mode emission log deterministically.
+    """
+    grouped = df.groupBy(key_col)
+    return grouped.applyInPandasWithState(
+        _make_kmv_fn(k, hash_space, hash_col),
+        outputStructType=_KMV_OUTPUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
