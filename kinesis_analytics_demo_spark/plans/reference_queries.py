@@ -1012,3 +1012,95 @@ def streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def _cms_oracle():
+    from kinesis_analytics_demo_spark.plans.registry import get_query
+
+    return get_query("heavy_hitters_cms").oracle
+
+
+@register(
+    "streaming_cms_replay",
+    oracle=_cms_oracle(),
+    doc="The count-min heavy-hitters sketch on the STREAMING path: "
+    "the (depth, bucket) counts ARE a single mergeable aggregate, so "
+    "the sketch streams in complete mode exactly like the quantile "
+    "histogram (bounded 4x64-integer state regardless of stream "
+    "length); the exact-top-20 audit and min-over-rows estimates "
+    "finalize downstream from the sink. Equals the batch CMS oracle "
+    "exactly — counts are pure functions of the tokens seen.",
+)
+def streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.functions import hashing as H
+    from kinesis_analytics_demo_spark.operators.analytics import (
+        CMS_DEPTH,
+        CMS_TOP_K,
+        _bucket,
+    )
+    from kinesis_analytics_demo_spark.session import read_table
+
+    def build(stream, name):
+        th = stream.select(
+            F.explode(H.words(F.col("text"))).alias("token")
+        ).select((H.md5_long(F.col("token")) % H.MERSENNE_P).alias("h"))
+        rows = th.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _bucket(d, F.col("h")).alias("bucket"),
+                        )
+                        for d in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.d", "s.bucket")
+        return rows.groupBy("d", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
+    cms = _replay_events_stream(
+        spark, sf_dir, "cms", build, table="documents"
+    )
+    # downstream finalization: exact top-k audit against the streamed
+    # sketch (batch side, same as the quantile finalization stage)
+    docs = read_table(spark, sf_dir, "documents")
+    th = docs.select(
+        F.explode(H.words(F.col("text"))).alias("token")
+    ).select("token", (H.md5_long(F.col("token")) % H.MERSENNE_P).alias("h"))
+    exact = (
+        th.groupBy("token", "h")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.col("token"))
+        .limit(CMS_TOP_K)
+    )
+    probes = exact.select(
+        "token",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _bucket(d, F.col("h")).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("s"),
+    ).select("token", "exact_count", "s.d", "s.bucket")
+    est = (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "token",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_count")).alias(
+            "never_underestimates"
+        ),
+    )

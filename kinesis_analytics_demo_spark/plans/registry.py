@@ -330,6 +330,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "daily_p95_value",
     "funnel_time_to_convert",
     "streaming_kmv_replay",
+    "streaming_cms_replay",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
