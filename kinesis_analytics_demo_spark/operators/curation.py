@@ -143,3 +143,63 @@ def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
         F.round(F.lit(1.0) / F.col("cluster_size"), 9).alias("weight"),
     )
+
+
+@register(
+    "source_quality_report",
+    oracle=f"""
+    WITH t AS (SELECT source, {_SQL_TOKENS} AS toks FROM documents),
+    q AS (SELECT source,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 {sql_quality_score('toks')} AS quality_score
+          FROM t)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(quality_score, 9) AS DECIMAL(12,9)))
+                      AS DOUBLE) / count(*), 6) AS mean_quality,
+           CAST(SUM(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_half
+    FROM q GROUP BY source
+    """,
+    doc="Per-source corpus quality report: document and token "
+    "counts, mean quality score, and the above-threshold tally — "
+    "the one-row-per-source management summary steering mixing "
+    "weights. The mean folds 9-digit-rounded scores through a "
+    "DECIMAL sum (order-free) before one double division; built on "
+    "the shared quality-score fragment so it can never drift from "
+    "the scorer.",
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.operators.text import EN_STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = H.words(F.col("text"))
+    stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n = F.size(toks).cast("bigint")
+    nd = F.size(F.array_distinct(toks)).cast("bigint")
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.array_contains(stoplist, w))
+    ).cast("bigint")
+    score = (
+        F.lit(0.4) * F.least(n / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (nd / n)
+        + F.lit(0.3) * F.least((n_stop / n) / F.lit(0.1), F.lit(1.0))
+    )
+    q = docs.select(
+        "source", n.alias("n_tokens"), score.alias("quality_score")
+    )
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(
+                F.round(F.col("quality_score"), 9).cast("decimal(12,9)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+        F.sum(
+            F.when(F.col("quality_score") >= 0.5, 1).otherwise(0)
+        ).cast("bigint").alias("n_above_half"),
+    )

@@ -331,6 +331,7 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "funnel_time_to_convert",
     "streaming_kmv_replay",
     "streaming_cms_replay",
+    "source_quality_report",
 ]
 
 def all_queries() -> dict[str, QuerySpec]:
