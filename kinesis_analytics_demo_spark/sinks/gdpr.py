@@ -22,8 +22,30 @@ those formats add a transaction log on top of the same rewrite.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+# Hive escapes these characters in partition directory names
+# (org.apache.hadoop.hive.common.FileUtils.escapePathName); Spark
+# follows the same convention when writing partitioned output.
+_HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _partition_dirname(partition_col: str, value) -> str:
+    """Directory name Spark writes for ``partition_col=value``."""
+    if value is None:
+        return f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+    s = str(value)
+    out = []
+    for ch in s:
+        if ch in _HIVE_ESCAPE or ord(ch) < 0x20:
+            out.append("%{:02X}".format(ord(ch)))
+        else:
+            out.append(ch)
+    return f"{partition_col}={''.join(out)}"
 
 
 def delete_keys_partitioned(
@@ -52,6 +74,17 @@ def delete_keys_partitioned(
     survivors = df.filter(
         F.col(partition_col).isin(affected) & ~F.col(key_col).isin(keys)
     )
+    # Dynamic overwrite only replaces partitions PRESENT in the
+    # written frame — a partition whose every row is doomed has no
+    # survivor rows, is absent from the write, and would be left
+    # fully intact (the erasure would silently fail for exactly the
+    # subjects most concentrated in one partition). Find those
+    # partitions up front and delete their directories afterwards.
+    surviving_parts = {
+        r[partition_col]
+        for r in survivors.select(partition_col).distinct().collect()
+    }
+    doomed_parts = [p for p in affected if p not in surviving_parts]
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -63,4 +96,8 @@ def delete_keys_partitioned(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for p in doomed_parts:
+        d = os.path.join(path, _partition_dirname(partition_col, p))
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     return audit

@@ -12,10 +12,15 @@ story; reference flink/tumbling_window.py:127-128):
   trail downstream consumers reconcile against);
 - ``abort()`` deletes temps, so failed/speculative attempts leave
   nothing;
-- the STREAMING writer keys manifests by micro-batch id: a replayed
-  batch (checkpoint recovery) overwrites the same manifest and file
-  names idempotently — at-least-once execution, exactly-once visible
-  output.
+- the STREAMING writer keys manifests by micro-batch id, and final
+  file names are DETERMINISTIC — ``<prefix>-<batch>-<i>.jsonl`` from
+  the commit-message (partition) index, never a per-attempt uuid. A
+  replayed batch (failure after commit() but before the checkpoint
+  offset commit) therefore renames onto the SAME names, and commit
+  additionally reads any existing ``_manifest-<batch>`` and deletes
+  the files it lists before renaming the new attempt's files (covers
+  a replay that produced a different partitioning) — at-least-once
+  execution, exactly-once visible output.
 
 Scale: tasks write independently (no driver data); commit touches
 only O(tasks) renames. Executor pickling follows the repo's
@@ -37,9 +42,8 @@ from pyspark.sql.datasource import (
 
 
 class _FileCommit(WriterCommitMessage):
-    def __init__(self, tmp_path: str, final_path: str, n_rows: int):
+    def __init__(self, tmp_path: str, n_rows: int):
         self.tmp_path = tmp_path
-        self.final_path = final_path
         self.n_rows = n_rows
 
 
@@ -51,14 +55,32 @@ def _write_partition(path: str, prefix: str, iterator) -> _FileCommit:
         for row in iterator:
             fh.write(json.dumps(row.asDict(), default=str) + "\n")
             n += 1
-    final = os.path.join(path, f"{prefix}-{uuid.uuid4().hex[:12]}.jsonl")
-    return _FileCommit(tmp, final, n)
+    return _FileCommit(tmp, n)
 
 
-def _commit_files(path: str, manifest_name: str, messages) -> None:
+def _commit_files(path: str, manifest_name: str, messages, name_prefix) -> None:
+    """Rename temps into place under DETERMINISTIC final names derived
+    from ``name_prefix`` + the commit-message index (Spark hands
+    ``messages`` in partition order), so a replayed micro-batch
+    overwrites rather than duplicates. Any files listed by an existing
+    manifest of the same name (a prior attempt of this batch that
+    committed before the checkpoint offset did) are deleted first, so
+    a replay with a DIFFERENT partitioning cannot strand files."""
+    manifest = os.path.join(path, manifest_name)
+    if os.path.exists(manifest):
+        try:
+            with open(manifest) as fh:
+                stale = json.load(fh).get("files", [])
+        except (OSError, ValueError):
+            stale = []
+        for e in stale:
+            try:
+                os.remove(os.path.join(path, e["file"]))
+            except OSError:
+                pass
     entries = []
     own_tmps = set()
-    for m in messages:
+    for i, m in enumerate(messages):
         if m is None:
             continue
         own_tmps.add(os.path.basename(m.tmp_path))
@@ -66,9 +88,10 @@ def _commit_files(path: str, manifest_name: str, messages) -> None:
             if os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
             continue
-        os.rename(m.tmp_path, m.final_path)
+        final_path = os.path.join(path, f"{name_prefix}-{i:05d}.jsonl")
+        os.replace(m.tmp_path, final_path)
         entries.append(
-            {"file": os.path.basename(m.final_path), "rows": m.n_rows}
+            {"file": os.path.basename(final_path), "rows": m.n_rows}
         )
     # Janitor: a query killed mid-batch strands its dot-prefixed temp
     # files (workers die before abort() runs). Temps are invisible to
@@ -82,7 +105,6 @@ def _commit_files(path: str, manifest_name: str, messages) -> None:
                 os.remove(os.path.join(path, f))
             except OSError:
                 pass
-    manifest = os.path.join(path, manifest_name)
     tmp = manifest + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
@@ -108,7 +130,7 @@ class _JsonlBatchWriter(DataSourceWriter):
         return _write_partition(self.path, "part", iterator)
 
     def commit(self, messages):
-        _commit_files(self.path, "_manifest.json", messages)
+        _commit_files(self.path, "_manifest.json", messages, "part")
 
     def abort(self, messages):
         _abort_files(messages)
@@ -124,7 +146,12 @@ class _JsonlStreamWriter(DataSourceStreamWriter):
         return _write_partition(self.path, "stream", iterator)
 
     def commit(self, messages, batchId):
-        _commit_files(self.path, f"_manifest-{batchId:08d}.json", messages)
+        _commit_files(
+            self.path,
+            f"_manifest-{batchId:08d}.json",
+            messages,
+            f"stream-{batchId:08d}",
+        )
 
     def abort(self, messages, batchId):
         _abort_files(messages)

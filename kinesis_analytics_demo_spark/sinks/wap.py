@@ -32,11 +32,16 @@ def write_audit_publish(
     batch_name: str = "batch",
 ) -> dict:
     """Write ``df`` to ``<table_dir>/_staging/<batch_name>``, run
-    ``audit(staging_parent)`` (a callable returning an expectation
+    ``audit(staged_batch_dir)`` (a callable returning an expectation
     report DataFrame with ``check``/``passed``/``n_violations``
     columns), and on all-green atomically rename the staged batch to
     ``<table_dir>/<batch_name>``. Returns
     ``{"published": bool, "report": [...], "path": final_or_staged}``.
+
+    The audit is scoped to THIS batch's staged directory — not the
+    staging parent — so a previously quarantined dirty batch sitting
+    in ``_staging`` can never fail (or double-count) the audit of a
+    later clean batch.
     """
     staging_parent = os.path.join(table_dir, "_staging")
     staged = os.path.join(staging_parent, batch_name)
@@ -45,7 +50,7 @@ def write_audit_publish(
         raise ValueError(f"batch already published: {final}")
     df.write.mode("overwrite").parquet(staged)
 
-    report_rows = [r.asDict() for r in audit(staging_parent).collect()]
+    report_rows = [r.asDict() for r in audit(staged).collect()]
     clean = all(r["passed"] for r in report_rows)
     report_path = os.path.join(staged, "_audit.json")
     with open(report_path + ".tmp", "w") as fh:

@@ -27,6 +27,9 @@ topic), not a full log scan.
 
 from __future__ import annotations
 
+import os
+
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -52,16 +55,38 @@ def changelog_writer(log_path: str, key_cols: list[str], value_cols: list[str]):
     def fn(batch_df, batch_id: int):
         spark = batch_df.sparkSession
         new = batch_df.select(*key_cols, *value_cols)
+        # First-batch means the log path genuinely does not exist /
+        # holds no data yet. Any OTHER read failure (transient IO,
+        # corrupt file) must propagate — treating it as first-batch
+        # would emit op='I' for keys that already exist and corrupt
+        # the replay-in-(batch_id,op)-order contract.
+        prev = None
         try:
-            prev = latest_state(
-                spark.read.parquet(log_path), key_cols
-            ).select(
+            # replay-aware: a replayed batch's OWN rows are already in
+            # the log — diffing against them would see 'no change' and
+            # overwrite the batch directory with nothing. The previous
+            # state is everything strictly BEFORE this batch.
+            log = spark.read.parquet(log_path).filter(
+                F.col("batch_id") < int(batch_id)
+            )
+            prev = latest_state(log, key_cols).select(
                 *key_cols,
                 *[F.col(c).alias(f"__old_{c}") for c in value_cols],
                 F.lit(True).alias("__had_prev"),
             )
-        except Exception:  # first batch: no log yet
-            prev = None
+        except AnalysisException as e:
+            getter = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", lambda: None
+            )
+            cond = getter() or ""
+            msg = str(e)
+            if not (
+                "PATH_NOT_FOUND" in cond
+                or "UNABLE_TO_INFER_SCHEMA" in cond
+                or "Path does not exist" in msg
+                or "Unable to infer schema" in msg
+            ):
+                raise
         if prev is not None:
             j = new.join(prev, key_cols, "left")
             # unchanged rows re-emitted by update mode are dropped;
@@ -77,21 +102,18 @@ def changelog_writer(log_path: str, key_cols: list[str], value_cols: list[str]):
             inserts = changed.filter(F.col("__had_prev").isNull())
             updates = changed.filter(F.col("__had_prev").isNotNull())
             out_i = inserts.select(
-                F.lit(int(batch_id)).alias("batch_id"),
                 F.lit(0).alias("seq"),
                 F.lit("I").alias("op"),
                 *key_cols,
                 *value_cols,
             )
             out_um = updates.select(
-                F.lit(int(batch_id)).alias("batch_id"),
                 F.lit(1).alias("seq"),
                 F.lit("U-").alias("op"),
                 *key_cols,
                 *[F.col(f"__old_{c}").alias(c) for c in value_cols],
             )
             out_up = updates.select(
-                F.lit(int(batch_id)).alias("batch_id"),
                 F.lit(2).alias("seq"),
                 F.lit("U+").alias("op"),
                 *key_cols,
@@ -100,12 +122,18 @@ def changelog_writer(log_path: str, key_cols: list[str], value_cols: list[str]):
             out = out_i.unionByName(out_um).unionByName(out_up)
         else:
             out = new.select(
-                F.lit(int(batch_id)).alias("batch_id"),
                 F.lit(0).alias("seq"),
                 F.lit("I").alias("op"),
                 *key_cols,
                 *value_cols,
             )
-        out.write.mode("append").parquet(log_path)
+        # batch_id lives as a hive-style PARTITION directory, written
+        # with per-directory overwrite: a foreachBatch replay of the
+        # same micro-batch (append mode is not idempotent) rewrites
+        # its own directory instead of appending duplicate rows. On
+        # read, partition discovery restores batch_id as a column.
+        out.write.mode("overwrite").parquet(
+            os.path.join(log_path, f"batch_id={int(batch_id)}")
+        )
 
     return fn

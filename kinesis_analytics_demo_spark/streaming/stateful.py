@@ -337,9 +337,16 @@ def _make_session_fn(gap_s: int, ts_col: str):
             if cur is not None:
                 state.update(cur)
                 # close the open session once the event-time watermark
-                # passes last_ts + gap
+                # passes last_ts + gap. last_ts is a tz-NAIVE datetime
+                # holding wall-clock UTC (session tz is pinned UTC);
+                # naive .timestamp() would interpret it in the OS local
+                # zone and shift the timeout by the UTC-local delta on
+                # any non-UTC host — anchor to UTC explicitly.
+                last = cur[1]
+                if last.tzinfo is None:
+                    last = last.replace(tzinfo=datetime.timezone.utc)
                 state.setTimeoutTimestamp(
-                    int(cur[1].timestamp() * 1000) + gap_s * 1000
+                    int(last.timestamp() * 1000) + gap_s * 1000
                 )
         yield pd.DataFrame(
             out_rows,

@@ -100,3 +100,50 @@ def test_changelog_reconstructs_batch_aggregate(spark, tmp_path):
         # counts never decrease for a running aggregate
         ns = [r["n"] for r in seq if r["op"] in ("I", "U+")]
         assert ns == sorted(ns)
+
+
+def test_changelog_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replays a batch after a crash-before-offset-commit;
+    the per-batch partition-overwrite write must not duplicate rows."""
+    log = str(tmp_path / "log")
+    fn = changelog_writer(log, ["k"], ["v"])
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    fn(b0, 0)
+    fn(b0, 0)  # replayed batch 0
+    cl = spark.read.parquet(log)
+    assert cl.count() == 2  # two 'I' rows, not four
+    b1 = spark.createDataFrame([("a", 5)], ["k", "v"])
+    fn(b1, 1)
+    fn(b1, 1)  # replayed batch 1
+    cl = spark.read.parquet(log)
+    rows = sorted(
+        (r["batch_id"], r["seq"], r["op"], r["k"], r["v"])
+        for r in cl.collect()
+    )
+    assert rows == [
+        (0, 0, "I", "a", 1),
+        (0, 0, "I", "b", 2),
+        (1, 1, "U-", "a", 1),
+        (1, 2, "U+", "a", 5),
+    ]
+    snap = {r["k"]: r["v"] for r in latest_state(cl, ["k"]).collect()}
+    assert snap == {"a": 5, "b": 2}
+
+
+def test_changelog_corrupt_log_raises(spark, tmp_path):
+    """A transient/corrupt log read is NOT 'first batch' — it must
+    propagate instead of silently emitting duplicate 'I' rows."""
+    import os
+
+    import pytest
+
+    log = str(tmp_path / "log")
+    fn = changelog_writer(log, ["k"], ["v"])
+    fn(spark.createDataFrame([("a", 1)], ["k", "v"]), 0)
+    # corrupt the committed batch file
+    bdir = os.path.join(log, "batch_id=0")
+    victim = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+    with open(os.path.join(bdir, victim), "wb") as fh:
+        fh.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        fn(spark.createDataFrame([("a", 2)], ["k", "v"]), 1)

@@ -70,6 +70,38 @@ def test_delete_rewrites_only_affected_partitions(spark, tmp_path):
             assert p in files_after and files_after[p] == mtime, p
 
 
+def test_delete_all_keys_of_one_partition(spark, tmp_path):
+    """When EVERY row of a partition is doomed, there are no survivor
+    rows for it, dynamic overwrite leaves it untouched — the directory
+    itself must be deleted, or the erasure silently fails for exactly
+    the subjects concentrated in that partition."""
+    rows = [
+        # partition 'error' holds ONLY users 1 and 2 → fully doomed
+        (1, "error", 10.0), (2, "error", 11.0), (1, "error", 12.0),
+        # partition 'view' holds users 1, 2 AND 3 → partially doomed
+        (1, "view", 20.0), (2, "view", 21.0), (3, "view", 22.0),
+        # partition 'click' holds only user 3 → untouched
+        (3, "click", 30.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "value"])
+    path = str(tmp_path / "lake")
+    df.write.partitionBy("event_type").parquet(path)
+
+    audit = delete_keys_partitioned(
+        spark, path, key_col="user_id", keys=[1, 2],
+        partition_col="event_type",
+    )
+    assert audit == {"error": 3, "view": 2}
+
+    # the fully-doomed partition's directory is GONE
+    assert not os.path.isdir(os.path.join(path, "event_type=error"))
+    after = spark.read.parquet(path)
+    got = sorted(
+        (r["user_id"], r["event_type"], r["value"]) for r in after.collect()
+    )
+    assert got == [(3, "click", 30.0), (3, "view", 22.0)]
+
+
 def test_delete_missing_keys_is_noop(spark, tmp_path):
     events = read_table(spark, SF_SMALL, "events")
     path = str(tmp_path / "lake")

@@ -85,3 +85,50 @@ def test_streaming_write_per_batch_manifests(spark, tmp_path):
     # q.stop() are hidden from readers and swept by the next commit)
     visible = {f for f in os.listdir(out) if f.endswith(".jsonl")}
     assert visible == manifested, (visible - manifested, manifested - visible)
+
+
+def _visible_rows(out):
+    rows = []
+    for f in sorted(os.listdir(out)):
+        if f.endswith(".jsonl"):
+            with open(os.path.join(out, f)) as fh:
+                rows.extend(json.loads(line) for line in fh)
+    return rows
+
+
+def test_streaming_replayed_batch_is_idempotent(tmp_path):
+    """A micro-batch replayed after commit() but before the checkpoint
+    offset commit must overwrite — not duplicate — its output: final
+    names are deterministic and the prior attempt's manifest files are
+    reclaimed, so visible files == manifested files always holds."""
+    from pyspark.sql import Row
+
+    from kinesis_analytics_demo_spark.sinks.pyds_sink import (
+        _JsonlStreamWriter,
+    )
+
+    out = str(tmp_path / "out")
+    w = _JsonlStreamWriter({"path": out})
+
+    def run_attempt(partitions):
+        msgs = [w.write(iter(rows)) for rows in partitions]
+        w.commit(msgs, 7)
+
+    rows = [Row(a=1), Row(a=2), Row(a=3)]
+    run_attempt([rows[:2], rows[2:]])
+    first_files = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    # replay, same partitioning: same deterministic names, overwritten
+    run_attempt([rows[:2], rows[2:]])
+    assert {f for f in os.listdir(out) if f.endswith(".jsonl")} == first_files
+    total, files = _manifest_total(out, "_manifest-00000007.json")
+    assert total == 3
+    assert sorted(r["a"] for r in _visible_rows(out)) == [1, 2, 3]
+
+    # replay with a DIFFERENT partitioning: stale names from the prior
+    # manifest are deleted, no orphan duplicates survive
+    run_attempt([rows[:1], rows[1:2], rows[2:]])
+    total, files = _manifest_total(out, "_manifest-00000007.json")
+    assert total == 3
+    visible = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert visible == {e["file"] for e in files}
+    assert sorted(r["a"] for r in _visible_rows(out)) == [1, 2, 3]

@@ -20,8 +20,8 @@ def _events_audit(spark):
     """Audit: no negative values, accepted event types — the
     expectation shapes, restricted to the staged batch."""
 
-    def audit(staging_dir):
-        df = spark.read.parquet(os.path.join(staging_dir, "*"))
+    def audit(staged_dir):
+        df = spark.read.parquet(staged_dir)
         neg = df.agg(
             F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("v")
         ).select(
@@ -84,6 +84,34 @@ def test_dirty_batch_quarantined(spark, tmp_path):
     failed = [c for c in rep["checks"] if not c["passed"]]
     assert [c["check"] for c in failed] == ["value_range"]
     assert failed[0]["n_violations"] > 0
+
+
+def test_clean_batch_publishes_past_quarantined_batch(spark, tmp_path):
+    """A dirty batch left quarantined in _staging must not poison the
+    audit of a later clean batch (the audit is scoped per-batch)."""
+    events = read_table(spark, SF_SMALL, "events")
+    dirty = events.withColumn(
+        "value",
+        F.when(F.col("event_id") % 97 == 0, -5.0).otherwise(F.col("value")),
+    )
+    table = str(tmp_path / "table")
+    out1 = write_audit_publish(
+        spark, dirty, table, _events_audit(spark), batch_name="b1"
+    )
+    assert out1["published"] is False
+    assert os.path.isdir(os.path.join(table, "_staging", "b1"))
+    # clean batch staged AFTER the quarantine: must publish green
+    out2 = write_audit_publish(
+        spark, events, table, _events_audit(spark), batch_name="b2"
+    )
+    assert out2["published"] is True
+    assert os.path.isdir(os.path.join(table, "b2"))
+    assert all(c["passed"] for c in out2["report"])
+    # and its row count is ONLY its own batch (no double-count of b1)
+    assert (
+        spark.read.parquet(os.path.join(table, "b2")).count()
+        == events.count()
+    )
 
 
 def test_double_publish_rejected(spark, tmp_path):
