@@ -98,137 +98,105 @@ def _load_all_modules() -> None:
 # items 1-2), minus the 10 lowest-value relational variants that wait
 # for round 4.
 #
-# ROUND-4 ROTATION (do this first next round): replace this list with
-# the names that STILL have no driver row after r3 — positions 51+ of
-# the r3 ordering (text_*, dedup_*, multimodal_*, corpus_*, the
-# remaining relational family) plus round-3 additions
-# (dedup_embedding_clusters), so the union of r1-r4 samples covers the
-# whole registry.
+# ROUND-4 ROTATION (active): the 50 highest-value queries with NO
+# driver CORRECTNESS row after rounds 1-3 (94 such names existed at
+# the start of round 4; union of r1-r3 rows = 100 of 194). Ordering
+# favors one row per distinct capability family: the ten streaming
+# replays, window TVFs, graph, the vector-compression ladder
+# (PQ/SQ8/RP), moment-method stats, CEP, retrieval, CDC/SCD2, the
+# span/chunk dedup variants, and the UDTF/UDAF surface. The remaining
+# 44 never-checked names are staged in _DRIVER_PRIORITY_NEXT for
+# round 5, which completes registry-wide driver coverage.
 _DRIVER_PRIORITY: list[str] = [
-    # -- the reference's own headline surface (VERDICT item 1)
-    "candlestick_tumbling",
-    "candlestick_tumbling_tiebroken",
-    "sliding_window_min",
-    "sliding_window_min_fluent",
-    "sliding_window_min_twolevel",
-    "projection_rename",
-    "select_star",
-    "json_ingest_projection",
-    "streaming_candlestick_replay",
-    "streaming_sliding_replay",
-    "udf_vector_norms",
-    # -- similarity family (never driver-checked; canonical ann_lsh =
-    #    multi-table since round 3)
-    "similarity_cosine_topk",
-    "similarity_ivf",
-    "similarity_ann_lsh",
-    "similarity_ann_lsh_multiprobe",
-    "similarity_ivf_kmeans",
-    "similarity_incremental_assign",
-    # -- r1-only rows to re-land (VERDICT item 2; array_functions and
-    #    approx_aggregates were r1 `err`, fixed in 1ef5659, never yet
-    #    driver-proven)
-    "array_functions",
-    "approx_aggregates",
-    "ema_per_key",
-    "exact_percentiles",
-    "json_extraction_events",
-    "latest_order_per_customer",
-    "nation_pair_volume",
-    "string_predicates",
-    "unpivot_part_metrics",
-    # -- sketches / temporal / text2 / training (never driver-checked)
-    "approx_distinct_kmv",
-    "kmv_source_overlap",
-    "asof_join_events",
-    "resample_ffill_events",
-    "funnel_view_click_purchase",
-    "range_join_events",
-    "text_repetition_gopher",
-    "doc_chunks_fixed",
-    "vocab_top_tokens",
-    "length_quantile_filter",
-    "vocab_oov_rate",
-    "decontamination_ngram_overlap",
-    "corpus_mix_temperature",
-    "shuffle_deterministic",
-    "pack_sequences",
-    # -- relational, never driver-checked (highest-value 9 of 18)
-    "skewed_agg_salted",
-    "skewed_join_salted",
-    "market_share",
-    "promo_revenue_pct",
-    "grouping_sets_revenue",
-    "range_frame_trailing_revenue",
-    # -- round-3 additions: distinct STREAMING capabilities (stream-
-    #    stream interval join, session windows, the W4 stateful
-    #    operator) outrank three more single-shape relational rows
-    #    for the last driver slots
-    "streaming_interval_join_replay",
-    "streaming_sessionize_replay",
-    "streaming_ema_replay",
+    # -- streaming replays (one per stateful operator family)
+    "streaming_cdc_upsert_replay",
+    "streaming_corpus_prep_replay",
+    "streaming_enrich_join_replay",
+    "streaming_left_join_replay",
+    "streaming_cumulate_replay",
+    "streaming_full_outer_join_replay",
+    "streaming_quantile_replay",
+    "streaming_session_timeout_replay",
+    "streaming_kmv_replay",
+    "streaming_cms_replay",
+    # -- window TVF completion + continuous aggregates + sketch
+    "cumulate_window_revenue",
+    "rollup_hierarchy_events",
+    "window_rank_battery",
+    "quantile_histogram_events",
+    # -- graph analytics
+    "pagerank_trade_graph",
+    "graph_triangle_count",
+    # -- vector-compression ladder (PQ / SQ8 / random projection)
+    "embedding_pq_codes",
+    "similarity_pq_adc_rerank",
+    "similarity_ivfpq_adc_rerank",
+    "embedding_sq8_error",
+    "similarity_sq8_topk",
+    "embedding_random_projection",
+    "similarity_rp_topk_rerank",
+    "similarity_hard_negatives",
+    # -- LM scoring + layout
+    "doc_lm_cross_entropy",
+    "zorder_key_events",
+    # -- moment-method stats battery
+    "corr_matrix_lineitem",
+    "ols_discount_vs_quantity",
+    "chisq_event_type_weekday",
+    # -- CEP / journeys
+    "cep_click_error_no_purchase",
+    "cep_rising_streaks",
+    "event_transition_matrix",
+    "market_basket_part_pairs",
+    # -- retrieval / indexing
+    "tfidf_top_terms",
+    "bm25_search",
+    "inverted_index_postings",
+    # -- CDC / SCD2 / fuzzy decontamination
+    "cdc_upsert_latest",
+    "scd2_event_type_intervals",
+    "scd2_incremental_apply",
+    "decontamination_minhash",
+    # -- dedup variants without driver rows
+    "dedup_embedding_clusters",
+    "dedup_hybrid_clusters",
+    "dedup_repeated_ngram_spans",
+    "dedup_chunk_exact",
+    # -- curation / features / expectations
+    "text_c4_filters",
+    "data_quality_expectations",
+    "winsorize_event_values",
+    "user_feature_vector",
+    # -- UDTF + grouped-agg UDAF surface
+    "udtf_word_chunks",
+    "udaf_value_spread",
 ]
 
 
-#: ROUND-4 ROTATION, prepared at the end of round 3: the 67 queries
-#: with no driver CORRECTNESS row after rounds 1-3 (assuming the r3
-#: driver sampled the first 50 above). Next round, swap this list into
-#: _DRIVER_PRIORITY (trim/extend to exactly 50 — prefer the streaming
-#: replays, dedup/text/multimodal families, and round-3 additions at
-#: the top). test_registry pins that every name here stays registered.
-_DRIVER_PRIORITY_R4: list[str] = [
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_ngram_lang_profile",
-    "text_token_count_bpeish",
-    "text_pii_scan",
-    "text_length_histogram",
-    "text_boilerplate_ngrams",
-    "text_pii_redact",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_minhash_keep",
-    "dedup_minhash_clusters",
-    "dedup_minhash_signature",
-    "dedup_simhash_fingerprints",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_bucketed",
-    "dedup_embedding_clusters",
-    "dedup_incremental_minhash",
-    "dedup_keep_best_quality",
-    "multimodal_decode_pipeline",
-    "multimodal_binary_features",
-    "corpus_prep_pipeline",
-    "corpus_stratified_sample",
-    "corpus_sample_exact_k",
-    "corpus_train_split",
+#: ROUND-5 ROTATION, staged at the start of round 4: the 44 remaining
+#: names with no driver CORRECTNESS row in rounds 1-3 and no slot in
+#: the active round-4 list above. Swapping these in next round gives
+#: every registered query at least one driver row. NEW queries added
+#: during round 4 must be APPENDED here (test_registry enforces that
+#: active + staged + driver-checked covers the whole registry).
+_DRIVER_PRIORITY_NEXT: list[str] = [
+    "heavy_hitters_cms",
+    "cohort_retention",
+    "anomaly_zscore_events",
+    "bloom_filter_semijoin",
+    "funnel_time_to_convert",
+    "dedup_lsh_recall_audit",
+    "corpus_token_budget_select",
+    "corpus_soft_dedup_weights",
+    "source_quality_report",
+    "embedding_outliers_centroid",
     "corpus_sample_weighted",
-    "pricing_summary",
-    "shipping_priority",
-    "regional_revenue",
-    "rollup_revenue",
-    "cube_lineitem",
-    "window_functions",
-    "customers_with_high_value_orders",
-    "customers_without_orders",
-    "customer_order_counts_outer",
-    "set_ops_parts",
-    "scalar_functions",
-    "datetime_functions",
-    "top_parts_per_brand",
-    "orders_above_customer_avg",
-    "distinct_aggregates",
-    "having_filter",
-    "pivot_order_status",
-    "argminmax_events",
-    "window_frames",
-    "sessionize_events",
-    "listagg_nations",
-    "in_subquery_sql",
+    "embedding_pq_quantization_error",
+    "similarity_pq_adc",
+    "profile_lineitem",
+    "file_provenance_audit",
+    "sessionize_dynamic_gap",
+    "variant_props_extraction",
     "large_orders",
     "monthly_revenue",
     "disjunctive_filter_revenue",
@@ -238,101 +206,26 @@ _DRIVER_PRIORITY_R4: list[str] = [
     "top_supplier_revenue",
     "important_parts_value",
     "order_priority_check",
-    # -- late round-3 additions (PQ family, span/chunk dedup, C4
-    #    battery, final TPC-H shapes): never driver-checked, put them
-    #    near the front when trimming this list to 50 next round
-    "embedding_pq_codes",
-    "embedding_pq_quantization_error",
-    "similarity_pq_adc",
-    "similarity_pq_adc_rerank",
-    "dedup_repeated_ngram_spans",
-    "text_c4_filters",
-    "dedup_chunk_exact",
+    "forecast_revenue_change",
+    "returned_item_customers",
+    "late_lines_by_status",
     "min_cost_supplier",
     "product_profit_by_nation_year",
     "customer_order_count_distribution",
     "supplier_part_variety",
     "high_volume_part_suppliers",
-    "heavy_hitters_cms",
-    "cohort_retention",
-    "anomaly_zscore_events",
-    "bloom_filter_semijoin",
-    "streaming_enrich_join_replay",
-    "forecast_revenue_change",
-    "returned_item_customers",
-    "late_lines_by_status",
-    "similarity_ann_lsh_baseline",
-    "corpus_split_leakage_safe",
-    "streaming_corpus_prep_replay",
-    # -- retrieval / CDC / fuzzy-decontamination family (added after
-    #    the r3 driver sample was taken): never driver-checked
-    "tfidf_top_terms",
-    "bm25_search",
-    "inverted_index_postings",
-    "cdc_upsert_latest",
-    "scd2_event_type_intervals",
-    "decontamination_minhash",
-    "streaming_cdc_upsert_replay",
-    "winsorize_event_values",
-    "user_feature_vector",
-    "similarity_ivfpq_adc_rerank",
-    "embedding_outliers_centroid",
-    "profile_lineitem",
-    "dedup_hybrid_clusters",
-    "udtf_word_chunks",
-    "udaf_value_spread",
     "full_outer_balance_audit",
-    "streaming_left_join_replay",
+    "similarity_ann_lsh_baseline",
+    "embedding_drift_by_label",
+    "daily_p95_value",
     "text_token_entropy",
     "source_token_kl",
     "corpus_zipf_alpha",
-    "scd2_incremental_apply",
-    # -- second round-3 session additions (below): when trimming this
-    #    list to 50 next round, give these TOP priority alongside the
-    #    streaming replays — each is a distinct capability family
-    #    (window TVF completion, continuous aggregates, graph, vector
-    #    compression, LM scoring, layout, stats, CEP, curation,
-    #    expectations) with no driver row in any round
-    "cumulate_window_revenue",
-    "streaming_cumulate_replay",
-    "rollup_hierarchy_events",
-    "pagerank_trade_graph",
-    "embedding_sq8_error",
-    "similarity_sq8_topk",
-    "doc_lm_cross_entropy",
-    "zorder_key_events",
-    "embedding_random_projection",
-    "similarity_rp_topk_rerank",
-    "corr_matrix_lineitem",
-    "ols_discount_vs_quantity",
-    "chisq_event_type_weekday",
-    "quantile_histogram_events",
-    "window_rank_battery",
-    "similarity_hard_negatives",
-    "data_quality_expectations",
-    "sessionize_dynamic_gap",
+    "corpus_split_leakage_safe",
     "temporal_split_embargo",
-    "variant_props_extraction",
-    "streaming_full_outer_join_replay",
-    "corpus_token_budget_select",
-    "corpus_soft_dedup_weights",
-    "streaming_quantile_replay",
-    "cep_click_error_no_purchase",
-    "cep_rising_streaks",
-    "event_transition_matrix",
-    "market_basket_part_pairs",
-    "graph_triangle_count",
-    "embedding_drift_by_label",
-    "dedup_lsh_recall_audit",
-    "file_provenance_audit",
-    "streaming_session_timeout_replay",
     "timeseries_similarity_topk",
-    "daily_p95_value",
-    "funnel_time_to_convert",
-    "streaming_kmv_replay",
-    "streaming_cms_replay",
-    "source_quality_report",
 ]
+
 
 def all_queries() -> dict[str, QuerySpec]:
     _load_all_modules()

@@ -35,12 +35,28 @@ def test_every_query_has_doc_and_callable():
         assert spec.doc and len(spec.doc) > 20, name
 
 
-def test_round4_rotation_names_stay_registered():
-    """The prepared round-4 priority list must not rot: every name in
-    it resolves, and together with the active first-50 it covers the
-    whole registry."""
+def test_rotation_covers_whole_registry():
+    """The staged next-round priority list must not rot: every name in
+    it resolves, and active-50 + staged + already-driver-checked
+    (CORRECTNESS_r*.json) covers the whole registry — so by the end of
+    the staged rotation every query has at least one driver row. A new
+    query MUST be appended to _DRIVER_PRIORITY_NEXT when registered."""
+    import json
+    import os
+
     qs = registry.all_queries()
-    missing = [n for n in registry._DRIVER_PRIORITY_R4 if n not in qs]
+    missing = [n for n in registry._DRIVER_PRIORITY_NEXT if n not in qs]
     assert missing == []
-    covered = set(registry._DRIVER_PRIORITY) | set(registry._DRIVER_PRIORITY_R4)
-    assert covered == set(qs)
+    checked = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in sorted(os.listdir(root)):
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
+            with open(os.path.join(root, f)) as fh:
+                checked |= set(json.load(fh))
+    covered = (
+        set(registry._DRIVER_PRIORITY)
+        | set(registry._DRIVER_PRIORITY_NEXT)
+        | checked
+    )
+    uncovered = sorted(set(qs) - covered)
+    assert uncovered == [], uncovered
