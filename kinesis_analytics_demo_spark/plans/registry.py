@@ -56,6 +56,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.cdc  # noqa: F401
     import kinesis_analytics_demo_spark.operators.cep  # noqa: F401
     import kinesis_analytics_demo_spark.operators.curation  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.curation2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.expectations  # noqa: F401
     import kinesis_analytics_demo_spark.operators.features  # noqa: F401
@@ -224,6 +225,10 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "corpus_split_leakage_safe",
     "temporal_split_embargo",
     "timeseries_similarity_topk",
+    # -- round-4 additions (never driver-checked, next rotation)
+    "corpus_dsir_weights",
+    "bpe_pair_counts",
+    "k_anonymity_audit",
 ]
 
 
