@@ -380,3 +380,88 @@ def bloom_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("pass_bloom") & ~F.col("true_member"), 1).otherwise(0)
         ).alias("n_false_positives"),
     )
+
+
+ATTRIBUTION_WINDOW_S = 7 * 24 * 3600  #: last-touch lookback (7 days)
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_id END IGNORE NULLS)
+                   OVER w AS touch_id,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_id AS conversion_id, user_id,
+           touch_id AS touch_event_id, touch_type,
+           CAST(date_diff('second', touch_ts, ts) AS BIGINT)
+               AS seconds_to_convert
+    FROM ordered
+    WHERE event_type = 'purchase' AND touch_id IS NOT NULL
+      AND date_diff('second', touch_ts, ts) <= {ATTRIBUTION_WINDOW_S}
+    """,
+    doc="Marketing last-touch attribution: each purchase is credited "
+    "to the user's most recent preceding view/click within a 7-day "
+    "window — one user_id-partitioned ordered window (single "
+    "shuffle), ignore-nulls last_value over the strictly-preceding "
+    "frame, deterministic (ts, event_id) ordering. The per-user "
+    "frame is the standard sessionize/as-of shape; no join, no "
+    "second shuffle.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    ordered = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    # parquet may surface ts as TIMESTAMP_NTZ (driver testdata since
+    # r3) — cast through TIMESTAMP (session tz UTC) before epoch math
+    delta = (
+        F.col("ts").cast("timestamp").cast("long")
+        - F.col("touch_ts").cast("timestamp").cast("long")
+    )
+    return (
+        ordered.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_id").isNotNull()
+            & (delta <= ATTRIBUTION_WINDOW_S)
+        )
+        .select(
+            F.col("event_id").alias("conversion_id"),
+            "user_id",
+            F.col("touch_id").alias("touch_event_id"),
+            "touch_type",
+            delta.alias("seconds_to_convert"),
+        )
+    )

@@ -226,6 +226,135 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_BITS = 60  #: house-style 60-bit hash (stays in signed-64 range)
+PHASH_BANDS = 4  #: 4 x 15-bit chunks: pigeonhole-catches hamming <= 3
+PHASH_HAM_MAX = 3
+
+
+def _make_phash_kernel():
+    """Average-hash ("aHash") perceptual fingerprint over the fake
+    decode, as a closure for cloudpickle: bit i is set iff pixel i of
+    the decoded strip exceeds the strip mean — the classic 8x8
+    thumbnail aHash, computed here on the deterministic code-point
+    pixels (production: the real decoded thumbnail). The mean is a
+    single IEEE division and the comparisons are exact, so the hash
+    is bit-identical on every engine."""
+
+    strip = PHASH_BITS
+
+    def kernel(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        def ahash(payload: bytes) -> int:
+            px = [ord(c) for c in payload.decode("utf-8")[:strip]]
+            if not px:
+                return 0
+            mean = sum(px) / len(px)
+            out = 0
+            for i, p in enumerate(px):
+                if p > mean:
+                    out |= 1 << i
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash": pdf["payload"].map(ahash).astype("int64"),
+                }
+            )
+
+    return kernel
+
+
+@register(
+    "dedup_image_phash",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               [unicode(substr(text, i, 1))
+                for i in generate_series(1, least(length(text), {PHASH_BITS}))]
+                   AS p
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               list_sum([CASE WHEN p[i] > list_sum(p) / len(p)
+                              THEN 1::BIGINT << (i - 1) ELSE 0 END
+                         for i in generate_series(1, len(p))]) AS ah
+        FROM px)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ah, b.ah)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ah, b.ah)) <= {PHASH_HAM_MAX}
+    """,
+    doc="Perceptual-hash near-duplicate detection for the multimodal "
+    "path: decode (deterministic fake; production = real thumbnail) "
+    "-> 60-bit average-hash in the Arrow kernel -> 4x15-bit chunk "
+    "LSH banding (pigeonhole: hamming <= 3 implies a shared chunk, "
+    "recall 1.0 by construction) -> exact bit_count(xor) verify on "
+    "candidates only. The oracle brute-forces all pairs; the Spark "
+    "plan never does — candidates come from the chunk equi-join.",
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    frame = with_binary_payload(docs)
+    h = frame.select("doc_id", "payload").mapInPandas(
+        _make_phash_kernel(),
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("ahash", T.LongType()),
+            ]
+        ),
+    )
+    r = PHASH_BITS // PHASH_BANDS
+    mask = (1 << r) - 1
+    bands = h.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.shiftright(F.col("ahash"), k * r)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("c"),
+                    )
+                    for k in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "ahash", "band.k", "band.c")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+    )
+
+
 @register(
     "multimodal_binary_features",
     oracle="""

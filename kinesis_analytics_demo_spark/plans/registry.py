@@ -229,6 +229,8 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "corpus_dsir_weights",
     "bpe_pair_counts",
     "k_anonymity_audit",
+    "dedup_image_phash",
+    "attribution_last_touch",
 ]
 
 
