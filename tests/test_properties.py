@@ -513,6 +513,10 @@ def test_histogram_quantile_error_bound_random(spark, vals, tmp_path_factory):
     for q in (0.5, 0.9, 0.99):
         k = max(1, math.ceil(q * n))  # crossing bin holds this value
         target = ordered[k - 1]
-        assert abs(est[q] - target) <= binw + 1e-9, (
+        # the query's OUTPUT contract rounds estimates to 6 decimals
+        # (driver float-hash discipline), so on tiny-magnitude data
+        # the reported value is additionally quantized to the 1e-6
+        # grid — allow half a grid step on top of the bin width
+        assert abs(est[q] - target) <= binw + 5e-7 + 1e-9, (
             q, est[q], target, binw,
         )
