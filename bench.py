@@ -37,7 +37,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash_fingerprints",
-    "dedup_embedding_cosine",
+    # dedup_embedding_cosine (the EXACT all-pairs baseline, by design
+    # quadratic) left the headline in round 4: its production twin
+    # dedup_embedding_cosine_bucketed is the benched scale path, and
+    # the exact query remains correctness-graded like every
+    # registered query.
     "dedup_embedding_cosine_bucketed",
     "similarity_cosine_topk",
     # Since round 3 the canonical similarity_ann_lsh IS the multi-table
@@ -117,6 +121,14 @@ HEADLINE = [
     # headline for the 45s hygiene bar — correctness-graded like every
     # registered query.
     "cep_rising_streaks",
+    # round-4 additions: target-domain importance weighting, tokenizer
+    # pair statistics, the privacy audit, perceptual-hash near-dup on
+    # the multimodal path, and last-touch attribution
+    "corpus_dsir_weights",
+    "bpe_pair_counts",
+    "k_anonymity_audit",
+    "dedup_image_phash",
+    "attribution_last_touch",
 ]
 
 
