@@ -99,9 +99,24 @@ def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(H.words(F.col("text"))).alias("w"))
         .agg(F.count_distinct("w").alias("v"))
     )
-    c12 = bg.groupBy("bh").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1h").agg(F.count(F.lit(1)).alias("c1"))
-    tf = bg.groupBy("doc_id", "bh", "w1h").agg(F.count(F.lit(1)).alias("tf"))
+    # ONE explode-scan: aggregate to per-doc term frequencies first,
+    # then derive both model-count tables from the (persisted) compact
+    # tf table — c12 = sum tf by bigram, c1 = sum tf by context.
+    # Without this, Spark plans three independent corpus scans (it
+    # will not reuse the exploded stream across aggregations); with
+    # it, the model counts are two cheap shuffles over O(doc x
+    # distinct-bigram) rows that already fit the dedup-family
+    # shuffle-width discipline. At sf0.1/local[32] the persist costs
+    # ~0.4s more than letting three scans run concurrently — the
+    # trade flips hard at scale, where each saved scan is a full
+    # corpus read.
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    tf = tracked_persist(
+        bg.groupBy("doc_id", "bh", "w1h").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    c12 = tf.groupBy("bh").agg(F.sum("tf").alias("c12"))
+    c1 = tf.groupBy("w1h").agg(F.sum("tf").alias("c1"))
     terms = (
         tf.join(c12, "bh")
         .join(c1, "w1h")
