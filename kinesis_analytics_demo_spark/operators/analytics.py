@@ -384,10 +384,9 @@ def bloom_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ATTRIBUTION_WINDOW_S = 7 * 24 * 3600  #: last-touch lookback (7 days)
 
-
-@register(
-    "attribution_last_touch",
-    oracle=f"""
+#: shared by the batch query and the streaming replay row — the
+#: streaming stateful operator must equal this batch result exactly
+ATTRIBUTION_ORACLE = f"""
     WITH ordered AS (
         SELECT event_id, user_id, ts, event_type,
                last_value(CASE WHEN event_type IN ('view', 'click')
@@ -409,7 +408,12 @@ ATTRIBUTION_WINDOW_S = 7 * 24 * 3600  #: last-touch lookback (7 days)
     FROM ordered
     WHERE event_type = 'purchase' AND touch_id IS NOT NULL
       AND date_diff('second', touch_ts, ts) <= {ATTRIBUTION_WINDOW_S}
-    """,
+    """
+
+
+@register(
+    "attribution_last_touch",
+    oracle=ATTRIBUTION_ORACLE,
     doc="Marketing last-touch attribution: each purchase is credited "
     "to the user's most recent preceding view/click within a 7-day "
     "window — one user_id-partitioned ordered window (single "

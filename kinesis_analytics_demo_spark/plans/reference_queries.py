@@ -1104,3 +1104,46 @@ def streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_underestimates"
         ),
     )
+
+
+@register(
+    "streaming_attribution_replay",
+    oracle=None,  # set at import below to the shared batch oracle
+    doc="Last-touch attribution on the STREAMING path (the sixteenth "
+    "value-checked streaming oracle row): the events table replayed "
+    "as a file micro-batch stream through the custom stateful "
+    "operator streaming/stateful.py::attribution_stateful — state "
+    "per user is ONE row (the latest view/click), each purchase "
+    "emits its attribution in the batch it arrives, no watermark "
+    "horizon. Equals the batch window query (shared oracle) exactly.",
+)
+def streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.streaming.stateful import (
+        attribution_stateful,
+    )
+
+    def build(stream, name):
+        return attribution_stateful(stream)
+
+    return _replay_events_stream(
+        spark, sf_dir, "attr", build, output_mode="append"
+    )
+
+
+# share the batch oracle: the streaming stateful operator must equal
+# the batch window query bit-for-bit
+def _bind_attribution_oracle() -> None:
+    import dataclasses
+
+    from kinesis_analytics_demo_spark.operators.analytics import (
+        ATTRIBUTION_ORACLE,
+    )
+    from kinesis_analytics_demo_spark.plans import registry as _reg
+
+    spec = _reg._REGISTRY["streaming_attribution_replay"]
+    _reg._REGISTRY["streaming_attribution_replay"] = dataclasses.replace(
+        spec, oracle=ATTRIBUTION_ORACLE
+    )
+
+
+_bind_attribution_oracle()

@@ -231,6 +231,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "k_anonymity_audit",
     "dedup_image_phash",
     "attribution_last_touch",
+    "streaming_attribution_replay",
 ]
 
 

@@ -472,3 +472,112 @@ def running_kmv_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------ last-touch attribution
+_ATTR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conversion_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("touch_event_id", T.LongType()),
+        T.StructField("touch_type", T.StringType()),
+        T.StructField("seconds_to_convert", T.LongType()),
+    ]
+)
+
+_ATTR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("touch_ts", T.TimestampType()),
+        T.StructField("touch_id", T.LongType()),
+        T.StructField("touch_type", T.StringType()),
+    ]
+)
+
+
+def _make_attr_fn(window_s: int, ts_col: str, id_col: str, type_col: str,
+                  touch_types: tuple, conv_type: str):
+    def attr_fn(key, pdf_iter, state: GroupState):
+        import datetime
+
+        import pandas as pd
+
+        epoch = datetime.datetime(1970, 1, 1)
+        one_s = datetime.timedelta(seconds=1)
+
+        def floor_s(ts):
+            return (ts - epoch) // one_s
+
+        (key_val,) = key
+        cur = state.get if state.exists else None
+        evs = []
+        for pdf in pdf_iter:
+            for ts, eid, etype in zip(
+                pdf[ts_col], pdf[id_col], pdf[type_col]
+            ):
+                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                evs.append((ts, int(eid), etype))
+        evs.sort(key=lambda e: (e[0], e[1]))
+        rows = []
+        for ts, eid, etype in evs:
+            if etype in touch_types:
+                cur = (ts, eid, etype)
+            elif etype == conv_type and cur is not None:
+                # per-timestamp second-floor BEFORE subtracting — the
+                # exact arithmetic of both the batch query's
+                # cast-to-long and DuckDB's date_diff('second', ...)
+                delta = floor_s(ts) - floor_s(cur[0])
+                if delta <= window_s:
+                    rows.append((eid, key_val, cur[1], cur[2], delta))
+        if cur is not None:
+            state.update(cur)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "conversion_id", "user_id", "touch_event_id",
+                "touch_type", "seconds_to_convert",
+            ],
+        )
+
+    return attr_fn
+
+
+def attribution_stateful(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    touch_types: tuple = ("view", "click"),
+    conv_type: str = "purchase",
+    window_s: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Streaming last-touch attribution as a custom stateful operator
+    (the streaming twin of ``operators/analytics.py::
+    attribution_last_touch``): state per user is ONE row — the most
+    recent touch (ts, event_id, type) — and each conversion emits its
+    attribution immediately in the micro-batch where it arrives, so
+    output latency is one trigger, not a watermark horizon.
+
+    Rows fold in event-time order within a batch; across batches the
+    open touch lives in O(1) state per user. Attribution is a pure
+    function of the per-user event sequence, so replaying the events
+    table through this operator equals the batch window query exactly
+    regardless of micro-batch boundaries (provided batches respect
+    event-time order per user, which file replay of a time-ordered
+    log gives)."""
+    if df.isStreaming:
+        from kinesis_analytics_demo_spark.streaming.windows import (
+            ensure_event_time,
+        )
+
+        df = ensure_event_time(df, ts_col)
+    grouped = df.groupBy(key_col)
+    return grouped.applyInPandasWithState(
+        _make_attr_fn(
+            window_s, ts_col, id_col, type_col, touch_types, conv_type
+        ),
+        outputStructType=_ATTR_OUTPUT_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
