@@ -19,8 +19,18 @@ shuffle carries (pair, partial_count) rows only.
 
 ``k_anonymity_audit`` flags quasi-identifier groups with fewer than K
 rows — the re-identification risk audit run before a dataset leaves
-the curation pipeline (Sweeney 2002). A single hash aggregate over
-the QI projection; the report is only the violating groups.
+the curation pipeline (Sweeney 2002); ``l_diversity_audit`` is its
+complement (Machanavajjhala et al. 2007): groups large enough for k
+can still leak if the sensitive attribute takes too few values. Each
+is a single hash aggregate over the QI projection; the report is only
+the violating groups.
+
+``label_knn_disagreement`` is the Confident-Learning-style label-noise
+signal: a vector whose nearest neighbors overwhelmingly carry a
+different label is a mislabel candidate. The deterministic 10% audit
+sample broadcasts against one corpus scan; at production scale the
+neighbor stage composes with the IVF candidate generator instead of
+brute force.
 
 Determinism: ln() inputs are exact integer ratios and the per-doc
 weight folds left-to-right over the bucket-sorted term list (the
@@ -34,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_analytics_demo_spark.functions import hashing as H
+from kinesis_analytics_demo_spark.functions import vectors as V
 from kinesis_analytics_demo_spark.plans.registry import register
 from kinesis_analytics_demo_spark.session import read_table as _t
 
@@ -214,3 +225,118 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return qi.filter(F.col("n") < K_ANON)
+
+
+# --------------------------------------------- label-noise kNN audit
+KNN_K = 10  #: neighbors per audited vector
+KNN_SAMPLE_MOD = 10  #: audit every 10th vec_id (deterministic sample)
+KNN_SUSPECT_FRAC = 0.8  #: >=80% cross-label neighbors -> suspect
+_EMB_DIM = 64
+
+
+@register(
+    "label_knn_disagreement",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id % {KNN_SAMPLE_MOD} = 0),
+    nn AS (
+        SELECT q.vec_id, q.label, e.label AS nlabel,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {V.sql_cosine('e.embedding', 'q.embedding', _EMB_DIM)} DESC,
+                            e.vec_id) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id != q.vec_id),
+    top AS (SELECT vec_id, label, nlabel FROM nn WHERE rnk <= {KNN_K})
+    SELECT vec_id, label,
+           CAST(sum(CASE WHEN nlabel != label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_disagree,
+           ROUND(sum(CASE WHEN nlabel != label THEN 1 ELSE 0 END)
+                 / {KNN_K}.0, 4) AS frac_disagree,
+           (sum(CASE WHEN nlabel != label THEN 1 ELSE 0 END)
+            >= {KNN_SUSPECT_FRAC} * {KNN_K}) AS suspect
+    FROM top GROUP BY vec_id, label
+    """,
+    doc="Label-noise detection by kNN disagreement (the Confident-"
+    "Learning-style mislabel signal): for a deterministic 10% audit "
+    "sample, the fraction of the 10 nearest neighbors (exact cosine, "
+    "vec_id tiebreak) carrying a DIFFERENT label; >=80% flags a "
+    "suspect. The audit sample broadcasts against one corpus scan; "
+    "at production scale the neighbor stage composes with the IVF "
+    "candidate generator (similarity_ivf) instead of brute force.",
+)
+def label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % KNN_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("sim"), F.col("vec_id")
+    )
+    top = (
+        pairs.select(
+            "qid",
+            "qlabel",
+            F.col("label").alias("nlabel"),
+            "vec_id",
+            V.cosine(F.col("embedding"), F.col("qe")).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+    )
+    dis = F.sum(F.when(F.col("nlabel") != F.col("qlabel"), 1).otherwise(0))
+    return top.groupBy(
+        F.col("qid").alias("vec_id"), F.col("qlabel").alias("label")
+    ).agg(
+        dis.cast("bigint").alias("n_disagree"),
+        F.round(dis / float(KNN_K), 4).alias("frac_disagree"),
+        (dis >= KNN_SUSPECT_FRAC * KNN_K).alias("suspect"),
+    )
+
+
+# --------------------------------------------------- l-diversity audit
+L_DIVERSITY = 3  #: minimum distinct sensitive values per QI group
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, date_trunc('hour', ts) AS qi_hour,
+               count(*) AS n,
+               count(DISTINCT CAST(floor(value / 50) AS INT))
+                   AS n_sensitive
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, qi_hour,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_sensitive AS BIGINT) AS n_sensitive
+    FROM g WHERE n_sensitive < {L_DIVERSITY}
+    """,
+    doc="l-diversity audit (Machanavajjhala et al. 2007), the "
+    "complement of k-anonymity: quasi-identifier groups (event_type, "
+    "hour) whose SENSITIVE attribute (coarse value band) takes fewer "
+    "than l=3 distinct values — a group can be large enough for k "
+    "yet still leak the sensitive value. One distinct-count "
+    "aggregate over the QI projection.",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("qi_hour"),
+            F.floor(F.col("value") / 50).cast("int").alias("sv"),
+        )
+        .groupBy("event_type", "qi_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("sv").alias("n_sensitive"),
+        )
+    )
+    return g.filter(F.col("n_sensitive") < L_DIVERSITY)

@@ -232,6 +232,8 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "dedup_image_phash",
     "attribution_last_touch",
     "streaming_attribution_replay",
+    "label_knn_disagreement",
+    "l_diversity_audit",
 ]
 
 

@@ -70,3 +70,75 @@ def test_k_anonymity_flags_planted_singleton(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r["event_type"], r["value_band"], r["n"]) == ("purchase", 0, 1)
+
+
+def test_knn_disagreement_flags_planted_mislabel(spark, tmp_path):
+    """Three tight clusters; one cluster-0 vector carries a wrong
+    label — its neighbors are all cluster-0, so it must be flagged
+    suspect; correctly-labeled audit vectors must not be."""
+    import random
+
+    rng = random.Random(7)
+    centers = {
+        0: [1.0] * 64,
+        1: [-1.0] * 64,
+        2: [1.0] * 32 + [-1.0] * 32,
+    }
+    rows = []
+    vid = 0
+    for label, center in centers.items():
+        for _ in range(12):
+            vec = [c + rng.uniform(-0.01, 0.01) for c in center]
+            rows.append((vid, vec, label))
+            vid += 1
+    # vec_id 0 is in the audit sample (0 % 10 == 0); mislabel it
+    rows[0] = (0, rows[0][1], 9)
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path) + "/embeddings.parquet")
+
+    from kinesis_analytics_demo_spark.operators.curation2 import (
+        label_knn_disagreement,
+    )
+
+    out = {
+        r["vec_id"]: (r["frac_disagree"], r["suspect"])
+        for r in label_knn_disagreement(spark, str(tmp_path)).collect()
+    }
+    assert out[0] == (1.0, True)
+    for vid_, (frac, suspect) in out.items():
+        if vid_ != 0:
+            assert not suspect, (vid_, frac)
+
+
+def test_l_diversity_flags_uniform_sensitive_group(spark, tmp_path):
+    import datetime
+
+    h0 = datetime.datetime(2024, 5, 1, 10, 0, 0)
+    h1 = datetime.datetime(2024, 5, 1, 11, 0, 0)
+    s = datetime.timedelta(seconds=10)
+    rows = (
+        # 10 views in hour h0, ALL the same value band: k-anonymous
+        # (large group) yet l-diverse FAIL
+        [(i, h0 + i * s, 1, "view", 10.0, "{}") for i in range(10)]
+        # 10 views in hour h1 across 3 bands: passes
+        + [
+            (100 + i, h1 + i * s, 1, "view", float(v), "{}")
+            for i, v in enumerate([10, 60, 110] * 4)
+        ]
+    )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path) + "/events.parquet")
+
+    from kinesis_analytics_demo_spark.operators.curation2 import (
+        l_diversity_audit,
+    )
+
+    out = l_diversity_audit(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["event_type"], r["n"], r["n_sensitive"]) == ("view", 10, 1)
+    assert r["qi_hour"] == h0
