@@ -122,6 +122,9 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "corpus_token_budget_select",  # 1-row corpus-total broadcast
         "market_basket_part_pairs",  # 1-row basket-count broadcast
         "timeseries_similarity_topk",  # 1-row day0 + 5 query profiles
+        # round-4 additions, same intended shapes
+        "corpus_dsir_weights",  # 1-row token-totals broadcast
+        "label_knn_disagreement",  # 10% audit sample broadcast x corpus
     }
     offenders = {}
     for name, spec in all_queries().items():
