@@ -340,3 +340,120 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return g.filter(F.col("n_sensitive") < L_DIVERSITY)
+
+
+# ------------------------------------------------ iterative BPE training
+BPE_MERGES = 5  #: merge iterations for the demo trainer
+
+
+def _merge_pair_expr(symbols, a: str, b: str, merged: str):
+    """Greedy left-to-right merge of adjacent (a, b) inside a symbol
+    array, as a pure fold: append each symbol unless the accumulator
+    ends with `a` and the symbol is `b`, in which case replace the
+    tail with the merged symbol. Overlaps resolve leftmost-first —
+    the BPE convention."""
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == a)
+            & (s == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
+    """Train ``n_merges`` BPE merges over the documents corpus.
+    Returns (merge_table_rows, final_word_table DataFrame).
+
+    Scale design: BPE trains on the DISTINCT-WORD frequency table,
+    not the raw corpus — one corpus scan aggregates (word, n), and
+    every iteration runs on that compact table (O(vocab) rows, not
+    O(tokens)). Per iteration: one weighted pair-count aggregate
+    (map-side combined, the bpe_pair_counts shape generalized to
+    current symbols) picks the argmax pair on the driver (one 2-row
+    collect — loop control, the k-means precedent), then one
+    zero-shuffle fold rewrites the symbol arrays. The word table is
+    re-persisted per iteration and lineage stays flat."""
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(H.words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ).alias("syms"),
+            "n",
+        )
+    )
+    words = tracked_persist(words)
+    merges = []
+    for it in range(n_merges):
+        pairs = words.select(
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("a"),
+                            F.element_at(F.col("syms"), i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<a:string,b:string>>"
+                ))
+            ).alias("p"),
+            "n",
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merged = a + b
+        merges.append((it, a, b, merged, cnt))
+        nxt = tracked_persist(
+            words.select(
+                _merge_pair_expr(F.col("syms"), a, b, merged).alias("syms"),
+                "n",
+            )
+        )
+        nxt.count()  # materialize before dropping the parent
+        words.unpersist()
+        words = nxt
+    return merges, words
+
+
+@register(
+    "bpe_train_merges",
+    oracle=None,  # iterative, data-dependent merge choices — not
+    # SQL-expressible; rows-only driver check + a pure-Python golden
+    # reference pinned in tests/test_curation2.py
+    doc="Iterative BPE tokenizer training (5 merges): each round "
+    "counts adjacent symbol pairs over the DISTINCT-WORD frequency "
+    "table (one corpus scan total; iterations touch O(vocab) rows), "
+    "picks the argmax pair with a (count desc, pair) tiebreak via a "
+    "2-row driver collect, and rewrites symbol arrays with a "
+    "zero-shuffle greedy leftmost fold. Emits (iteration, left, "
+    "right, merged, pair_count).",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "iteration int, left string, right string, "
+        "merged string, pair_count bigint",
+    )

@@ -234,6 +234,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "streaming_attribution_replay",
     "label_knn_disagreement",
     "l_diversity_audit",
+    "bpe_train_merges",
 ]
 
 

@@ -142,3 +142,52 @@ def test_l_diversity_flags_uniform_sensitive_group(spark, tmp_path):
     r = out[0]
     assert (r["event_type"], r["n"], r["n_sensitive"]) == ("view", 10, 1)
     assert r["qi_hour"] == h0
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed 5-merge BPE trainer must equal a pure-Python
+    reference implementation (greedy leftmost merge, (count desc,
+    pair) argmax tiebreak) on the real sf0.001 corpus."""
+    import collections
+    import re
+
+    from kinesis_analytics_demo_spark.operators.curation2 import (
+        bpe_train_merges,
+    )
+    from kinesis_analytics_demo_spark.session import read_table
+    from tests.conftest import SF_SMALL
+
+    got = [
+        tuple(r) for r in bpe_train_merges(spark, SF_SMALL).collect()
+    ]
+
+    texts = [
+        r["text"]
+        for r in read_table(spark, SF_SMALL, "documents")
+        .select("text").collect()
+    ]
+    wc = collections.Counter(
+        w for t in texts for w in re.split(r"\s+", t)
+    )
+    words = {w: [list(w), n] for w, n in wc.items()}
+    exp = []
+    for it in range(5):
+        pc = collections.Counter()
+        for syms, n in words.values():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = a + b
+        exp.append((it, a, b, merged, cnt))
+        for v in words.values():
+            out = []
+            for s in v[0]:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            v[0] = out
+    assert got == exp
+    assert len(got) == 5
