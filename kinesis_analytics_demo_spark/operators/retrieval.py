@@ -301,3 +301,111 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings"),
         )
     )
+
+
+# -------------------------------------------- incremental index merge
+POSTINGS_SHARD_FRAC = 0.8  #: base = doc_id below this fraction of max
+
+
+def _capped_posting_lists(docs: DataFrame) -> DataFrame:
+    """(w, df_docs, plist): UNFILTERED per-token df counts + sorted
+    doc-id lists capped to POSTINGS_LIST_CAP — the stored shape of an
+    index segment (df metadata for every token, truncated lists).
+    Memory is bounded for stopwords too: a row_number-per-token filter
+    (Spark's WindowGroupLimit — per-partition top-k state, no full
+    list) runs BEFORE collect_list, so no stopword posting list ever
+    materializes beyond the cap."""
+    d = _doc_tokens(docs).select("doc_id", "w").distinct()
+    dfq = d.groupBy("w").agg(F.count(F.lit(1)).alias("df_docs"))
+    rn = Window.partitionBy("w").orderBy("doc_id")
+    capped = (
+        d.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= POSTINGS_LIST_CAP)
+        .groupBy("w")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("plist"))
+    )
+    return dfq.join(capped, "w")
+
+
+@register(
+    "inverted_index_incremental_merge",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents),
+    d AS (SELECT DISTINCT doc_id, w FROM t),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    agg AS (SELECT w AS term, count(*) AS df_docs,
+                   list_sort(list(doc_id)) AS all_postings
+            FROM d GROUP BY w)
+    SELECT term, df_docs,
+           array_to_string(all_postings[1:{POSTINGS_LIST_CAP}], ',') AS postings
+    FROM agg CROSS JOIN n
+    WHERE df_docs >= {POSTINGS_MIN_DF_FRAC} * n_docs
+      AND df_docs <= {POSTINGS_MAX_DF_FRAC} * n_docs
+    """,
+    doc="Incremental inverted-index maintenance (the Lucene "
+    "segment-merge shape): a new shard (top 20% of doc ids) is "
+    "indexed alone and MERGED into the frozen base segment — df "
+    "counts add, capped sorted lists concatenate then re-cap "
+    "(doc-id-ordered segments make concat+cap exact), and the "
+    "df-band stopword filter applies at read time against the full "
+    "corpus size. The oracle is the FULL-corpus recompute, so the "
+    "gate proves incremental == from-scratch. Per-token memory stays "
+    "bounded via a WindowGroupLimit top-cap filter before any "
+    "collect_list.",
+)
+def inverted_index_incremental_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    mx = docs.agg(
+        (F.floor(F.lit(POSTINGS_SHARD_FRAC) * F.max("doc_id")) + 1)
+        .alias("split"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    base = _capped_posting_lists(
+        docs.join(F.broadcast(mx), F.col("doc_id") < F.col("split"))
+        .select(docs["*"])
+    ).select(
+        F.col("w"),
+        F.col("df_docs").alias("df_a"),
+        F.col("plist").alias("pl_a"),
+    )
+    shard = _capped_posting_lists(
+        docs.join(F.broadcast(mx), F.col("doc_id") >= F.col("split"))
+        .select(docs["*"])
+    ).select(
+        F.col("w"),
+        F.col("df_docs").alias("df_b"),
+        F.col("plist").alias("pl_b"),
+    )
+    empty = F.array().cast("array<bigint>")
+    merged = (
+        base.join(shard, "w", "full_outer")
+        .select(
+            F.col("w").alias("term"),
+            (
+                F.coalesce(F.col("df_a"), F.lit(0))
+                + F.coalesce(F.col("df_b"), F.lit(0))
+            ).alias("df_docs"),
+            F.slice(
+                F.concat(
+                    F.coalesce(F.col("pl_a"), empty),
+                    F.coalesce(F.col("pl_b"), empty),
+                ),
+                1,
+                POSTINGS_LIST_CAP,
+            ).alias("plist"),
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(mx.select("n_docs")))
+        .filter(
+            (F.col("df_docs") >= F.lit(POSTINGS_MIN_DF_FRAC) * F.col("n_docs"))
+            & (F.col("df_docs") <= F.lit(POSTINGS_MAX_DF_FRAC) * F.col("n_docs"))
+        )
+        .select(
+            "term",
+            "df_docs",
+            F.array_join(F.col("plist"), ",").alias("postings"),
+        )
+    )

@@ -235,6 +235,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "label_knn_disagreement",
     "l_diversity_audit",
     "bpe_train_merges",
+    "inverted_index_incremental_merge",
 ]
 
 
