@@ -457,3 +457,111 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges, "iteration int, left string, right string, "
         "merged string, pair_count bigint",
     )
+
+
+# -------------------------------------------- output shard rebalancing
+SHARD_TARGET_BYTES = 4096  #: demo shard size (production: 256-512 MB)
+
+
+@register(
+    "corpus_rebalance_shards",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               {H.sql_md5_long('doc_id::VARCHAR')} AS hk
+        FROM documents),
+    c AS (
+        SELECT doc_id, n_chars, hk,
+               SUM(n_chars) OVER (ORDER BY hk, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS cum_before
+        FROM h)
+    SELECT doc_id,
+           CAST(floor(COALESCE(cum_before, 0) / {SHARD_TARGET_BYTES})
+                AS BIGINT) AS shard_id
+    FROM c
+    """,
+    doc="Size-balanced output shard assignment — the final write step "
+    "of a corpus pipeline: docs stream in deterministic md5-of-id "
+    "order (a reproducible shuffle) and a running byte prefix-sum "
+    "assigns shard_id = floor(bytes_before / target), so every shard "
+    "lands within one document of the target size regardless of "
+    "input skew. The ordered window runs on the (doc_id, n_chars) "
+    "projection only — raw text never reaches the sort; on a cluster "
+    "this is a range partition + per-partition prefix sums over "
+    "partition totals (the standard distributed scan shape).",
+)
+def corpus_rebalance_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "n_chars",
+        H.md5_long(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    w = (
+        Window.orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return h.select(
+        "doc_id",
+        F.floor(
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+            / SHARD_TARGET_BYTES
+        )
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+
+
+# ----------------------------------------- DP noisy-count release
+DP_EPSILON = 1.0  #: privacy budget for the count release
+DP_SENSITIVITY = 1.0  #: adding/removing one event changes a count by 1
+_DP_SCALE = DP_SENSITIVITY / DP_EPSILON  #: Laplace scale b
+_HASH_SPACE = float(1 << 60)
+
+
+@register(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+    u AS (
+        SELECT event_type, n,
+               ({H.sql_md5_long("'dp1_' || event_type")}
+                / {_HASH_SPACE!r}) - 0.5 AS u
+        FROM c)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS true_count,
+           ROUND(n - {_DP_SCALE!r}
+                     * sign(u) * ln(1 - 2 * abs(u)), 6)
+               AS noisy_count
+    FROM u
+    """,
+    doc="Differentially-private count release (Dwork et al. 2006): "
+    "per-group counts + Laplace(sensitivity/epsilon) noise via "
+    "inverse-CDF sampling, noise = -b*sign(u)*ln(1-2|u|) with u "
+    "uniform on (-0.5, 0.5). The uniform here is a SEEDED md5 hash "
+    "of the group key so the release is oracle-checkable — a "
+    "production release swaps in true randomness (one line); the "
+    "mechanism, sensitivity accounting, and plan shape (one hash "
+    "aggregate, noise as a scalar post-map) are exactly what ships. "
+    "true_count is returned alongside ONLY for the oracle gate — a "
+    "real release never emits it.",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        H.md5_long(F.concat(F.lit("dp1_"), F.col("event_type")))
+        / F.lit(_HASH_SPACE)
+    ) - 0.5
+    noise = (
+        F.lit(-_DP_SCALE)
+        * F.signum(u)
+        * F.log(1 - 2 * F.abs(u))
+    )
+    return c.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("true_count"),
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+    )

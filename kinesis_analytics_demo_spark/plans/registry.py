@@ -236,6 +236,8 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "l_diversity_audit",
     "bpe_train_merges",
     "inverted_index_incremental_merge",
+    "corpus_rebalance_shards",
+    "dp_noisy_counts",
 ]
 
 

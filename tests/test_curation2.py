@@ -191,3 +191,59 @@ def test_bpe_train_matches_python_reference(spark):
             v[0] = out
     assert got == exp
     assert len(got) == 5
+
+
+def test_rebalanced_shards_are_size_balanced(spark):
+    """Every shard's byte total must be within one document of the
+    target, shard ids must be contiguous from 0, and the assignment
+    must be a pure function of the data (rerun-stable)."""
+    from kinesis_analytics_demo_spark.operators.curation2 import (
+        SHARD_TARGET_BYTES,
+        corpus_rebalance_shards,
+    )
+    from kinesis_analytics_demo_spark.session import read_table
+    from tests.conftest import SF_MEDIUM
+
+    assign = corpus_rebalance_shards(spark, SF_MEDIUM)
+    docs = read_table(spark, SF_MEDIUM, "documents").select(
+        "doc_id", "n_chars"
+    )
+    per_shard = {
+        r["shard_id"]: (r["bytes"], r["n_docs"])
+        for r in assign.join(docs, "doc_id")
+        .groupBy("shard_id")
+        .agg(
+            F.sum("n_chars").alias("bytes"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .collect()
+    }
+    ids = sorted(per_shard)
+    assert ids == list(range(len(ids)))
+    max_doc = max(r["n_chars"] for r in docs.collect())
+    for sid in ids[:-1]:  # every full shard ends within one doc of target
+        b, _ = per_shard[sid]
+        assert b >= SHARD_TARGET_BYTES - max_doc, (sid, b)
+        assert b < SHARD_TARGET_BYTES + max_doc, (sid, b)
+    # rerun-stable
+    again = {
+        (r["doc_id"], r["shard_id"])
+        for r in corpus_rebalance_shards(spark, SF_MEDIUM).collect()
+    }
+    assert again == {
+        (r["doc_id"], r["shard_id"]) for r in assign.collect()
+    }
+
+
+def test_dp_noisy_counts_perturb_but_stay_close(spark):
+    from kinesis_analytics_demo_spark.operators.curation2 import (
+        dp_noisy_counts,
+    )
+    from tests.conftest import SF_MEDIUM
+
+    rows = dp_noisy_counts(spark, SF_MEDIUM).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["noisy_count"] != r["true_count"], r
+        # Laplace b=1: |noise| beyond 25 has probability e^-25
+        assert abs(r["noisy_count"] - r["true_count"]) < 25, r
