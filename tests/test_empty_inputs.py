@@ -38,6 +38,18 @@ SAMPLE = [
     "zorder_key_events",
     "embedding_sq8_error",
     "similarity_rp_topk_rerank",
+    # round-4 families
+    "corpus_dsir_weights",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "label_knn_disagreement",
+    "dedup_image_phash",
+    "attribution_last_touch",
+    "inverted_index_incremental_merge",
+    "corpus_rebalance_shards",
+    "dp_noisy_counts",
 ]
 
 
