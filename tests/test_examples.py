@@ -104,3 +104,27 @@ def test_cumulate_example_cli(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-1000:]
     assert "window_start" in proc.stdout and "window_end" in proc.stdout
+
+
+def test_curation_report_example_cli(tmp_path):
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "curation_report.py"),
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(tmp_path),  # NOT the repo root: worker pickling must hold
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert set(report) >= {
+        "privacy", "target_fit", "label_noise", "tokenizer", "layout",
+    }
+    assert len(report["tokenizer"]["first_bpe_merges"]) == 5
+    assert report["layout"]["n_output_shards"] > 0
+    assert "en" in report["target_fit"]
+    assert len(report["privacy"]["dp_event_counts_eps1"]) == 5
