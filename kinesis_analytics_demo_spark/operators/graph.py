@@ -282,3 +282,95 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_edges).cast("bigint").alias("n_edges"),
         F.lit(tri).cast("bigint").alias("n_triangles"),
     )
+
+
+# ------------------------------------------------------- BFS levels
+BFS_SOURCE_CUSTKEY = 1  #: BFS root: customer #1 (node id 2)
+BFS_MAX_DEPTH = 10  #: oracle recursion guard; >> graph eccentricity
+
+
+def bfs_levels(edges: DataFrame, source: int) -> DataFrame:
+    """Breadth-first search levels from ``source`` over a directed
+    edge list — the frontier-expansion iterative shape (the other
+    canonical graph loop besides pagerank's full-relaxation): each
+    round joins the (small, broadcastable) frontier against the edge
+    list, anti-joins out already-visited nodes, and stops when the
+    frontier empties. Driver work is loop control (one count per
+    level); per-level cost is one hash join over O(edges) + one
+    anti-join over O(visited). Levels are exact integers — no float
+    discipline needed."""
+    edges = tracked_persist(edges.select("src", "dst").distinct())
+    spark = edges.sparkSession
+    levels = tracked_persist(
+        spark.createDataFrame([(source, 0)], "node_id long, level int")
+    )
+    frontier = levels
+    lvl = 0
+    while True:
+        lvl += 1
+        nxt = tracked_persist(
+            edges.join(
+                F.broadcast(frontier),
+                edges["src"] == frontier["node_id"],
+            )
+            .select(F.col("dst").alias("node_id"))
+            .distinct()
+            .join(levels, "node_id", "left_anti")
+            .withColumn("level", F.lit(lvl))
+        )
+        if nxt.count() == 0:
+            break
+        levels = tracked_persist(levels.unionByName(nxt))
+        frontier = nxt
+    return levels
+
+
+@register(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE e0 AS (
+        SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT DISTINCT src, dst FROM
+              (SELECT src, dst FROM e0
+               UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+    bfs(node_id, lvl) AS (
+        SELECT CAST({BFS_SOURCE_CUSTKEY * 2} AS BIGINT), 0
+        UNION
+        SELECT e.dst, bfs.lvl + 1
+        FROM bfs JOIN edges e ON e.src = bfs.node_id
+        WHERE bfs.lvl < {BFS_MAX_DEPTH})
+    SELECT CASE WHEN node_id % 2 = 0
+                THEN 'c' || CAST(node_id // 2 AS VARCHAR)
+                ELSE 's' || CAST((node_id - 1) // 2 AS VARCHAR)
+           END AS node_id,
+           CAST(min(lvl) AS INT) AS level
+    FROM bfs GROUP BY 1
+    """,
+    doc="BFS hop distance from customer #1 over the UNDIRECTED trade "
+    "graph (customer<->supplier edges from orders x lineitem): "
+    "frontier expansion with a broadcast frontier, left-anti "
+    "visited-set pruning, loop ends when the frontier empties. The "
+    "oracle is a recursive CTE taking min level per node — exact "
+    "integer parity with the iterative DataFrame loop.",
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    e0 = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = bfs_levels(edges, BFS_SOURCE_CUSTKEY * 2)
+    label = F.when(
+        F.col("node_id") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node_id") / 2).cast("bigint")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node_id") - 1) / 2).cast("bigint"))
+    )
+    return out.select(label.alias("node_id"), F.col("level").cast("int"))

@@ -238,6 +238,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "inverted_index_incremental_merge",
     "corpus_rebalance_shards",
     "dp_noisy_counts",
+    "graph_bfs_levels",
 ]
 
 
