@@ -374,3 +374,54 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame.select("doc_id", "payload").mapInPandas(
         _make_extract_features(), schema=FEATURE_SCHEMA
     )
+
+
+SCENE_DELTA_T = 30  #: frame-to-frame "pixel" delta marking a cut
+
+
+@register(
+    "multimodal_scene_changes",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               [unicode(substr(text, i, 1))
+                for i in generate_series(1, least(length(text), {DECODE_STRIP}))]
+                   AS pixels
+        FROM documents),
+    fr AS (
+        SELECT doc_id,
+               [pixels[i] for i in
+                generate_series(1, len(pixels), {FRAME_STRIDE})] AS frames
+        FROM px)
+    SELECT doc_id,
+           CAST(len(frames) AS INT) AS n_frames,
+           CAST(len([i for i in generate_series(1, len(frames) - 1)
+                     if abs(frames[i + 1] - frames[i]) > {SCENE_DELTA_T}])
+                AS INT) AS n_scene_changes
+    FROM fr
+    """,
+    doc="Video scene-change detection on the multimodal path: the "
+    "decode pipeline's sampled frames (deterministic fake; "
+    "production = real frame luma) scanned for frame-to-frame "
+    "deltas above a cut threshold — the shot-boundary signal a "
+    "video curation pipeline keys on. Post-decode work is pure "
+    "array expressions over the Arrow kernel's output; one scan.",
+)
+def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = decode_pipeline(_t(spark, sf_dir, "documents"))
+    deltas = F.filter(
+        F.sequence(F.lit(1), F.size("frames") - 1),
+        lambda i: F.abs(
+            F.element_at(F.col("frames"), i + 1)
+            - F.element_at(F.col("frames"), i)
+        )
+        > SCENE_DELTA_T,
+    )
+    return decoded.select(
+        "doc_id",
+        F.size("frames").cast("int").alias("n_frames"),
+        F.when(F.size("frames") >= 2, F.size(deltas))
+        .otherwise(0)
+        .cast("int")
+        .alias("n_scene_changes"),
+    )

@@ -239,6 +239,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "corpus_rebalance_shards",
     "dp_noisy_counts",
     "graph_bfs_levels",
+    "multimodal_scene_changes",
 ]
 
 
