@@ -57,6 +57,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.cep  # noqa: F401
     import kinesis_analytics_demo_spark.operators.curation  # noqa: F401
     import kinesis_analytics_demo_spark.operators.curation2  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.curation3  # noqa: F401
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.expectations  # noqa: F401
     import kinesis_analytics_demo_spark.operators.features  # noqa: F401
@@ -240,6 +241,9 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "dp_noisy_counts",
     "graph_bfs_levels",
     "multimodal_scene_changes",
+    "fuzzy_match_entity_names",
+    "pareto_quality_frontier",
+    "cluster_topic_terms",
 ]
 
 
