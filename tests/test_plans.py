@@ -126,6 +126,7 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "corpus_dsir_weights",  # 1-row token-totals broadcast
         "label_knn_disagreement",  # 10% audit sample broadcast x corpus
         "inverted_index_incremental_merge",  # 1-row split/corpus-size bc
+        "cluster_topic_terms",  # broadcast centroids + 1-row corpus total
     }
     offenders = {}
     for name, spec in all_queries().items():
