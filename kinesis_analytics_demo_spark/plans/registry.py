@@ -59,6 +59,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.curation2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.curation3  # noqa: F401
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.dedup2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.expectations  # noqa: F401
     import kinesis_analytics_demo_spark.operators.features  # noqa: F401
     import kinesis_analytics_demo_spark.operators.graph  # noqa: F401
@@ -244,6 +245,8 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "fuzzy_match_entity_names",
     "pareto_quality_frontier",
     "cluster_topic_terms",
+    "dedup_containment_pairs",
+    "dedup_cross_source_matrix",
 ]
 
 

@@ -127,6 +127,7 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "label_knn_disagreement",  # 10% audit sample broadcast x corpus
         "inverted_index_incremental_merge",  # 1-row split/corpus-size bc
         "cluster_topic_terms",  # broadcast centroids + 1-row corpus total
+        "dedup_containment_pairs",  # 1-row corpus-size (df-cap) broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():
