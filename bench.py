@@ -138,6 +138,11 @@ HEADLINE = [
     "label_knn_disagreement",
     "inverted_index_incremental_merge",
     "multimodal_scene_changes",
+    # round-4 third batch: entity resolution, skyline selection,
+    # containment dedup (the rarest-prefix ssjoin)
+    "fuzzy_match_entity_names",
+    "pareto_quality_frontier",
+    "dedup_containment_pairs",
 ]
 
 

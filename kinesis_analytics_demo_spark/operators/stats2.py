@@ -1,0 +1,131 @@
+"""Statistics, part 2 — operational data-diagnosis shapes: key-skew
+profiling and robust (median/MAD) outlier detection.
+
+``skew_profile_lineitem`` is the pre-flight check behind every
+salting/AQE decision in this repo: the top-20 heaviest join/agg keys
+with their absolute and relative frequency. The plan is the same
+TakeOrderedAndProject discipline as corpus_sample_exact_k — per-key
+counts aggregate with map-side combine, then per-partition top-k
+heaps merge on the driver; no global sort, no full-key-list
+materialization. At 100 TB this is the query you run BEFORE choosing
+a partitioning, and it costs one aggregate scan.
+
+``anomaly_mad_events`` flags per-event-type outliers by the robust
+median/MAD rule (Hampel identifier): |x - median| > 3 * MAD. Unlike
+the z-score twin (anomaly_zscore_events), a single extreme value
+cannot drag the threshold — median and MAD have a 50% breakdown
+point. MAD is inherently two-pass (the deviation median needs the
+median first), so the plan is: grouped exact percentile (one
+shuffle) -> broadcast the tiny per-type medians back -> second
+grouped percentile over deviations -> broadcast again for the final
+count aggregate. All three aggregates shuffle on the same key;
+medians use the engine-exact interpolated percentile
+(Spark percentile == DuckDB quantile_cont, proven by
+exact_percentiles); subtraction/abs/3x-multiply are single IEEE
+operations, bit-identical on both engines.
+
+Reference anchor: no statistics surface exists in the reference
+(flink/tumbling_window.py, sliding_window.py); these extend the
+audit battery of operators/stats.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+SKEW_TOP = 20  #: heaviest keys reported
+MAD_K = 3.0  #: Hampel threshold multiplier
+
+
+@register(
+    "skew_profile_lineitem",
+    oracle=f"""
+    WITH c AS (
+        SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(cnt) AS total FROM c)
+    SELECT key, cnt, CAST(cnt * 100.0 AS DOUBLE) / total AS pct
+    FROM c, tot
+    ORDER BY cnt DESC, key
+    LIMIT {SKEW_TOP}
+    """,
+    doc="Key-skew profile: the top-20 heaviest l_partkey values with "
+    "absolute and relative frequency — the pre-flight diagnosis for "
+    "salting / broadcast / AQE-skew-join decisions. Map-side-combined "
+    "counts + TakeOrderedAndProject (per-partition heaps, no global "
+    "sort); one scan at any corpus size.",
+)
+def skew_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = c.agg(F.sum("cnt").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            ((F.col("cnt") * 100.0).cast("double") / F.col("total")).alias("pct"),
+        )
+        .orderBy(F.desc("cnt"), F.col("key"))
+        .limit(SKEW_TOP)
+    )
+
+
+@register(
+    "anomaly_mad_events",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS d
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(d, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           min(d.med) AS median_value,
+           min(m.mad) AS mad,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE d.d > {MAD_K} * m.mad) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+    doc="Robust per-type outlier detection (Hampel identifier): flag "
+    "|x - median| > 3*MAD. Median and MAD have a 50% breakdown point, "
+    "so extreme values cannot mask themselves (unlike z-scores). "
+    "Two-pass by necessity: grouped exact percentile, broadcast "
+    "medians back, grouped deviation percentile, broadcast again for "
+    "the count — all shuffles on event_type, engine-exact "
+    "interpolated percentiles.",
+)
+def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("d", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("median_value"),
+            F.min("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(F.col("d") > MAD_K * F.col("mad")).alias("n_outliers"),
+        )
+    )

@@ -81,6 +81,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.sketches  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sq  # noqa: F401
     import kinesis_analytics_demo_spark.operators.stats  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.stats2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.temporal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text2  # noqa: F401
@@ -247,6 +248,8 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "cluster_topic_terms",
     "dedup_containment_pairs",
     "dedup_cross_source_matrix",
+    "skew_profile_lineitem",
+    "anomaly_mad_events",
 ]
 
 

@@ -50,6 +50,14 @@ SAMPLE = [
     "inverted_index_incremental_merge",
     "corpus_rebalance_shards",
     "dp_noisy_counts",
+    # round-4 batch-3 families
+    "fuzzy_match_entity_names",
+    "pareto_quality_frontier",
+    "cluster_topic_terms",
+    "dedup_containment_pairs",
+    "dedup_cross_source_matrix",
+    "skew_profile_lineitem",
+    "anomaly_mad_events",
 ]
 
 

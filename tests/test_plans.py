@@ -128,6 +128,7 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "inverted_index_incremental_merge",  # 1-row split/corpus-size bc
         "cluster_topic_terms",  # broadcast centroids + 1-row corpus total
         "dedup_containment_pairs",  # 1-row corpus-size (df-cap) broadcast
+        "skew_profile_lineitem",  # 1-row grand-total broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():

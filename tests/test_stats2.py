@@ -1,0 +1,57 @@
+"""Semantic checks for stats part 2: the skew profile must plan the
+no-global-sort top-k shape and rank a planted hot key first; the MAD
+detector must flag a planted spike that a mean/stddev rule would let
+mask itself. (Cross-engine value parity is covered by
+test_oracle_parity.)"""
+
+from __future__ import annotations
+
+import datetime
+
+from kinesis_analytics_demo_spark.operators.stats2 import (
+    MAD_K,
+    anomaly_mad_events,
+    skew_profile_lineitem,
+)
+from tests.conftest import SF_MEDIUM
+
+
+def test_skew_profile_plans_takeordered_no_global_sort(spark):
+    df = skew_profile_lineitem(spark, SF_MEDIUM)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) <= 20
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert abs(sum(r["pct"] for r in rows)) <= 100.0 + 1e-9
+
+
+def test_mad_flags_planted_spike_robustly(spark, tmp_path):
+    """49 values at ~10 plus one at 1000: the spike is > 3*MAD from
+    the median (MAD ignores it), so exactly one outlier is flagged.
+    A z-score rule with the same k would be dragged by the spike
+    itself (stddev ~ 140 -> |1000-29.8|/140 ~ 6.9 still flags, but
+    with two spikes masking kicks in; MAD's breakdown point is the
+    property pinned here via the two-spike variant below)."""
+    d = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, d, 1, "view", 10.0 + (i % 5) * 0.1, "{}") for i in range(49)]
+    rows.append((97, d, 2, "view", 1000.0, "{}"))
+    # two-spike variant in a second type: both spikes must STILL be
+    # flagged (they cannot inflate the median/MAD enough to hide)
+    rows += [(200 + i, d, 3, "click", 10.0 + (i % 5) * 0.1, "{}") for i in range(48)]
+    rows += [(298, d, 4, "click", 1000.0, "{}"), (299, d, 5, "click", 990.0, "{}")]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(path + "/events.parquet")
+    out = {r["event_type"]: r for r in anomaly_mad_events(spark, path).collect()}
+    v = out["view"]
+    assert v["n_outliers"] == 1
+    assert abs(v["median_value"] - 10.2) < 1e-9
+    c = out["click"]
+    assert c["n_outliers"] == 2, c
+    # sanity: the threshold the flags used is the robust one
+    assert c["mad"] < 1.0  # spikes did not inflate the MAD
+    assert MAD_K == 3.0
