@@ -24,6 +24,18 @@ medians use the engine-exact interpolated percentile
 exact_percentiles); subtraction/abs/3x-multiply are single IEEE
 operations, bit-identical on both engines.
 
+``bootstrap_ci_event_values`` attaches a 95% confidence interval to
+the per-type mean by the Poisson bootstrap (Chamandy et al., 2012) —
+the resampling scheme built for data too large to hold centrally:
+each row contributes Poisson(1)-weighted copies to each of 100
+replicas, so replica statistics are map-side-combinable sums and the
+shuffle carries types x replicas partial rows, never resampled data.
+Weights come from an inverse-CDF ladder over seeded md5 uniforms
+with the breakpoints precomputed in Python and embedded as identical
+double literals in both engines — deterministic, ln()-free, and
+oracle-checkable (swap the seeded uniform for true randomness in
+production, one line).
+
 Reference anchor: no statistics surface exists in the reference
 (flink/tumbling_window.py, sliding_window.py); these extend the
 audit battery of operators/stats.py.
@@ -31,14 +43,30 @@ audit battery of operators/stats.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_analytics_demo_spark.functions import hashing as H
 from kinesis_analytics_demo_spark.plans.registry import register
 from kinesis_analytics_demo_spark.session import read_table as _t
 
 SKEW_TOP = 20  #: heaviest keys reported
 MAD_K = 3.0  #: Hampel threshold multiplier
+
+BOOT_R = 100  #: bootstrap replicas
+BOOT_LO, BOOT_HI = 0.025, 0.975  #: 95% interval
+_HASH_SPACE = float(1 << 60)
+#: Poisson(1) CDF breakpoints, precomputed once in Python and embedded
+#: as IDENTICAL double literals in the Spark expression and the DuckDB
+#: SQL — the weight ladder is then pure double comparison, no ln() on
+#: either engine. P(X <= k) = e^-1 * sum_{i<=k} 1/i!.
+_POIS_CDF: list[float] = []
+_acc = 0.0
+for _k in range(9):
+    _acc += math.exp(-1.0) / math.factorial(_k)
+    _POIS_CDF.append(_acc)
 
 
 @register(
@@ -74,6 +102,93 @@ def skew_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), F.col("key"))
         .limit(SKEW_TOP)
+    )
+
+
+def _sql_pois_case(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {whens} ELSE {len(_POIS_CDF)} END)"
+
+
+@register(
+    "bootstrap_ci_event_values",
+    oracle=f"""
+    WITH rep AS (
+        SELECT e.event_type, e.value, r.r,
+               ({H.sql_md5_long("e.event_id::VARCHAR || '_' || r.r::VARCHAR")}
+                / {_HASH_SPACE!r}) AS u
+        FROM events e, (SELECT unnest(generate_series(0, {BOOT_R - 1})) AS r) r
+    ),
+    wtd AS (
+        SELECT event_type, r,
+               {_sql_pois_case('u')} AS w, value
+        FROM rep
+    ),
+    means AS (
+        SELECT event_type, r,
+               CAST(sum(w * CAST(value AS DECIMAL(28, 10))) AS DOUBLE)
+                   / sum(w) AS m
+        FROM wtd GROUP BY event_type, r
+        HAVING sum(w) > 0
+    )
+    SELECT event_type,
+           quantile_cont(m, {BOOT_LO!r}) AS ci_lo,
+           quantile_cont(m, {BOOT_HI!r}) AS ci_hi,
+           count(*) AS n_replicas
+    FROM means GROUP BY event_type
+    """,
+    doc="Poisson-bootstrap 95% confidence interval for the per-type "
+    "mean value (Chamandy et al., Google 2012 — the resampling "
+    "scheme that works when data cannot be held centrally): each row "
+    "contributes Poisson(1)-weighted copies to 100 replicas, weights "
+    "drawn by inverse-CDF over a seeded md5 uniform (precomputed "
+    "breakpoint literals shared by both engines — no ln()). One "
+    "map-side-combined aggregate per (type, replica); the shuffle "
+    "carries types x 100 partial sums, never the exploded rows. "
+    "Replica sums run in DECIMAL so accumulation order cannot leak "
+    "into the interval.",
+)
+def bootstrap_ci_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    rep = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("r"),
+    )
+    u = (
+        H.md5_long(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("_"),
+                F.col("r").cast("string"),
+            )
+        )
+        / F.lit(_HASH_SPACE)
+    )
+    w = F.when(u < _POIS_CDF[0], 0)
+    for k in range(1, len(_POIS_CDF)):
+        w = w.when(u < _POIS_CDF[k], k)
+    w = w.otherwise(len(_POIS_CDF))
+    wtd = rep.select("event_type", "r", w.alias("w"), "value")
+    means = (
+        wtd.groupBy("event_type", "r")
+        .agg(
+            F.sum(F.col("w") * F.col("value").cast("decimal(28,10)")).alias("s"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            (F.col("s").cast("double") / F.col("sw")).alias("m"),
+        )
+    )
+    return means.groupBy("event_type").agg(
+        F.percentile("m", BOOT_LO).alias("ci_lo"),
+        F.percentile("m", BOOT_HI).alias("ci_hi"),
+        F.count(F.lit(1)).alias("n_replicas"),
     )
 
 

@@ -250,6 +250,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "dedup_cross_source_matrix",
     "skew_profile_lineitem",
     "anomaly_mad_events",
+    "bootstrap_ci_event_values",
 ]
 
 

@@ -58,6 +58,7 @@ SAMPLE = [
     "dedup_cross_source_matrix",
     "skew_profile_lineitem",
     "anomaly_mad_events",
+    "bootstrap_ci_event_values",
 ]
 
 

@@ -8,11 +8,16 @@ from __future__ import annotations
 
 import datetime
 
+from pyspark.sql import functions as F
+
 from kinesis_analytics_demo_spark.operators.stats2 import (
+    BOOT_R,
     MAD_K,
     anomaly_mad_events,
+    bootstrap_ci_event_values,
     skew_profile_lineitem,
 )
+from kinesis_analytics_demo_spark.session import read_table
 from tests.conftest import SF_MEDIUM
 
 
@@ -25,6 +30,25 @@ def test_skew_profile_plans_takeordered_no_global_sort(spark):
     cnts = [r["cnt"] for r in rows]
     assert cnts == sorted(cnts, reverse=True)
     assert abs(sum(r["pct"] for r in rows)) <= 100.0 + 1e-9
+
+
+def test_bootstrap_ci_brackets_the_true_mean(spark):
+    """With 10k well-behaved rows per the corpus, the 95% interval of
+    every event type must contain the true mean and be non-degenerate
+    with the full replica count."""
+    out = {r["event_type"]: r for r in bootstrap_ci_event_values(spark, SF_MEDIUM).collect()}
+    true_means = {
+        r["event_type"]: r["m"]
+        for r in read_table(spark, SF_MEDIUM, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    }
+    assert set(out) == set(true_means)
+    for t, r in out.items():
+        assert r["n_replicas"] == BOOT_R, (t, r)
+        assert r["ci_lo"] < r["ci_hi"], (t, r)
+        assert r["ci_lo"] < true_means[t] < r["ci_hi"], (t, r, true_means[t])
 
 
 def test_mad_flags_planted_spike_robustly(spark, tmp_path):
