@@ -193,6 +193,94 @@ def bootstrap_ci_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ab_test_welch_events",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT ({H.sql_md5_long('user_id::VARCHAR')} % 2) AS arm,
+               CAST(value AS DECIMAL(18, 6)) AS v
+        FROM events
+    ),
+    st AS (
+        SELECT arm, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+        FROM assigned GROUP BY arm
+    ),
+    wide AS (
+        SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+               max(CASE WHEN arm = 1 THEN n END) AS n_b,
+               max(CASE WHEN arm = 0 THEN CAST(s1 AS DOUBLE) / n END) AS mean_a,
+               max(CASE WHEN arm = 1 THEN CAST(s1 AS DOUBLE) / n END) AS mean_b,
+               max(CASE WHEN arm = 0 THEN
+                   CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1) END) AS var_a,
+               max(CASE WHEN arm = 1 THEN
+                   CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1) END) AS var_b
+        FROM st
+    )
+    SELECT n_a, n_b, mean_a, mean_b,
+           mean_a - mean_b AS mean_diff,
+           ROUND((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
+               AS t_stat,
+           ROUND((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+               / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                  + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6)
+               AS df_welch
+    FROM wide
+    """,
+    doc="A/B experiment readout: users deterministically bucketed into "
+    "two arms by a salted hash (the engine-side emulation of "
+    "experiment assignment), then Welch's unequal-variance t-test "
+    "from one decimal-exact sufficient-statistics aggregate — "
+    "(n, sum, sum-of-squares) per arm, every later step a fixed-order "
+    "IEEE expression over exact inputs, so t and the Welch-"
+    "Satterthwaite df are bitwise reproducible. One 2-row shuffle at "
+    "any corpus size.",
+)
+def ab_test_welch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    arm = F.pmod(H.md5_long(F.col("user_id").cast("string")), F.lit(2))
+    dec = F.col("value").cast("decimal(18,6)")
+    st = ev.select(arm.alias("arm"), dec.alias("v")).groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / F.col("n")
+        / (F.col("n") - 1)
+    )
+    wide = st.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 0, mean)).alias("mean_a"),
+        F.max(F.when(F.col("arm") == 1, mean)).alias("mean_b"),
+        F.max(F.when(F.col("arm") == 0, var)).alias("var_a"),
+        F.max(F.when(F.col("arm") == 1, var)).alias("var_b"),
+    )
+    se_a = F.col("var_a") / F.col("n_a")
+    se_b = F.col("var_b") / F.col("n_b")
+    se2 = se_a + se_b
+    return wide.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        (F.col("mean_a") - F.col("mean_b")).alias("mean_diff"),
+        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            se2 * se2
+            / (
+                se_a * se_a / (F.col("n_a") - 1)
+                + se_b * se_b / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )
+
+
+@register(
     "anomaly_mad_events",
     oracle=f"""
     WITH med AS (

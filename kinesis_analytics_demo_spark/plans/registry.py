@@ -251,6 +251,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "skew_profile_lineitem",
     "anomaly_mad_events",
     "bootstrap_ci_event_values",
+    "ab_test_welch_events",
 ]
 
 

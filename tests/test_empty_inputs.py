@@ -59,6 +59,7 @@ SAMPLE = [
     "skew_profile_lineitem",
     "anomaly_mad_events",
     "bootstrap_ci_event_values",
+    "ab_test_welch_events",
 ]
 
 

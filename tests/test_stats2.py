@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from kinesis_analytics_demo_spark.operators.stats2 import (
     BOOT_R,
     MAD_K,
+    ab_test_welch_events,
     anomaly_mad_events,
     bootstrap_ci_event_values,
     skew_profile_lineitem,
@@ -49,6 +50,18 @@ def test_bootstrap_ci_brackets_the_true_mean(spark):
         assert r["n_replicas"] == BOOT_R, (t, r)
         assert r["ci_lo"] < r["ci_hi"], (t, r)
         assert r["ci_lo"] < true_means[t] < r["ci_hi"], (t, r, true_means[t])
+
+
+def test_welch_null_effect_is_not_significant(spark):
+    """Arms are hash-split from the SAME population, so the true
+    effect is zero: |t| must stay far from significance, the split
+    must cover every row, and the Welch df must be sane."""
+    ev_n = read_table(spark, SF_MEDIUM, "events").count()
+    r = ab_test_welch_events(spark, SF_MEDIUM).collect()[0]
+    assert r["n_a"] + r["n_b"] == ev_n
+    assert min(r["n_a"], r["n_b"]) > 0.4 * ev_n  # hash split is balanced
+    assert abs(r["t_stat"]) < 4.0
+    assert min(r["n_a"], r["n_b"]) - 1 <= r["df_welch"] <= r["n_a"] + r["n_b"] - 2
 
 
 def test_mad_flags_planted_spike_robustly(spark, tmp_path):
