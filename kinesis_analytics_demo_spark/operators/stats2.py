@@ -45,7 +45,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_analytics_demo_spark.functions import hashing as H
@@ -277,6 +277,86 @@ def ab_test_welch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("df_welch"),
+    )
+
+
+@register(
+    "cusum_changepoint_events",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, ts, event_id,
+               CAST(value AS DECIMAL(18, 6)) AS v,
+               row_number() OVER w AS k,
+               sum(CAST(value AS DECIMAL(18, 6))) OVER w AS cs
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+        SELECT event_type, count(*) AS n, sum(v) AS s FROM o GROUP BY 1
+    ),
+    d AS (
+        SELECT o.event_type, o.ts, o.k,
+               abs(t.n * o.cs - o.k * t.s) AS absd, t.n
+        FROM o JOIN tot t ON o.event_type = t.event_type
+    ),
+    best AS (
+        SELECT event_type, ts, k, absd, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY absd DESC, k) AS rn
+        FROM d
+    )
+    SELECT event_type, ts AS cp_ts, CAST(k AS BIGINT) AS cp_k,
+           ROUND(CAST(absd AS DOUBLE) / n, 6) AS cusum_score
+    FROM best WHERE rn = 1
+    """,
+    doc="CUSUM changepoint detection per event type (Page 1954): the "
+    "split point maximizing |cumulative deviation from the global "
+    "mean|. Formulated mean-division-free as |n*CumSum_k - k*Total| "
+    "— every comparison happens on EXACT decimals, floats appear "
+    "only in the final reported score (ROUND 6). One per-key ordered "
+    "window (key-partitioned parallelism, the EMA discipline) plus a "
+    "per-key 1-row total broadcast back; argmax via one ranked "
+    "window with an earliest-index tiebreak.",
+)
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    dec = F.col("value").cast("decimal(18,6)")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    o = ev.select(
+        "event_type",
+        "ts",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("ts", "event_id")
+        ).alias("k"),
+        F.sum(dec).over(w).alias("cs"),
+        dec.alias("v"),
+    )
+    tot = o.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    d = o.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "ts",
+        "k",
+        F.abs(F.col("n") * F.col("cs") - F.col("k") * F.col("s")).alias("absd"),
+        "n",
+    )
+    best = d.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("absd"), F.col("k"))
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("ts").alias("cp_ts"),
+        F.col("k").cast("bigint").alias("cp_k"),
+        F.round(F.col("absd").cast("double") / F.col("n"), 6).alias("cusum_score"),
     )
 
 

@@ -252,6 +252,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "anomaly_mad_events",
     "bootstrap_ci_event_values",
     "ab_test_welch_events",
+    "cusum_changepoint_events",
 ]
 
 

@@ -60,6 +60,7 @@ SAMPLE = [
     "anomaly_mad_events",
     "bootstrap_ci_event_values",
     "ab_test_welch_events",
+    "cusum_changepoint_events",
 ]
 
 

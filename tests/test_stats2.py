@@ -64,6 +64,35 @@ def test_welch_null_effect_is_not_significant(spark):
     assert min(r["n_a"], r["n_b"]) - 1 <= r["df_welch"] <= r["n_a"] + r["n_b"] - 2
 
 
+def test_cusum_finds_planted_level_shift(spark, tmp_path):
+    """60 events at value 10 then 40 at value 20: the CUSUM argmax
+    must land exactly on the boundary (k = 60, the last pre-shift
+    row), since |n*CumSum_k - k*Total| peaks where the mean shifts."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 1, "view",
+         10.0 if i < 60 else 20.0, "{}")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(path + "/events.parquet")
+    from kinesis_analytics_demo_spark.operators.stats2 import (
+        cusum_changepoint_events,
+    )
+
+    out = {r["event_type"]: r for r in cusum_changepoint_events(spark, path).collect()}
+    r = out["view"]
+    assert r["cp_k"] == 60, r
+    # score = |n*cs_k - k*S| / n at k=60: cs=600, S=1400 ->
+    # |100*600 - 60*1400| / 100 = 240
+    assert abs(r["cusum_score"] - 240.0) < 1e-9
+
+
 def test_mad_flags_planted_spike_robustly(spark, tmp_path):
     """49 values at ~10 plus one at 1000: the spike is > 3*MAD from
     the median (MAD ignores it), so exactly one outlier is flagged.
