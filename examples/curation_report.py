@@ -14,6 +14,11 @@ Sections:
     sample
   - tokenizer: the first 5 BPE merges the corpus would train
   - layout: size-balanced output shard count
+  - duplication: containment (truncation-copy) pair count + the
+    cross-source duplication matrix's heaviest cells
+  - outliers_mad / mean_ci95 / changepoints: robust Hampel flags,
+    Poisson-bootstrap 95% intervals, and CUSUM changepoints per
+    event type
 
 Every number is a pure function of the data (seeded hashing, decimal
 sums), so the report is reproducible run-to-run and across engines —
@@ -107,6 +112,40 @@ def main() -> None:
         "n_output_shards": shards.agg(
             (F.max("shard_id") + 1).cast("int").alias("n")
         ).collect()[0]["n"]
+    }
+
+    # -- round-4 batch-3 sections -----------------------------------
+    from kinesis_analytics_demo_spark.operators.dedup2 import (
+        dedup_containment_pairs,
+        dedup_cross_source_matrix,
+    )
+    from kinesis_analytics_demo_spark.operators.stats2 import (
+        anomaly_mad_events,
+        bootstrap_ci_event_values,
+        cusum_changepoint_events,
+    )
+
+    report["duplication"] = {
+        "containment_pairs_08": dedup_containment_pairs(spark, sf).count(),
+        "cross_source_cells": [
+            {"src_a": r["src_a"], "src_b": r["src_b"], "pairs": r["dup_pairs"]}
+            for r in dedup_cross_source_matrix(spark, sf)
+            .orderBy(F.desc("dup_pairs"), "src_a", "src_b")
+            .limit(5)
+            .collect()
+        ],
+    }
+    report["outliers_mad"] = {
+        r["event_type"]: {"n_outliers": r["n_outliers"], "mad": r["mad"]}
+        for r in anomaly_mad_events(spark, sf).collect()
+    }
+    report["mean_ci95"] = {
+        r["event_type"]: [r["ci_lo"], r["ci_hi"]]
+        for r in bootstrap_ci_event_values(spark, sf).collect()
+    }
+    report["changepoints"] = {
+        r["event_type"]: {"cp_ts": r["cp_ts"], "score": r["cusum_score"]}
+        for r in cusum_changepoint_events(spark, sf).collect()
     }
 
     print(json.dumps(report, default=str))

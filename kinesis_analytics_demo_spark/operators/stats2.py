@@ -1,5 +1,7 @@
 """Statistics, part 2 — operational data-diagnosis shapes: key-skew
-profiling and robust (median/MAD) outlier detection.
+profiling, robust (median/MAD) outlier detection, Poisson-bootstrap
+confidence intervals, a Welch-t A/B readout, and CUSUM changepoint
+detection.
 
 ``skew_profile_lineitem`` is the pre-flight check behind every
 salting/AQE decision in this repo: the top-20 heaviest join/agg keys
