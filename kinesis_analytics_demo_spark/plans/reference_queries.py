@@ -481,6 +481,56 @@ def streaming_ema_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay_events_stream(spark, sf_dir, "ema", build, output_mode="append")
 
 
+@register(
+    "streaming_cusum_replay",
+    oracle="""
+    WITH RECURSIVE r AS (
+        SELECT event_type, ts, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    f(event_type, rn, s_pos, s_neg) AS (
+        SELECT event_type, rn,
+               greatest(0.0, 0.0 + ((value - 50.0) - 5.0)),
+               greatest(0.0, 0.0 + ((50.0 - value) - 5.0))
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.event_type, r.rn,
+               greatest(0.0, f.s_pos + ((r.value - 50.0) - 5.0)),
+               greatest(0.0, f.s_neg + ((50.0 - r.value) - 5.0))
+        FROM f JOIN r ON r.event_type = f.event_type AND r.rn = f.rn + 1
+    )
+    SELECT r.event_type AS key, r.ts, r.value, f.s_pos, f.s_neg,
+           (f.s_pos > 200.0 OR f.s_neg > 200.0) AS alarm
+    FROM f JOIN r ON r.event_type = f.event_type AND r.rn = f.rn
+    """,
+    doc="CUSTOM STATEFUL OPERATOR value-checked on the true streaming "
+    "path — the ONLINE twin of cusum_changepoint_events: a two-sided "
+    "Page CUSUM control chart (s+ = max(0, s+ + (x - target - "
+    "slack)), alarm past the decision interval h) with CONSTANT "
+    "per-key state (two doubles) via applyInPandasWithState. The "
+    "full per-row (s+, s-, alarm) trace is compared against a DuckDB "
+    "recursive-CTE fold in (ts, event_id) order — bit-exact f64 "
+    "parity through the identical IEEE op sequence, the "
+    "streaming_ema_replay discipline. The seventeenth value-checked "
+    "streaming oracle row.",
+)
+def streaming_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.streaming.stateful import cusum_stateful
+
+    def build(stream, name):
+        return cusum_stateful(
+            stream,
+            key_col="event_type",
+            ts_col="ts",
+            value_col="value",
+            tiebreak_col="event_id",
+        )
+
+    return _replay_events_stream(spark, sf_dir, "cusum", build, output_mode="append")
+
+
 from kinesis_analytics_demo_spark.operators.pipeline import (
     _sql_pipeline_ctes as _prep_ctes,
 )

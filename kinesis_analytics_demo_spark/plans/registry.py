@@ -253,6 +253,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "bootstrap_ci_event_values",
     "ab_test_welch_events",
     "cusum_changepoint_events",
+    "streaming_cusum_replay",
 ]
 
 

@@ -112,6 +112,114 @@ def ema_stateful(
     )
 
 
+# ------------------------------------------------------- CUSUM control chart
+CUSUM_TARGET = 50.0  #: in-control process mean
+CUSUM_SLACK = 5.0  #: allowance k (half the shift worth detecting)
+CUSUM_H = 200.0  #: decision interval (alarm threshold)
+
+_CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("s_pos", T.DoubleType()),
+        T.StructField("s_neg", T.DoubleType()),
+        T.StructField("alarm", T.BooleanType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("s_pos", T.DoubleType()),
+        T.StructField("s_neg", T.DoubleType()),
+    ]
+)
+
+
+def _make_cusum_fn(
+    target: float, slack: float, h: float, ts_col: str, value_col: str,
+    tiebreak_col: str,
+):
+    """Closure (shipped by value — no package import on workers): the
+    recursive two-sided Page CUSUM. Unlike the batch changepoint
+    query (which needs the full trace for its argmax), the control-
+    chart form carries CONSTANT state per key: two doubles."""
+
+    def cusum_fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (k,) = key
+        s_pos, s_neg = state.get if state.exists else (0.0, 0.0)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            state.update((s_pos, s_neg))
+            yield pd.DataFrame(
+                columns=["key", "ts", "value", "s_pos", "s_neg", "alarm"]
+            )
+            return
+        pdf = pd.concat(chunks).sort_values(
+            [ts_col, tiebreak_col], kind="mergesort"
+        )
+        sp_l, sn_l, al_l = [], [], []
+        for v in pdf[value_col]:
+            v = float(v)
+            # fixed IEEE op order, mirrored by the DuckDB oracle:
+            # greatest(0, s + ((v - target) - slack))
+            s_pos = max(0.0, s_pos + ((v - target) - slack))
+            s_neg = max(0.0, s_neg + ((target - v) - slack))
+            sp_l.append(s_pos)
+            sn_l.append(s_neg)
+            al_l.append(bool(s_pos > h or s_neg > h))
+        state.update((s_pos, s_neg))
+        yield pd.DataFrame(
+            {
+                "key": k,
+                "ts": pdf[ts_col],
+                "value": pdf[value_col],
+                "s_pos": sp_l,
+                "s_neg": sn_l,
+                "alarm": al_l,
+            }
+        )
+
+    return cusum_fn
+
+
+def cusum_stateful(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+    target: float = CUSUM_TARGET,
+    slack: float = CUSUM_SLACK,
+    h: float = CUSUM_H,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Two-sided Page CUSUM control chart per key (Page 1954): the
+    streaming drift alarm whose state never grows —
+    s+ = max(0, s+ + (x - target - slack)),
+    s- = max(0, s- + (target - x - slack)), alarm when either exceeds
+    h. The batch twin ``cusum_changepoint_events`` locates the
+    changepoint retrospectively; this form detects it ONLINE with two
+    doubles of state per key. Same streaming/batch-equivalence caveat
+    as ema_stateful: replay order is event-time order."""
+    tiebreak = tiebreak_col or value_col
+    if df.isStreaming:
+        from kinesis_analytics_demo_spark.streaming.windows import ensure_event_time
+
+        df = ensure_event_time(df, ts_col)
+        if watermark is not None:
+            df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        _make_cusum_fn(target, slack, h, ts_col, value_col, tiebreak),
+        outputStructType=_CUSUM_OUTPUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ------------------------------------------------------- running candlestick
 _OHLC_OUTPUT_SCHEMA = T.StructType(
     [

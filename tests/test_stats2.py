@@ -93,6 +93,44 @@ def test_cusum_finds_planted_level_shift(spark, tmp_path):
     assert abs(r["cusum_score"] - 240.0) < 1e-9
 
 
+def test_streaming_cusum_alarms_at_the_planted_shift(spark, tmp_path):
+    """50 in-control rows (value = target, slack absorbs them: S
+    stays 0) then a +20 shift: each post-shift row adds exactly 15.0
+    to S+, so the alarm must first fire on the 14th post-shift row
+    (15*14 = 210 > h = 200) and stay on — the online drift detector
+    fires with bounded state, on the true streaming path."""
+    import datetime
+
+    from kinesis_analytics_demo_spark.plans.registry import get_query
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 1, "view",
+         50.0 if i < 50 else 70.0, "{}")
+        for i in range(100)
+    ]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # micros, like testdata r3+
+    path = str(tmp_path)
+    # single FILE (the sf-dir layout the replay source symlinks)
+    pq.write_table(pa.Table.from_pandas(pdf), path + "/events.parquet")
+    out = sorted(
+        get_query("streaming_cusum_replay").fn(spark, path).collect(),
+        key=lambda r: r["ts"],
+    )
+    assert len(out) == 100
+    alarms = [i for i, r in enumerate(out) if r["alarm"]]
+    assert alarms == list(range(63, 100))  # 50 + 14th shift row, onward
+    assert out[49]["s_pos"] == 0.0 and out[49]["s_neg"] == 0.0
+    assert out[63]["s_pos"] == 210.0
+
+
 def test_mad_flags_planted_spike_robustly(spark, tmp_path):
     """49 values at ~10 plus one at 1000: the spike is > 3*MAD from
     the median (MAD ignores it), so exactly one outlier is flagged.
