@@ -212,8 +212,9 @@ _QH_ORACLE = f"""
         FROM events),
     binned AS (
         SELECT event_type,
-               CAST(least(floor((value - stats.mn) / stats.w),
-                          {N_BINS - 1}) AS BIGINT) AS bin
+               CAST(CASE WHEN stats.w = 0 THEN 0
+                         ELSE least(floor((value - stats.mn) / stats.w),
+                                    {N_BINS - 1}) END AS BIGINT) AS bin
         FROM events, stats),
     hist AS (
         SELECT event_type, bin, count(*) AS cnt
@@ -262,13 +263,20 @@ def histogram_bin_counts(
             F.max("value").alias("mx"),
             ((F.max("value") - F.min("value")) / N_BINS).alias("w"),
         )
+    # w == 0 guard: a degenerate range (all values equal, OR a span so
+    # small that (mx-mn)/N_BINS underflows to 0.0 — hypothesis found
+    # [0,0,0,0,5e-324]) must put every row in bin 0, not divide by
+    # zero (Spark ANSI errors; DuckDB would silently yield inf->255).
     binned = ev.crossJoin(F.broadcast(stats)).select(
         "event_type",
         "mn",
         "w",
-        F.least(
-            F.floor((F.col("value") - F.col("mn")) / F.col("w")),
-            F.lit(N_BINS - 1),
+        F.when(F.col("w") == 0.0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / F.col("w")),
+                F.lit(N_BINS - 1),
+            )
         )
         .cast("bigint")
         .alias("bin"),

@@ -21,7 +21,16 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="kads-tests", shuffle_partitions=8)
+    # 4g heap: the registry-wide audits (219 queries explained +
+    # executed in ONE session after the parity gate) outgrew the 1g
+    # local-mode default at ~215 queries — the full suite OOM'd at
+    # test_plans while a fresh session passed it. Production default
+    # stays 1g (see session.py: bigger heaps measured no faster).
+    s = get_spark(
+        app_name="kads-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "4g"},
+    )
     yield s
     s.stop()
 

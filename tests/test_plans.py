@@ -151,6 +151,11 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         if name in INTENDED_BROADCAST_CROSS:
             # even these must never fall back to a non-broadcast form
             assert "CartesianProduct" not in plan, name
+        # free any tracked_persist intermediates before the next plan:
+        # 219 queries' cached tables in one session OOM the audit
+        from kinesis_analytics_demo_spark.caching import release_tracked
+
+        release_tracked()
     assert offenders == {}
 
 
