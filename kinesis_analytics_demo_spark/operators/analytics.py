@@ -295,9 +295,12 @@ def _bloom_pos(d: int, key) -> F.Column:
         FROM probe p LEFT JOIN keys k ON p.o_custkey = k.c_custkey
     )
     SELECT count(*) AS n_orders,
-           sum(CASE WHEN pass_bloom THEN 1 ELSE 0 END) AS n_pass_bloom,
-           sum(CASE WHEN true_member THEN 1 ELSE 0 END) AS n_true_members,
-           sum(CASE WHEN pass_bloom AND NOT true_member THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN pass_bloom THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_bloom,
+           CAST(sum(CASE WHEN true_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_members,
+           CAST(sum(CASE WHEN pass_bloom AND NOT true_member
+                         THEN 1 ELSE 0 END) AS BIGINT)
                AS n_false_positives
     FROM audit
     """,

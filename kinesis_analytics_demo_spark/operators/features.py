@@ -59,8 +59,10 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
            ROUND(lo, 6) AS p01,
            ROUND(hi, 6) AS p99,
            count(*) AS n,
-           sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS n_clipped_low,
-           sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS n_clipped_high,
+           CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
            CAST(ROUND(SUM(CAST(cv AS DECIMAL(18,6))), 2) AS DOUBLE)
                AS sum_winsorized
     FROM clipped
@@ -115,7 +117,8 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_type_counts() -> str:
     return ",\n           ".join(
-        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{t}"
         for t in EVENT_TYPES
     )
 

@@ -267,7 +267,8 @@ CHUNK_MAX_DUP_FRAC = 0.5
     occ AS (SELECT ch, count(*) AS cnt FROM h GROUP BY ch),
     d AS (SELECT h.doc_id,
                  count(*) AS n_chunks,
-                 sum(CASE WHEN occ.cnt >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks
+                 CAST(sum(CASE WHEN occ.cnt >= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup_chunks
           FROM h JOIN occ ON h.ch = occ.ch GROUP BY h.doc_id)
     SELECT doc_id,
            n_chunks,

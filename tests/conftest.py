@@ -81,10 +81,86 @@ def rows_to_comparable(columns, rows):
     return [columns[i] for i in order], out
 
 
+def _duck_type_class(t) -> str:
+    """Collapse a DuckDB result type to the representation class that
+    survives pandas/Arrow materialization (what the driver hashes)."""
+    s = str(t).upper()
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"  # int128: pandas coerces to float/object — never OK
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s in (
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    ):
+        return "int"
+    if s in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "VARCHAR":
+        return "str"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    if s.endswith("[]") or s.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+        return "nested"
+    return s
+
+
+def _spark_type_class(dt: str) -> str:
+    s = dt.lower()
+    if s.startswith("decimal"):
+        return "decimal"
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s == "boolean":
+        return "bool"
+    if s == "string":
+        return "str"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "ts"
+    if s.startswith(("array", "struct", "map")):
+        return "nested"
+    return s
+
+
+def assert_result_types_compatible(spark_df, rel):
+    """The driver's value-hash is TYPE-sensitive where fetchall() is
+    not: it hashes pandas/Arrow-materialized values, so a DuckDB
+    HUGEINT (bare integer SUM(CASE...)) becomes 5.0 against Spark's
+    int64 5 and the hash diverges even though fetchall() compared
+    equal (round-4 defect: dedup_chunk_exact / winsorize_event_values
+    / user_feature_vector). Assert per-column representation classes
+    match so that drift fails locally before the driver sees it."""
+    s_types = {c: _spark_type_class(t) for c, t in spark_df.dtypes}
+    o_types = {c: _duck_type_class(t) for c, t in zip(rel.columns, rel.types)}
+    problems = []
+    for c in rel.columns:
+        oc = o_types[c]
+        sc = s_types.get(c)
+        if oc == "hugeint":
+            problems.append(
+                f"{c}: oracle is HUGEINT (int128) — wrap the SUM in "
+                f"CAST(... AS BIGINT); spark={sc}"
+            )
+        elif sc is not None and oc != sc:
+            problems.append(f"{c}: oracle={oc} spark={sc}")
+    assert not problems, "result-type drift (driver hash hazard): " + "; ".join(
+        problems
+    )
+
+
 def assert_matches_oracle(spark_df, oracle_con, oracle_query, exact=True, rel_tol=1e-9):
     """Driver-gate emulation: same row count, same column names, same
-    values (exact by default — the registry's determinism discipline
-    should make exact equality hold)."""
+    result-type classes, same values (exact by default — the
+    registry's determinism discipline should make exact equality
+    hold)."""
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = oracle_con.sql(oracle_query)
@@ -94,6 +170,7 @@ def assert_matches_oracle(spark_df, oracle_con, oracle_query, exact=True, rel_to
     assert sorted(s_cols) == sorted(o_cols), (
         f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
     )
+    assert_result_types_compatible(spark_df, rel)
     assert len(s_rows) == len(o_rows), (
         f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
     )

@@ -40,6 +40,45 @@ def test_query_runs(spark, name):
     assert len(df.columns) > 0
 
 
+def test_gate_rejects_hugeint_oracle(spark, oracle_con):
+    """Regression (round-4 hash-fails): a bare integer SUM(CASE...) is
+    HUGEINT in DuckDB — pandas materializes it as float while Spark
+    emits int64, so the driver's value-hash diverges even though
+    fetchall() values compare equal. The local gate must reject it."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import assert_result_types_compatible
+
+    df = spark.range(3).select(
+        F.sum(F.when(F.col("id") > 0, 1).otherwise(0)).alias("n_pos")
+    )
+    bad = oracle_con.sql(
+        "SELECT sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS n_pos "
+        "FROM (VALUES (0), (1), (2)) t(x)"
+    )
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        assert_result_types_compatible(df, bad)
+    good = oracle_con.sql(
+        "SELECT CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_pos FROM (VALUES (0), (1), (2)) t(x)"
+    )
+    assert_result_types_compatible(df, good)
+
+
+def test_gate_rejects_int_float_drift(spark, oracle_con):
+    """An oracle typed DOUBLE against a Spark int64 column (or vice
+    versa) hashes differently at the driver — the gate must flag the
+    class mismatch even when the numeric values are equal."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import assert_result_types_compatible
+
+    df = spark.range(1).select(F.lit(5).cast("bigint").alias("v"))
+    drift = oracle_con.sql("SELECT 5.0::DOUBLE AS v")
+    with pytest.raises(AssertionError, match="result-type drift"):
+        assert_result_types_compatible(df, drift)
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
