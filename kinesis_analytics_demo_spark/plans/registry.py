@@ -102,92 +102,68 @@ def _load_all_modules() -> None:
 # items 1-2), minus the 10 lowest-value relational variants that wait
 # for round 4.
 #
-# ROUND-4 ROTATION (active): the 50 highest-value queries with NO
-# driver CORRECTNESS row after rounds 1-3 (94 such names existed at
-# the start of round 4; union of r1-r3 rows = 100 of 194). Ordering
-# favors one row per distinct capability family: the ten streaming
-# replays, window TVFs, graph, the vector-compression ladder
-# (PQ/SQ8/RP), moment-method stats, CEP, retrieval, CDC/SCD2, the
-# span/chunk dedup variants, and the UDTF/UDAF surface. The remaining
-# 44 never-checked names are staged in _DRIVER_PRIORITY_NEXT for
-# round 5, which completes registry-wide driver coverage.
+# ROUND-5 ROTATION (active): 50 slots = the 3 round-4 hash-fail
+# re-checks (HUGEINT oracle typing, fixed by CAST(... AS BIGINT) —
+# they must land as green rows), the 2 staged queries that carried the
+# same latent defect (bloom_filter_semijoin, late_lines_by_status,
+# cast-fixed before first driver contact), and 45 of the 69
+# never-driver-checked names — ordered one row per distinct
+# capability family (privacy, entity resolution, the round-4 stats
+# battery, BFS, pHash/scene-change, attribution + its streaming twin,
+# containment/cross-source dedup, DSIR/BPE/kNN-audit, incremental
+# index merge, shard rebalance, and the round-3-staged corpus-audit
+# batch). The remaining 22 never-checked names (17 low-risk
+# TPC-H-shape relational variants + 5 family-duplicate variants whose
+# siblings are already green) are staged in _DRIVER_PRIORITY_NEXT for
+# round 6 — round 5 does NOT complete registry-wide coverage; round 6
+# does, provided new queries keep being appended to the staged list.
 _DRIVER_PRIORITY: list[str] = [
-    # -- streaming replays (one per stateful operator family)
-    "streaming_cdc_upsert_replay",
-    "streaming_corpus_prep_replay",
-    "streaming_enrich_join_replay",
-    "streaming_left_join_replay",
-    "streaming_cumulate_replay",
-    "streaming_full_outer_join_replay",
-    "streaming_quantile_replay",
-    "streaming_session_timeout_replay",
-    "streaming_kmv_replay",
-    "streaming_cms_replay",
-    # -- window TVF completion + continuous aggregates + sketch
-    "cumulate_window_revenue",
-    "rollup_hierarchy_events",
-    "window_rank_battery",
-    "quantile_histogram_events",
-    # -- graph analytics
-    "pagerank_trade_graph",
-    "graph_triangle_count",
-    # -- vector-compression ladder (PQ / SQ8 / random projection)
-    "embedding_pq_codes",
-    "similarity_pq_adc_rerank",
-    "similarity_ivfpq_adc_rerank",
-    "embedding_sq8_error",
-    "similarity_sq8_topk",
-    "embedding_random_projection",
-    "similarity_rp_topk_rerank",
-    "similarity_hard_negatives",
-    # -- LM scoring + layout
-    "doc_lm_cross_entropy",
-    "zorder_key_events",
-    # -- moment-method stats battery
-    "corr_matrix_lineitem",
-    "ols_discount_vs_quantity",
-    "chisq_event_type_weekday",
-    # -- CEP / journeys
-    "cep_click_error_no_purchase",
-    "cep_rising_streaks",
-    "event_transition_matrix",
-    "market_basket_part_pairs",
-    # -- retrieval / indexing
-    "tfidf_top_terms",
-    "bm25_search",
-    "inverted_index_postings",
-    # -- CDC / SCD2 / fuzzy decontamination
-    "cdc_upsert_latest",
-    "scd2_event_type_intervals",
-    "scd2_incremental_apply",
-    "decontamination_minhash",
-    # -- dedup variants without driver rows
-    "dedup_embedding_clusters",
-    "dedup_hybrid_clusters",
-    "dedup_repeated_ngram_spans",
+    # -- round-4 hash-fail re-checks (oracle CAST fix must go green)
     "dedup_chunk_exact",
-    # -- curation / features / expectations
-    "text_c4_filters",
-    "data_quality_expectations",
     "winsorize_event_values",
     "user_feature_vector",
-    # -- UDTF + grouped-agg UDAF surface
-    "udtf_word_chunks",
-    "udaf_value_spread",
-]
-
-
-#: ROUND-5 ROTATION, staged at the start of round 4: the 44 remaining
-#: names with no driver CORRECTNESS row in rounds 1-3 and no slot in
-#: the active round-4 list above. Swapping these in next round gives
-#: every registered query at least one driver row. NEW queries added
-#: during round 4 must be APPENDED here (test_registry enforces that
-#: active + staged + driver-checked covers the whole registry).
-_DRIVER_PRIORITY_NEXT: list[str] = [
+    # -- same HUGEINT defect, fixed before first driver contact
+    "bloom_filter_semijoin",
+    "late_lines_by_status",
+    # -- streaming stateful twins (attribution, CUSUM)
+    "streaming_attribution_replay",
+    "streaming_cusum_replay",
+    # -- privacy audits
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "dp_noisy_counts",
+    # -- entity resolution / skyline / clustering
+    "fuzzy_match_entity_names",
+    "pareto_quality_frontier",
+    "cluster_topic_terms",
+    # -- round-4 stats battery
+    "anomaly_mad_events",
+    "bootstrap_ci_event_values",
+    "ab_test_welch_events",
+    "cusum_changepoint_events",
+    # -- graph BFS (recursive-CTE oracle)
+    "graph_bfs_levels",
+    # -- multimodal perceptual near-dup + scene changes
+    "dedup_image_phash",
+    "multimodal_scene_changes",
+    # -- attribution
+    "attribution_last_touch",
+    # -- containment (PPJoin) + cross-source dedup
+    "dedup_containment_pairs",
+    "dedup_cross_source_matrix",
+    # -- target-domain weighting, tokenizer stats, kNN label audit
+    "corpus_dsir_weights",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "label_knn_disagreement",
+    # -- incremental index maintenance + physical layout
+    "inverted_index_incremental_merge",
+    "corpus_rebalance_shards",
+    "skew_profile_lineitem",
+    # -- round-3-staged sketch / lifecycle / corpus-audit batch
     "heavy_hitters_cms",
     "cohort_retention",
     "anomaly_zscore_events",
-    "bloom_filter_semijoin",
     "funnel_time_to_convert",
     "dedup_lsh_recall_audit",
     "corpus_token_budget_select",
@@ -195,12 +171,29 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "source_quality_report",
     "embedding_outliers_centroid",
     "corpus_sample_weighted",
-    "embedding_pq_quantization_error",
-    "similarity_pq_adc",
-    "profile_lineitem",
     "file_provenance_audit",
     "sessionize_dynamic_gap",
     "variant_props_extraction",
+    "embedding_drift_by_label",
+    "text_token_entropy",
+    "source_token_kl",
+    "corpus_zipf_alpha",
+    "corpus_split_leakage_safe",
+    "temporal_split_embargo",
+    "timeseries_similarity_topk",
+]
+
+
+#: ROUND-6 ROTATION, staged at the start of round 5: the 22 remaining
+#: never-driver-checked names — 17 TPC-H-shape relational variants
+#: (lowest defect risk: their families have multiple green rows since
+#: round 1) plus 5 family-duplicate variants (baseline/intermediate
+#: forms of queries whose production twins are green). Swapping these
+#: in next round completes registry-wide driver coverage. NEW queries
+#: added during round 5 must be APPENDED here (test_registry enforces
+#: that active + staged + driver-checked covers the whole registry).
+_DRIVER_PRIORITY_NEXT: list[str] = [
+    # -- relational variants
     "large_orders",
     "monthly_revenue",
     "disjunctive_filter_revenue",
@@ -212,48 +205,18 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "order_priority_check",
     "forecast_revenue_change",
     "returned_item_customers",
-    "late_lines_by_status",
     "min_cost_supplier",
     "product_profit_by_nation_year",
     "customer_order_count_distribution",
     "supplier_part_variety",
     "high_volume_part_suppliers",
     "full_outer_balance_audit",
+    # -- family-duplicate variants (production twins already green)
     "similarity_ann_lsh_baseline",
-    "embedding_drift_by_label",
+    "similarity_pq_adc",
+    "embedding_pq_quantization_error",
     "daily_p95_value",
-    "text_token_entropy",
-    "source_token_kl",
-    "corpus_zipf_alpha",
-    "corpus_split_leakage_safe",
-    "temporal_split_embargo",
-    "timeseries_similarity_topk",
-    # -- round-4 additions (never driver-checked, next rotation)
-    "corpus_dsir_weights",
-    "bpe_pair_counts",
-    "k_anonymity_audit",
-    "dedup_image_phash",
-    "attribution_last_touch",
-    "streaming_attribution_replay",
-    "label_knn_disagreement",
-    "l_diversity_audit",
-    "bpe_train_merges",
-    "inverted_index_incremental_merge",
-    "corpus_rebalance_shards",
-    "dp_noisy_counts",
-    "graph_bfs_levels",
-    "multimodal_scene_changes",
-    "fuzzy_match_entity_names",
-    "pareto_quality_frontier",
-    "cluster_topic_terms",
-    "dedup_containment_pairs",
-    "dedup_cross_source_matrix",
-    "skew_profile_lineitem",
-    "anomaly_mad_events",
-    "bootstrap_ci_event_values",
-    "ab_test_welch_events",
-    "cusum_changepoint_events",
-    "streaming_cusum_replay",
+    "profile_lineitem",
 ]
 
 
