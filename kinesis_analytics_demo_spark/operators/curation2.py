@@ -384,6 +384,11 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
     docs = _t(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(H.words(F.col("text"))).alias("w"))
+        # zero-length tokens (split on leading/trailing whitespace)
+        # would hit Spark's descending sequence(1, 0) == [1, 0] and
+        # fabricate syms == ["", ""] — a phantom ("", "") pair that
+        # can outweigh a real merge. Same guard as bpe_pair_counts.
+        .filter(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(

@@ -306,7 +306,11 @@ def bfs_levels(edges: DataFrame, source: int) -> DataFrame:
     )
     frontier = levels
     lvl = 0
-    while True:
+    # Cap at the oracle's recursion guard: without it a node more than
+    # BFS_MAX_DEPTH hops out would appear in the Spark result but not
+    # the recursive-CTE oracle (ADVICE r4 — parity silently depended
+    # on graph diameter).
+    while lvl < BFS_MAX_DEPTH:
         lvl += 1
         nxt = tracked_persist(
             edges.join(

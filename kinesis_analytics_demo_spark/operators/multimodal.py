@@ -278,9 +278,14 @@ def _make_phash_kernel():
         FROM documents),
     h AS (
         SELECT doc_id,
-               list_sum([CASE WHEN p[i] > list_sum(p) / len(p)
-                              THEN 1::BIGINT << (i - 1) ELSE 0 END
-                         for i in generate_series(1, len(p))]) AS ah
+               -- COALESCE: list_sum over the empty pixel list is NULL,
+               -- but the Spark kernel hashes an empty payload to 0 —
+               -- the engines must agree or empty docs silently drop
+               -- out of oracle pairs (ADVICE r4)
+               COALESCE(list_sum(
+                   [CASE WHEN p[i] > list_sum(p) / len(p)
+                         THEN 1::BIGINT << (i - 1) ELSE 0 END
+                    for i in generate_series(1, len(p))]), 0) AS ah
         FROM px)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.ah, b.ah)) AS INT) AS hamming

@@ -211,10 +211,20 @@ def bootstrap_ci_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(CASE WHEN arm = 1 THEN n END) AS n_b,
                max(CASE WHEN arm = 0 THEN CAST(s1 AS DOUBLE) / n END) AS mean_a,
                max(CASE WHEN arm = 1 THEN CAST(s1 AS DOUBLE) / n END) AS mean_b,
+               -- variance in DOUBLE from the exact decimal sums:
+               -- s1 * s1 at DECIMAL(28,6) needs precision 57 > the
+               -- 38 cap, where Spark (allowPrecisionLoss) and DuckDB
+               -- round differently (ADVICE r4) — so cast each sum to
+               -- double FIRST and accept documented IEEE semantics,
+               -- identically ordered on both engines
                max(CASE WHEN arm = 0 THEN
-                   CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1) END) AS var_a,
+                   (n * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / n / (n - 1) END) AS var_a,
                max(CASE WHEN arm = 1 THEN
-                   CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1) END) AS var_b
+                   (n * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / n / (n - 1) END) AS var_b
         FROM st
     )
     SELECT n_a, n_b, mean_a, mean_b,
@@ -246,8 +256,13 @@ def ab_test_welch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v") * F.col("v")).alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("n")
+    # cast-to-double BEFORE multiplying: the decimal product s1*s1
+    # exceeds precision 38 and the engines' precision-loss rounding
+    # diverges (ADVICE r4); this order matches the oracle exactly
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
     var = (
-        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        (F.col("n") * s2d - s1d * s1d)
         / F.col("n")
         / (F.col("n") - 1)
     )

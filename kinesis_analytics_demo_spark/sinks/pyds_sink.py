@@ -64,20 +64,22 @@ def _commit_files(path: str, manifest_name: str, messages, name_prefix) -> None:
     ``messages`` in partition order), so a replayed micro-batch
     overwrites rather than duplicates. Any files listed by an existing
     manifest of the same name (a prior attempt of this batch that
-    committed before the checkpoint offset did) are deleted first, so
-    a replay with a DIFFERENT partitioning cannot strand files."""
+    committed before the checkpoint offset did) but absent from the
+    new entry set are deleted LAST — after the renames and the new
+    manifest write — so a replay with a DIFFERENT partitioning cannot
+    strand files. Ordering matters (ADVICE r4): deleting prior-attempt
+    files before renaming/writing the manifest left a crash window
+    where a committed manifest referenced already-deleted files;
+    rename-first (os.replace overwrites same-name collisions) shrinks
+    the inconsistency to the atomic manifest swap itself."""
     manifest = os.path.join(path, manifest_name)
+    stale = []
     if os.path.exists(manifest):
         try:
             with open(manifest) as fh:
                 stale = json.load(fh).get("files", [])
         except (OSError, ValueError):
             stale = []
-        for e in stale:
-            try:
-                os.remove(os.path.join(path, e["file"]))
-            except OSError:
-                pass
     entries = []
     own_tmps = set()
     for i, m in enumerate(messages):
@@ -112,6 +114,18 @@ def _commit_files(path: str, manifest_name: str, messages, name_prefix) -> None:
             fh,
         )
     os.rename(tmp, manifest)
+    # Only now, with the new manifest committed, remove prior-attempt
+    # files this attempt didn't reuse: a crash anywhere above leaves
+    # either the old manifest with its files intact (same-name files
+    # possibly re-written with this attempt's identical-batch content)
+    # or the new manifest with all its files in place.
+    new_names = {e["file"] for e in entries}
+    for e in stale:
+        if e.get("file") not in new_names:
+            try:
+                os.remove(os.path.join(path, e["file"]))
+            except OSError:
+                pass
 
 
 def _abort_files(messages) -> None:

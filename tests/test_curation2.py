@@ -54,6 +54,30 @@ def test_bpe_pair_counts_hand_verified(spark, tmp_path):
     assert out[("bc", 4)] == 1
 
 
+def test_bpe_train_ignores_empty_tokens(spark, tmp_path):
+    """Leading/trailing whitespace makes F.split emit zero-length
+    tokens; unguarded, Spark's descending sequence(1, 0) == [1, 0]
+    turns each into syms == ["", ""] and a phantom ("", "") pair that
+    outweighs every real merge (ADVICE r4). The trainer must elect
+    the same merges as for the stripped corpus."""
+    from kinesis_analytics_demo_spark.operators.curation2 import bpe_train
+
+    rows = [(0, "  abab abc  ", "en", "s", 12), (1, " abba ", "en", "s", 6)]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(path + "/documents.parquet")
+    merges, words_df = bpe_train(spark, path, n_merges=2)
+    pairs = [(m[1], m[2]) for m in merges]
+    assert ("", "") not in pairs, merges
+    # "ab" is the true top pair (count 4) in both docs
+    assert merges[0][1] + merges[0][2] == "ab", merges
+    # no empty-word row survives into the trained word table
+    assert words_df.filter(F.size("syms") == 0).count() == 0
+    words_df.unpersist()
+
+
 def test_k_anonymity_flags_planted_singleton(spark, tmp_path):
     import datetime
 
