@@ -22,10 +22,15 @@ one-sided threshold:
      join — the Spark-only optimization whose completeness the
      quadratic oracle PROVES every round (a lost pair would be a
      driver-row mismatch);
-  3. exact verify joins the candidate pairs back to the full capped
-     sets, counts shared hashes, and applies the threshold as the
-     integer cross-multiplication 10*shared >= 8*n_src — no float
-     boundary to disagree on.
+  3. exact verify dedupes the candidate pairs and joins each against
+     the per-doc SORTED shingle-hash arrays (one collect_set per doc,
+     size bounded by document length); ``size(array_intersect(...))``
+     counts shared hashes entirely inside whole-stage codegen — no
+     per-shingle explode, no countDistinct aggregate — and the
+     threshold is the integer cross-multiplication 10*shared >=
+     8*n_src, no float boundary to disagree on. (Round-5 A/B at
+     sf0.1: 2.88s vs 3.86s for the exploded-verify formulation,
+     identical 512-pair output.)
 
 ``dedup_cross_source_matrix`` aggregates the MinHash near-duplicate
 pairs (shared machinery with dedup_minhash_pairs: 16 perms/4 bands,
@@ -94,8 +99,9 @@ _SQL_CONTAIN_SH = f"""
     "truncations/excerpts that symmetric Jaccard misses. Candidates "
     "come from the rarest-prefix pigeonhole (only floor(n/5)+1 "
     "shingles per source doc enter the join); the quadratic oracle "
-    "proves the prefix loses nothing. Threshold applied as integer "
-    "cross-multiplication.",
+    "proves the prefix loses nothing. Verify is codegen-side "
+    "size(array_intersect) over per-doc sorted hash arrays; "
+    "threshold applied as integer cross-multiplication.",
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -120,12 +126,6 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.floor(F.col("n") / CONTAIN_DEN * 2) + 1)
         .select(F.col("doc_id").alias("src_doc"), "h")
     )
-    # Candidates keep duplicate (src, dst) rows deliberately: deduping
-    # here would cost a full shuffle of the candidate stream, while
-    # the verify aggregate dedupes for free via countDistinct(h) (a
-    # duplicate candidate row only multiplies the join fan-out by the
-    # number of shared PREFIX shingles — bounded by floor(n/5)+1).
-    # Measured 2.4x faster end-to-end at sf0.1, identical output.
     cand = (
         prefix.join(
             cap.select(F.col("doc_id").alias("dst_doc"), "h"), "h"
@@ -133,26 +133,49 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src_doc") != F.col("dst_doc"))
         .select("src_doc", "dst_doc")
     )
-    a = cap.select(F.col("doc_id").alias("src_doc"), "h")
-    b = cap.select(F.col("doc_id").alias("dst_doc"), "h")
-    inter = (
-        cand.join(a, "src_doc")
-        .join(b, ["dst_doc", "h"])
-        .groupBy("src_doc", "dst_doc")
-        .agg(F.countDistinct("h").alias("shared"))
+    # Verify via per-doc sorted hash arrays: the candidate stream is
+    # deduped (measured dup factor only 1.03 — the rarest prefix
+    # rarely double-hits), then each (src, dst) pair picks up both
+    # docs' arrays through two hash joins and the shared count is
+    # size(array_intersect(...)) — all codegen, no explode back to
+    # per-shingle rows, no countDistinct shuffle. Array size is
+    # bounded by document length, so a candidate row stays O(doc)
+    # bytes at any corpus scale; skewed dst fan-out splits under AQE.
+    sets_ = cap.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("h")).alias("hs")
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "src_doc"), "src_doc")
+        cand.distinct()
+        .join(
+            sets_.select(
+                F.col("doc_id").alias("src_doc"), F.col("hs").alias("src_hs")
+            ),
+            "src_doc",
+        )
+        .join(
+            sets_.select(
+                F.col("doc_id").alias("dst_doc"), F.col("hs").alias("dst_hs")
+            ),
+            "dst_doc",
+        )
+        .select(
+            "src_doc",
+            "dst_doc",
+            F.size(F.array_intersect("src_hs", "dst_hs")).alias("shared"),
+            F.size("src_hs").alias("n_src"),
+        )
         .filter(
             F.lit(CONTAIN_DEN) * F.col("shared")
-            >= F.lit(CONTAIN_NUM) * F.col("n")
+            >= F.lit(CONTAIN_NUM) * F.col("n_src")
         )
         .select(
             "src_doc",
             "dst_doc",
             "shared",
-            F.col("n").alias("n_src"),
-            (F.col("shared").cast("double") / F.col("n")).alias("containment"),
+            "n_src",
+            (F.col("shared").cast("double") / F.col("n_src")).alias(
+                "containment"
+            ),
         )
     )
 
