@@ -392,6 +392,7 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
+            "w",  # kept so bpe_encode_tokens can join words back on
             F.transform(
                 F.sequence(F.lit(1), F.length("w")),
                 lambda i: F.col("w").substr(i, F.lit(1)),
@@ -433,6 +434,7 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
         merges.append((it, a, b, merged, cnt))
         nxt = tracked_persist(
             words.select(
+                "w",
                 _merge_pair_expr(F.col("syms"), a, b, merged).alias("syms"),
                 "n",
             )
@@ -461,6 +463,46 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "iteration int, left string, right string, "
         "merged string, pair_count bigint",
+    )
+
+
+@register(
+    "bpe_encode_tokens",
+    oracle=None,  # depends on the iteratively-trained merge table —
+    # not SQL-expressible; rows-only driver check + the pure-Python
+    # golden in tests/test_curation2.py pins per-doc values
+    doc="The tokenizer-APPLY half of the BPE story (train exists as "
+    "bpe_train_merges): encode every document with the trained merge "
+    "table and report per-doc subword counts. Because merges rewrite "
+    "the DISTINCT-WORD table, encoding is a join, not a re-run: "
+    "explode docs to words, hash-join the (word -> merged symbol "
+    "count) vocabulary — O(vocab) rows, broadcastable at small "
+    "vocabularies, plain hash join at web scale — and aggregate per "
+    "doc. Emits (doc_id, n_words, n_tokens_bpe, tokens_per_word); "
+    "tokens_per_word < 1x char count shows the learned compression.",
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, words = bpe_train(spark, sf_dir)
+    vocab = words.select("w", F.size("syms").alias("n_sub"))
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(H.words(F.col("text"))).alias("w")
+    ).filter(F.length("w") >= 1)
+    return (
+        tok.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_tokens_bpe"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens_bpe",
+            F.round(
+                F.col("n_tokens_bpe").cast("double") / F.col("n_words"), 6
+            ).alias("tokens_per_word"),
+        )
     )
 
 

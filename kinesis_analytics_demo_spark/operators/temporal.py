@@ -379,3 +379,104 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("click_value_sum"),
         )
     )
+
+
+#: activity-interval width for the concurrency sweep: each event opens
+#: a [ts, ts + 300s) activity window (closed-open, so a window ending
+#: exactly when another starts does NOT overlap it)
+CONCURRENCY_WINDOW_SEC = 300
+#: coarse bucket width for the two-level sweep (1 hour)
+CONCURRENCY_BUCKET_SEC = 3600
+
+
+@register(
+    "concurrent_sessions_peak",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, ts AS t, 1 AS d FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL {CONCURRENCY_WINDOW_SEC} SECOND,
+               -1 FROM events
+    ),
+    r AS (
+        SELECT event_type, t,
+               CAST(sum(d) OVER (PARTITION BY event_type ORDER BY t, d)
+                    AS BIGINT) AS conc
+        FROM b
+    ),
+    pk AS (SELECT event_type, max(conc) AS peak FROM r GROUP BY 1)
+    SELECT r.event_type,
+           CAST(pk.peak AS BIGINT) AS peak_concurrent,
+           min(r.t) AS first_peak_ts
+    FROM r JOIN pk ON r.event_type = pk.event_type AND r.conc = pk.peak
+    GROUP BY 1, 2
+    """,
+    doc="Sweep-line interval concurrency (the interval-algebra shape "
+    "none of the join/window operators cover): each event opens a "
+    "closed-open 5-minute activity window; per event_type, the peak "
+    "number of simultaneously open windows and the first instant it "
+    "is reached. Boundaries (+1 at start, -1 at end) are summed by a "
+    "peer-inclusive RANGE window ordered by (t, d) — d ascending "
+    "applies ends before starts at the same instant, which both "
+    "engines evaluate identically, and an adjacent [a,b)/[b,c) pair "
+    "never overlaps. The Spark plan is the TWO-LEVEL sweep: partial "
+    "boundary sums per (event_type, hour bucket), a tiny running-sum "
+    "carry table over buckets, then the in-bucket window runs "
+    "partitioned by (event_type, bucket) — parallel across buckets, "
+    "so one hot key no longer serializes the scan (the flat "
+    "per-key window would; same decomposition as "
+    "sliding_window_min_twolevel). The oracle is the flat global "
+    "sweep — different execution, same semantics.",
+)
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
+    )
+    ends = ev.select(
+        "event_type",
+        (
+            F.col("ts") + F.expr(f"INTERVAL {CONCURRENCY_WINDOW_SEC} SECONDS")
+        ).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    b = starts.unionByName(ends).withColumn(
+        "bkt",
+        F.floor(
+            F.col("t").cast("timestamp").cast("long")
+            / CONCURRENCY_BUCKET_SEC
+        ),
+    )
+    # level 1: per-bucket boundary totals -> carry-in via a running sum
+    # over the (keys x buckets)-sized table — driver-free, tiny
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        b.groupBy("event_type", "bkt")
+        .agg(F.sum("d").alias("bt"))
+        .withColumn("carry_in", F.coalesce(F.sum("bt").over(wb), F.lit(0)))
+        .select("event_type", "bkt", "carry_in")
+    )
+    # level 2: in-bucket sweep, partitioned by (event_type, bucket);
+    # peers at the same (t, d) share the peer-inclusive RANGE sum, so
+    # the result is order-deterministic
+    wi = Window.partitionBy("event_type", "bkt").orderBy("t", "d")
+    r = tracked_persist(
+        b.join(carry, ["event_type", "bkt"]).select(
+            "event_type",
+            "t",
+            (F.col("carry_in") + F.sum("d").over(wi)).alias("conc"),
+        )
+    )
+    pk = r.groupBy("event_type").agg(F.max("conc").alias("peak_concurrent"))
+    return (
+        r.join(pk, "event_type")
+        .filter(F.col("conc") == F.col("peak_concurrent"))
+        .groupBy("event_type", "peak_concurrent")
+        .agg(F.min("t").alias("first_peak_ts"))
+    )

@@ -217,6 +217,9 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "embedding_pq_quantization_error",
     "daily_p95_value",
     "profile_lineitem",
+    # -- round-5 additions (never driver-checked, next rotation)
+    "concurrent_sessions_peak",
+    "bpe_encode_tokens",
 ]
 
 

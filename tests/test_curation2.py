@@ -54,6 +54,59 @@ def test_bpe_pair_counts_hand_verified(spark, tmp_path):
     assert out[("bc", 4)] == 1
 
 
+def test_bpe_encode_matches_python_reference(spark):
+    """Encoding with the trained merges must equal the pure-Python
+    pipeline (train 5 merges, apply greedy leftmost, count subwords
+    per doc) on the real sf0.001 corpus."""
+    import collections
+    import re
+
+    from kinesis_analytics_demo_spark.operators.curation2 import (
+        bpe_encode_tokens,
+    )
+    from kinesis_analytics_demo_spark.session import read_table
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens_bpe"])
+        for r in bpe_encode_tokens(spark, SF_SMALL).collect()
+    }
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in read_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text").collect()
+    }
+    wc = collections.Counter(
+        w for t in texts.values() for w in re.split(r"\s+", t) if w
+    )
+    words = {w: [list(w), n] for w, n in wc.items()}
+    for _ in range(5):
+        pc = collections.Counter()
+        for syms, n in words.values():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (a, b), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for v in words.values():
+            out = []
+            for s in v[0]:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            v[0] = out
+    exp = {}
+    for doc_id, t in texts.items():
+        toks = [w for w in re.split(r"\s+", t) if w]
+        if toks:
+            exp[doc_id] = (
+                len(toks), sum(len(words[w][0]) for w in toks)
+            )
+    assert got == exp
+
+
 def test_bpe_train_ignores_empty_tokens(spark, tmp_path):
     """Leading/trailing whitespace makes F.split emit zero-length
     tokens; unguarded, Spark's descending sequence(1, 0) == [1, 0]

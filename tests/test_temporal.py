@@ -3,7 +3,7 @@ join) — edge semantics the sf0.01 oracle parity run may not hit."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
 
@@ -87,3 +87,61 @@ def test_interval_join_left_unmatched_not_duplicated(spark):
     ).collect()
     assert len(rows) == 1
     assert rows[0].iid == 1 and rows[0].pid is None
+
+
+def test_concurrent_sessions_peak_hand_verified(spark, tmp_path):
+    """Sweep-line semantics on a hand-built corpus: three overlapping
+    windows peak at 3; a window starting exactly when another ends
+    (closed-open) does NOT overlap it; the first instant of the peak
+    is reported."""
+    from kinesis_analytics_demo_spark.operators.temporal import (
+        CONCURRENCY_WINDOW_SEC,
+        concurrent_sessions_peak,
+    )
+
+    adjacent = datetime(2024, 1, 1) + timedelta(seconds=CONCURRENCY_WINDOW_SEC)
+    rows = [
+        # click: events at t=0s, 60s, 120s -> all three open at 120s
+        (1, 10, "click", _ts(0, 0), 0.0),
+        (2, 11, "click", _ts(1, 0), 0.0),
+        (3, 12, "click", _ts(2, 0), 0.0),
+        # view: [0, w) then [w, 2w) — adjacency, never concurrent
+        (4, 20, "view", _ts(0, 0), 0.0),
+        (5, 21, "view", adjacent, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(path + "/events.parquet")
+    out = {
+        r["event_type"]: (r["peak_concurrent"], r["first_peak_ts"])
+        for r in concurrent_sessions_peak(spark, path).collect()
+    }
+    assert out["click"] == (3, _ts(2, 0))
+    assert out["view"] == (1, _ts(0, 0))
+
+
+def test_concurrent_sessions_peak_bucket_boundary(spark, tmp_path):
+    """Two-level carry correctness: windows spanning an hour-bucket
+    boundary must count into the next bucket's concurrency via the
+    carry-in, not be dropped at the bucket edge."""
+    from kinesis_analytics_demo_spark.operators.temporal import (
+        concurrent_sessions_peak,
+    )
+
+    rows = [
+        # opens 00:58:00, still active 01:01:00 (bucket 2's territory)
+        (1, 1, "click", datetime(2024, 1, 1, 0, 58, 0), 0.0),
+        (2, 2, "click", datetime(2024, 1, 1, 1, 1, 0), 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(path + "/events.parquet")
+    [r] = concurrent_sessions_peak(spark, path).collect()
+    assert r["peak_concurrent"] == 2
+    assert r["first_peak_ts"] == datetime(2024, 1, 1, 1, 1, 0)
