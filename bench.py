@@ -150,6 +150,10 @@ HEADLINE = [
     "fuzzy_match_entity_names",
     "pareto_quality_frontier",
     "dedup_containment_pairs",
+    # round-5 addition: sweep-line interval concurrency (two-level
+    # bucketed carry; bpe_encode_tokens stays un-benched — its work
+    # happens in the driver-looped training sub-jobs, like bpe_train)
+    "concurrent_sessions_peak",
 ]
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_analytics_demo_spark.functions import hashing as H
 from kinesis_analytics_demo_spark.plans.registry import register
 from kinesis_analytics_demo_spark.session import read_table as _t
 
@@ -144,3 +145,157 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in (uq, fk1, fk2, av, rg, cc):
         out = out.unionByName(part)
     return out
+
+
+# ------------------------------------------- replica reconciliation
+#: hash modulus for the PLANTED replica corruption: rows with
+#: md5(event_id) % 97 == 0 are dropped from the replica, == 1 are
+#: value-perturbed (+0.5) — ~1% each, deterministic on both engines
+RECON_MOD = 97
+
+_SIG_B = "event_id::VARCHAR || ':' || CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR)"
+_SIG_P = "event_id::VARCHAR || ':' || CAST(CAST(floor((value + 0.5) * 1000000) AS BIGINT) AS VARCHAR)"
+
+
+@register(
+    "reconcile_partition_checksums",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               {H.sql_md5_long(_SIG_B)} AS sig_b,
+               {H.sql_md5_long(_SIG_P)} AS sig_p,
+               {H.sql_md5_long("event_id::VARCHAR")} % {RECON_MOD} AS k
+        FROM events
+    ),
+    b AS (SELECT day, event_type, sig_b AS sig FROM e),
+    r AS (SELECT day, event_type,
+                 CASE WHEN k = 1 THEN sig_p ELSE sig_b END AS sig
+          FROM e WHERE k != 0),
+    sb AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+                  bit_xor(sig) AS x
+           FROM b GROUP BY 1, 2),
+    sr AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+                  bit_xor(sig) AS x
+           FROM r GROUP BY 1, 2),
+    bad AS (SELECT sb.day, sb.event_type, sb.n AS n_base,
+                   COALESCE(sr.n, 0) AS n_replica
+            FROM sb LEFT JOIN sr USING (day, event_type)
+            WHERE sr.n IS NULL OR sb.n != sr.n OR sb.x != sr.x),
+    miss AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS c
+             FROM (SELECT b.* FROM b
+                   JOIN bad USING (day, event_type))
+             ANTI JOIN r USING (day, event_type, sig)
+             GROUP BY 1, 2),
+    extr AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS c
+             FROM (SELECT r.* FROM r
+                   JOIN bad USING (day, event_type))
+             ANTI JOIN b USING (day, event_type, sig)
+             GROUP BY 1, 2)
+    SELECT bad.day, bad.event_type, bad.n_base, bad.n_replica,
+           COALESCE(miss.c, 0) AS n_missing,
+           COALESCE(extr.c, 0) AS n_extra
+    FROM bad
+    LEFT JOIN miss USING (day, event_type)
+    LEFT JOIN extr USING (day, event_type)
+    """,
+    doc="Merkle-style replica reconciliation — the anti-entropy audit "
+    "a pipeline runs between a table and its replicated/re-ingested "
+    "copy: phase 1 compares per-(day, event_type) partition "
+    "summaries (row count + order-independent bit_xor of row content "
+    "signatures — one scan per side, map-side combined, tiny "
+    "output); phase 2 re-reads ONLY the mismatched partitions "
+    "(a broadcast semi-join prunes everything else) and anti-joins "
+    "signatures both directions to count missing vs extra rows. At "
+    "100 TB with date-partitioned storage, phase 2's rescan is "
+    "partition-pruned I/O proportional to the damage, not the "
+    "table. The replica here is derived IN the query with planted "
+    "deterministic corruption (drop md5%97==0, perturb ==1) so both "
+    "engines audit the identical pair; row signatures integerize "
+    "value via floor(v*1e6) — no float-formatting divergence. "
+    "Conservation invariant pinned in tests: n_base - n_replica == "
+    "n_missing - n_extra.",
+)
+def reconcile_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    ev = _t(spark, sf_dir, "events")
+    sig_b = H.md5_long(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit(":"),
+            F.floor(F.col("value") * 1000000).cast("bigint").cast("string"),
+        )
+    )
+    sig_p = H.md5_long(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit(":"),
+            F.floor((F.col("value") + 0.5) * 1000000)
+            .cast("bigint")
+            .cast("string"),
+        )
+    )
+    k = F.pmod(H.md5_long(F.col("event_id").cast("string")), F.lit(RECON_MOD))
+    e = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        sig_b.alias("sig_b"),
+        sig_p.alias("sig_p"),
+        k.alias("k"),
+    )
+    b = e.select("day", "event_type", F.col("sig_b").alias("sig"))
+    r = e.filter(F.col("k") != 0).select(
+        "day",
+        "event_type",
+        F.when(F.col("k") == 1, F.col("sig_p"))
+        .otherwise(F.col("sig_b"))
+        .alias("sig"),
+    )
+    part = ["day", "event_type"]
+
+    def summarize(side):
+        return side.groupBy(*part).agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor("sig").alias("x")
+        )
+
+    sb, sr = summarize(b), summarize(r)
+    bad = tracked_persist(
+        sb.alias("sb")
+        .join(sr.alias("sr"), part, "left")
+        .filter(
+            F.col("sr.n").isNull()
+            | (F.col("sb.n") != F.col("sr.n"))
+            | (F.col("sb.x") != F.col("sr.x"))
+        )
+        .select(
+            "day",
+            "event_type",
+            F.col("sb.n").alias("n_base"),
+            F.coalesce(F.col("sr.n"), F.lit(0)).alias("n_replica"),
+        )
+    )
+    badp = F.broadcast(bad.select(*part))
+    miss = (
+        b.join(badp, part, "left_semi")
+        .join(r, part + ["sig"], "left_anti")
+        .groupBy(*part)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    extr = (
+        r.join(badp, part, "left_semi")
+        .join(b, part + ["sig"], "left_anti")
+        .groupBy(*part)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        bad.join(miss.withColumnRenamed("c", "mc"), part, "left")
+        .join(extr.withColumnRenamed("c", "ec"), part, "left")
+        .select(
+            "day",
+            "event_type",
+            "n_base",
+            "n_replica",
+            F.coalesce(F.col("mc"), F.lit(0)).alias("n_missing"),
+            F.coalesce(F.col("ec"), F.lit(0)).alias("n_extra"),
+        )
+    )

@@ -480,3 +480,130 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "peak_concurrent")
         .agg(F.min("t").alias("first_peak_ts"))
     )
+
+
+@register(
+    "interval_coverage_seconds",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, ts AS t, 1 AS d FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL {CONCURRENCY_WINDOW_SEC} SECOND,
+               -1 FROM events
+    ),
+    g AS (
+        SELECT event_type, t, CAST(sum(d) AS BIGINT) AS dt
+        FROM b GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, t,
+               CAST(sum(dt) OVER w AS BIGINT) AS conc,
+               CAST(COALESCE(sum(dt) OVER (PARTITION BY event_type
+                                           ORDER BY t
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0)
+                    AS BIGINT) AS prev_conc,
+               lead(t) OVER (PARTITION BY event_type ORDER BY t) AS nt
+        FROM g
+        WINDOW w AS (PARTITION BY event_type ORDER BY t)
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN conc > 0 AND prev_conc = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+           CAST(ROUND(CAST(sum(CASE WHEN conc > 0 AND nt IS NOT NULL
+                                    THEN epoch_us(nt) - epoch_us(t)
+                                    ELSE 0 END) AS BIGINT) / 1000000.0, 6)
+                AS DOUBLE) AS covered_sec
+    FROM r
+    GROUP BY 1
+    """,
+    doc="Interval-union coverage (the other half of the sweep-line "
+    "family): per event_type, how many maximal covered segments the "
+    "5-minute activity windows merge into and the total wall-clock "
+    "seconds during which at least one window is open. Boundary "
+    "deltas are pre-aggregated per instant (so the running sum needs "
+    "no tie ordering at all), a segment starts where concurrency "
+    "transitions 0 -> positive, and durations are exact "
+    "epoch-microsecond differences summed as BIGINT — one division "
+    "at the end, no float accumulation order to disagree on. The "
+    "Spark plan reuses the two-level bucketed sweep: the per-"
+    "(key, hour-bucket) windows compute the running sum, bucket-"
+    "crossing lead/lag are patched from the tiny carry table (next "
+    "bucket's first boundary; carry-in IS the previous bucket's "
+    "closing concurrency), so no per-key global sort exists anywhere "
+    "in the plan.",
+)
+def interval_coverage_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
+    )
+    ends = ev.select(
+        "event_type",
+        (
+            F.col("ts") + F.expr(f"INTERVAL {CONCURRENCY_WINDOW_SEC} SECONDS")
+        ).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    g = (
+        starts.unionByName(ends)
+        .groupBy("event_type", "t")
+        .agg(F.sum("d").alias("dt"))
+        .withColumn(
+            "bkt",
+            F.floor(
+                F.col("t").cast("timestamp").cast("long")
+                / CONCURRENCY_BUCKET_SEC
+            ),
+        )
+    )
+    # tiny per-(key, bucket) table: boundary-delta totals, first
+    # boundary instant; running-sum carry + the next bucket's first t
+    wb = Window.partitionBy("event_type").orderBy("bkt")
+    carry = (
+        g.groupBy("event_type", "bkt")
+        .agg(F.sum("dt").alias("bt"), F.min("t").alias("bft"))
+        .select(
+            "event_type",
+            "bkt",
+            F.coalesce(
+                F.sum("bt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("carry_in"),
+            F.lead("bft").over(wb).alias("next_bkt_t"),
+        )
+    )
+    wi = Window.partitionBy("event_type", "bkt").orderBy("t")
+    run = wi.rowsBetween(Window.unboundedPreceding, 0)
+    r = (
+        g.join(carry, ["event_type", "bkt"])
+        .select(
+            "event_type",
+            "t",
+            (F.col("carry_in") + F.sum("dt").over(run)).alias("conc"),
+            # first row of a bucket: previous concurrency IS carry_in
+            F.coalesce(
+                F.col("carry_in")
+                + F.sum("dt").over(wi.rowsBetween(Window.unboundedPreceding, -1)),
+                F.col("carry_in"),
+            ).alias("prev_conc"),
+            # last row of a bucket: next boundary is the next bucket's first
+            F.coalesce(F.lead("t").over(wi), F.col("next_bkt_t")).alias("nt"),
+        )
+    )
+    covered_us = F.sum(
+        F.when(
+            (F.col("conc") > 0) & F.col("nt").isNotNull(),
+            F.unix_micros(F.col("nt").cast("timestamp"))
+            - F.unix_micros(F.col("t").cast("timestamp")),
+        ).otherwise(F.lit(0))
+    )
+    return r.groupBy("event_type").agg(
+        F.sum(
+            F.when((F.col("conc") > 0) & (F.col("prev_conc") == 0), 1)
+            .otherwise(0)
+        ).alias("n_segments"),
+        F.round(covered_us / F.lit(1000000.0), 6)
+        .cast("double")
+        .alias("covered_sec"),
+    )

@@ -220,6 +220,8 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     # -- round-5 additions (never driver-checked, next rotation)
     "concurrent_sessions_peak",
     "bpe_encode_tokens",
+    "interval_coverage_seconds",
+    "reconcile_partition_checksums",
 ]
 
 

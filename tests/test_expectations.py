@@ -63,3 +63,20 @@ def test_corrupted_batch_fails_the_right_checks(spark, tmp_path):
     # untouched checks still pass
     assert rows[("orders", "unique")]["passed"]
     assert rows[("events", "accepted_values")]["passed"]
+
+
+def test_reconcile_conservation_and_detection(spark):
+    """The planted corruption must be detected and the conservation
+    law n_base - n_replica == n_missing - n_extra must hold on every
+    flagged partition (drops explain the count gap; perturbations
+    show up 1:1 as missing+extra)."""
+    from kinesis_analytics_demo_spark.operators.expectations import (
+        reconcile_partition_checksums,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = reconcile_partition_checksums(spark, SF_SMALL).collect()
+    assert rows, "planted ~2% corruption must flag some partitions"
+    for r in rows:
+        assert r["n_base"] - r["n_replica"] == r["n_missing"] - r["n_extra"], r
+        assert r["n_missing"] > 0 or r["n_extra"] > 0, r

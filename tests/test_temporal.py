@@ -145,3 +145,39 @@ def test_concurrent_sessions_peak_bucket_boundary(spark, tmp_path):
     [r] = concurrent_sessions_peak(spark, path).collect()
     assert r["peak_concurrent"] == 2
     assert r["first_peak_ts"] == datetime(2024, 1, 1, 1, 1, 0)
+
+
+def test_interval_coverage_hand_verified(spark, tmp_path):
+    """Union-length semantics: overlapping windows merge into one
+    segment; an adjacent [a,b)/[b,c) pair fuses seamlessly (still one
+    segment, no double count); a distant window opens a second
+    segment."""
+    from kinesis_analytics_demo_spark.operators.temporal import (
+        CONCURRENCY_WINDOW_SEC,
+        interval_coverage_seconds,
+    )
+
+    w = CONCURRENCY_WINDOW_SEC
+    base = datetime(2024, 1, 1)
+    rows = [
+        # overlap: [0, w) and [60, 60+w) -> one segment of w+60 s
+        (1, 1, "click", base, 0.0),
+        (2, 2, "click", base + timedelta(seconds=60), 0.0),
+        # distant: [7200, 7200+w) -> second segment of w s
+        (3, 3, "click", base + timedelta(seconds=7200), 0.0),
+        # adjacency: [0, w) then [w, 2w) -> ONE fused segment of 2w s
+        (4, 4, "view", base, 0.0),
+        (5, 5, "view", base + timedelta(seconds=w), 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(path + "/events.parquet")
+    out = {
+        r["event_type"]: (r["n_segments"], r["covered_sec"])
+        for r in interval_coverage_seconds(spark, path).collect()
+    }
+    assert out["click"] == (2, float(w + 60 + w))
+    assert out["view"] == (1, float(2 * w))
