@@ -378,3 +378,145 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), ((F.col("node_id") - 1) / 2).cast("bigint"))
     )
     return out.select(label.alias("node_id"), F.col("level").cast("int"))
+
+
+# ------------------------------------------- connected components
+CC_MIN_SUPPORT = 2  #: same co-purchase threshold as the triangle graph
+CC_MAX_ITERS = 25  #: fixpoint guard; loop RAISES if hit (oracle is exact)
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Connected components by min-label propagation with pointer
+    jumping — the third canonical graph loop (pagerank = full
+    relaxation, bfs = frontier expansion, cc = label convergence).
+
+    Each round does two steps:
+
+    1. neighbor-min: every node takes the min of its own label and
+       its neighbors' labels (one join of the symmetric edge list
+       against the O(nodes) label table + one min-aggregate);
+    2. pointer jump: every node re-reads the label OF its label
+       (one self-join of the label table), halving pointer chains
+       so convergence is O(log n) rounds instead of O(diameter).
+
+    The loop runs to an exact fixpoint (zero labels changed) and
+    RAISES if CC_MAX_ITERS is hit rather than silently capping —
+    the recursive-CTE oracle computes the exact fixpoint, so a
+    capped result would break parity (the BFS depth-cap lesson,
+    ADVICE r4). Driver-side work is one changed-row count per round.
+
+    Lineage discipline: each round ends in an EAGER localCheckpoint.
+    The label table is used three times per round (neighbor-min,
+    pointer-jump self-join, changed-count join), so without
+    truncation the logical plan TRIPLES per iteration — by round ~10
+    the plan string alone OOMs a 1g driver. Checkpointing resets the
+    plan to a LogicalRDD of O(nodes) rows per round; at cluster
+    scale use reliable checkpoint dirs instead of local blocks.
+
+    Scale: labels are O(nodes) — both joins are hash joins keyed on
+    integers; the edge list is persisted once; per-round cost is one
+    shuffle of O(edges) + one of O(nodes). This is the
+    alternating-contraction scheme of Kiveris et al. ("Connected
+    Components in MapReduce and Beyond", SoCC'14) specialized to
+    label tables instead of edge rewrites.
+    """
+    edges = tracked_persist(edges.select("u", "v").distinct())
+    lbl = tracked_persist(
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(lbl, edges["u"] == lbl["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("lbl").alias("nbr"))
+        )
+        stepped = (
+            lbl.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr", "lbl")).alias("lbl"),
+            )
+        )
+        jump = stepped.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("jlbl")
+        )
+        nxt = (
+            stepped.join(jump, "lbl", "left")
+            .select("node", F.coalesce("jlbl", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.join(lbl.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        lbl = nxt
+        if changed == 0:
+            return lbl
+    raise RuntimeError(
+        f"connected_components did not converge in {CC_MAX_ITERS} rounds"
+    )
+
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+        SELECT a.l_partkey AS u, c.l_partkey AS v
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {CC_MIN_SUPPORT}),
+    edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    nodes AS (SELECT DISTINCT u AS x FROM edges),
+    r(node, lbl) AS (
+        SELECT x, x FROM nodes
+        UNION
+        SELECT e.v, r.lbl FROM r JOIN edges e ON e.u = r.node
+        WHERE r.lbl < e.v),
+    comp AS (SELECT node, min(lbl) AS cid FROM r GROUP BY node),
+    sizes AS (SELECT cid, count(*) AS sz FROM comp GROUP BY cid)
+    SELECT CAST(sz AS BIGINT) AS component_size,
+           CAST(count(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY sz
+    """,
+    doc="Connected components of the co-purchase part graph (edges = "
+    "part pairs sharing >= 2 orders, the triangle query's graph): "
+    "min-label propagation + pointer jumping run to an exact "
+    "fixpoint, reported as the component-size histogram — the "
+    "canonical dedup-clustering primitive (minhash/simhash cluster "
+    "queries inline the same idea; this is the reusable general "
+    "form). The oracle is a recursive CTE propagating only "
+    "DECREASING labels (r.lbl < e.v) to bound the reachable-pair "
+    "enumeration, then min per node.",
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    c = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(c, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= CC_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("lbl")
+        .agg(F.count("*").alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count("*").alias("n_components"))
+        .select(
+            F.col("component_size").cast("bigint"),
+            F.col("n_components").cast("bigint"),
+        )
+    )

@@ -222,6 +222,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "bpe_encode_tokens",
     "interval_coverage_seconds",
     "reconcile_partition_checksums",
+    "graph_connected_components",
 ]
 
 

@@ -55,3 +55,31 @@ def test_trade_graph_mass_and_oracle_shape(spark):
     assert all(r > 0 for r in ranks)
     # mass conservation within rounding drift (5 iters x 12 digits)
     assert sum(ranks) == pytest.approx(1.0, abs=1e-6)
+
+
+def _cc(spark, edges):
+    from kinesis_analytics_demo_spark.operators.graph import (
+        connected_components,
+    )
+
+    e0 = spark.createDataFrame(list(edges), "u long, v long")
+    sym = e0.union(e0.selectExpr("v AS u", "u AS v"))
+    try:
+        return {
+            r["node"]: r["lbl"] for r in connected_components(sym).collect()
+        }
+    finally:
+        release_tracked()
+
+
+def test_cc_two_components(spark):
+    """Path 1-2-3 plus edge 10-11: labels are the component minima."""
+    lbl = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert lbl == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_long_path_converges(spark):
+    """A 40-node path exceeds any naive per-hop budget within
+    CC_MAX_ITERS — pointer jumping must collapse it in O(log n)."""
+    lbl = _cc(spark, [(i, i + 1) for i in range(40)])
+    assert set(lbl.values()) == {0} and len(lbl) == 41
