@@ -95,3 +95,159 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         vb.alias("vbucket"),
         zorder_key(F.col("user_id"), vb).cast("long").alias("zkey"),
     )
+
+
+# ----------------------------------------- zone-map pruning audit
+#: zone widths: key-range zones, the shape of real partition dirs /
+#: row-group clustering — zero-shuffle to assign, unlike row-count
+#: zones which need a global row_number.
+ZONE_ID_WIDTH = 1024  #: natural layout: event_id // 1024
+ZONE_Z_WIDTH = 4096  #: z-order layout: zkey // 4096
+#: 2-D box predicate (selects ~6% of rows at sf0.01)
+PRED_U_LO, PRED_U_HI = 100, 150
+PRED_V_LO, PRED_V_HI = 50, 80
+#: time-range predicate [Jan 10, Jan 12)
+PRED_T_LO, PRED_T_HI = "2024-01-10 00:00:00", "2024-01-12 00:00:00"
+
+
+@register(
+    "zone_map_pruning_audit",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, user_id, ts,
+               CAST(floor(value) AS BIGINT) AS vb,
+               {sql_zorder_key('user_id', 'CAST(floor(value) AS BIGINT)')}
+                   AS zkey
+        FROM events),
+    tagged AS (
+        SELECT 'natural' AS layout, event_id // {ZONE_ID_WIDTH} AS z, *
+        FROM base
+        UNION ALL
+        SELECT 'daily', CAST(date_diff('day', DATE '2024-01-01',
+                                       CAST(ts AS DATE)) AS BIGINT), *
+        FROM base
+        UNION ALL
+        SELECT 'zorder', zkey // {ZONE_Z_WIDTH}, * FROM base),
+    zones AS (
+        SELECT layout, z, count(*) AS n,
+               min(user_id) AS min_u, max(user_id) AS max_u,
+               min(vb) AS min_v, max(vb) AS max_v,
+               min(ts) AS min_t, max(ts) AS max_t,
+               count_if(user_id BETWEEN {PRED_U_LO} AND {PRED_U_HI}
+                        AND vb BETWEEN {PRED_V_LO} AND {PRED_V_HI}) AS ma,
+               count_if(ts >= TIMESTAMP '{PRED_T_LO}'
+                        AND ts < TIMESTAMP '{PRED_T_HI}') AS mb
+        FROM tagged GROUP BY 1, 2),
+    flags AS (
+        SELECT *,
+               (max_u >= {PRED_U_LO} AND min_u <= {PRED_U_HI}
+                AND max_v >= {PRED_V_LO} AND min_v <= {PRED_V_HI}) AS sa,
+               (max_t >= TIMESTAMP '{PRED_T_LO}'
+                AND min_t < TIMESTAMP '{PRED_T_HI}') AS sb
+        FROM zones)
+    SELECT layout, 'box2d_user_value' AS pred,
+           CAST(count(*) AS BIGINT) AS n_zones,
+           CAST(count_if(sa) AS BIGINT) AS n_zones_scanned,
+           CAST(COALESCE(SUM(CASE WHEN sa THEN n END), 0) AS BIGINT)
+               AS n_rows_scanned,
+           CAST(SUM(ma) AS BIGINT) AS n_rows_matching
+    FROM flags GROUP BY layout
+    UNION ALL
+    SELECT layout, 'time_range',
+           CAST(count(*) AS BIGINT),
+           CAST(count_if(sb) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN sb THEN n END), 0) AS BIGINT),
+           CAST(SUM(mb) AS BIGINT)
+    FROM flags GROUP BY layout
+    """,
+    doc="Data-skipping effectiveness audit: assigns every event to a "
+    "KEY-RANGE zone under three layouts (insert-order event_id "
+    "blocks, daily time partitions, z-order key blocks), computes "
+    "each zone's min/max stats — exactly what parquet footers / "
+    "Delta file stats store — and reports, per layout x predicate, "
+    "how many zones and rows a min/max-pruning reader must touch vs "
+    "rows actually matching. The quantified version of the layout "
+    "story: the 2-D box predicate prunes only under z-order; the "
+    "time-range predicate prunes under the time layout. Zone "
+    "assignment is a pure column expression (no global row_number), "
+    "so the audit itself is one scan + one hash aggregate per "
+    "layout at any scale.",
+)
+def zone_map_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    vb = F.floor(F.col("value")).cast("long")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        ts.alias("ts"),
+        vb.alias("vb"),
+        zorder_key(F.col("user_id"), vb).alias("zkey"),
+    )
+    tagged = (
+        base.select(
+            F.lit("natural").alias("layout"),
+            F.floor(F.col("event_id") / ZONE_ID_WIDTH).alias("z"),
+            "*",
+        )
+        .unionByName(
+            base.select(
+                F.lit("daily").alias("layout"),
+                F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+                .cast("long")
+                .alias("z"),
+                "*",
+            )
+        )
+        .unionByName(
+            base.select(
+                F.lit("zorder").alias("layout"),
+                F.floor(F.col("zkey") / ZONE_Z_WIDTH).alias("z"),
+                "*",
+            )
+        )
+    )
+    t_lo = F.to_timestamp(F.lit(PRED_T_LO))
+    t_hi = F.to_timestamp(F.lit(PRED_T_HI))
+    pa = F.col("user_id").between(PRED_U_LO, PRED_U_HI) & F.col("vb").between(
+        PRED_V_LO, PRED_V_HI
+    )
+    pb = (F.col("ts") >= t_lo) & (F.col("ts") < t_hi)
+    zones = tagged.groupBy("layout", "z").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").alias("min_u"),
+        F.max("user_id").alias("max_u"),
+        F.min("vb").alias("min_v"),
+        F.max("vb").alias("max_v"),
+        F.min("ts").alias("min_t"),
+        F.max("ts").alias("max_t"),
+        F.count_if(pa).alias("ma"),
+        F.count_if(pb).alias("mb"),
+    )
+    sa = (
+        (F.col("max_u") >= PRED_U_LO)
+        & (F.col("min_u") <= PRED_U_HI)
+        & (F.col("max_v") >= PRED_V_LO)
+        & (F.col("min_v") <= PRED_V_HI)
+    )
+    sb = (F.col("max_t") >= t_lo) & (F.col("min_t") < t_hi)
+    flags = zones.select("*", sa.alias("sa"), sb.alias("sb"))
+
+    def _audit(flag: str, m: str, pred_name: str) -> DataFrame:
+        return flags.groupBy("layout").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_zones"),
+            F.count_if(F.col(flag)).cast("bigint").alias("n_zones_scanned"),
+            F.coalesce(
+                F.sum(F.when(F.col(flag), F.col("n"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_rows_scanned"),
+            F.sum(m).cast("bigint").alias("n_rows_matching"),
+        ).select(
+            "layout", F.lit(pred_name).alias("pred"), "n_zones",
+            "n_zones_scanned", "n_rows_scanned", "n_rows_matching",
+        )
+
+    return _audit("sa", "ma", "box2d_user_value").unionByName(
+        _audit("sb", "mb", "time_range")
+    )

@@ -223,6 +223,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "interval_coverage_seconds",
     "reconcile_partition_checksums",
     "graph_connected_components",
+    "zone_map_pruning_audit",
 ]
 
 

@@ -83,3 +83,33 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     # z-order keeps user_id partially pruned too: within 4x of the
     # perfectly-sorted layout
     assert x_z <= 4 * max(x_x, 1), (x_z, x_x)
+
+
+def test_zone_map_audit_pruning_story(spark):
+    """The audit must SHOW the layout trade-off, not just parse: the
+    2-D box prunes hard only under z-order; the time range prunes
+    under the time layout; matching row counts agree across layouts
+    (zones partition the table)."""
+    from kinesis_analytics_demo_spark.plans.registry import get_query
+    from tests.conftest import SF_MEDIUM
+
+    rows = {
+        (r["layout"], r["pred"]): r
+        for r in get_query("zone_map_pruning_audit").fn(spark, SF_MEDIUM).collect()
+    }
+    box = {k[0]: v for k, v in rows.items() if k[1] == "box2d_user_value"}
+    tr = {k[0]: v for k, v in rows.items() if k[1] == "time_range"}
+    # matching rows identical across layouts for each predicate
+    assert len({v["n_rows_matching"] for v in box.values()}) == 1
+    assert len({v["n_rows_matching"] for v in tr.values()}) == 1
+    # natural layout cannot prune the 2-D box; z-order must
+    assert box["natural"]["n_zones_scanned"] == box["natural"]["n_zones"]
+    zo = box["zorder"]
+    assert zo["n_zones_scanned"] * 5 <= zo["n_zones"]
+    assert zo["n_rows_scanned"] < box["natural"]["n_rows_scanned"]
+    # the time layout prunes the time range to a tight zone subset
+    dy = tr["daily"]
+    assert dy["n_zones_scanned"] * 5 < dy["n_zones"]
+    # scanned rows always cover the matching rows
+    for v in list(box.values()) + list(tr.values()):
+        assert v["n_rows_scanned"] >= v["n_rows_matching"]
