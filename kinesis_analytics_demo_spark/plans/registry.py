@@ -224,6 +224,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "reconcile_partition_checksums",
     "graph_connected_components",
     "zone_map_pruning_audit",
+    "join_size_estimate_sampled",
 ]
 
 
