@@ -430,3 +430,155 @@ def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_scene_changes"),
     )
+
+
+# ------------------------------------- audio fingerprint matching
+AF_STRIP = 256  #: audio decode strip (chars -> "samples")
+AF_WIN = 8  #: energy window/hop (non-overlapping)
+AF_BUCKET = 1024  #: energy quantization for fingerprint robustness
+AF_MIN_SHARED = 3  #: pairs must share >= this many fingerprints
+AF_DF_CAP_INV = 50  #: boilerplate veto, same rate as containment dedup
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("energy", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _make_audio_energy_kernel():
+    """Audio decode -> windowed energy, as a cloudpickle closure (see
+    ``_make_extract_features``). The decode is the deterministic fake
+    (utf-8 code points as samples); production swaps in
+    ``soundfile.read`` + real RMS windows. Longer strip than the
+    image/video kernel — fingerprinting needs a usable time axis."""
+    strip, win = AF_STRIP, AF_WIN
+
+    def kernel(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        def energy(payload: bytes) -> list[int]:
+            px = [ord(c) for c in payload.decode("utf-8")[:strip]]
+            return [
+                sum(x * x for x in px[i : i + win])
+                for i in range(0, len(px), win)
+            ]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "energy": pdf["payload"].map(energy)}
+            )
+
+    return kernel
+
+
+@register(
+    "multimodal_audio_fingerprint_pairs",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               [unicode(substr(text, i, 1))
+                for i in generate_series(1, least(length(text), {AF_STRIP}))]
+                   AS p
+        FROM documents),
+    en AS (SELECT doc_id,
+                  [list_sum([x * x for x in p[i:i+{AF_WIN - 1}]])
+                   for i in generate_series(1, len(p), {AF_WIN})] AS e
+           FROM px),
+    pk AS (SELECT doc_id, e,
+                  [i for i in generate_series(2, len(e) - 1)
+                   if e[i] > e[i-1] AND e[i] >= e[i+1]] AS peaks
+           FROM en),
+    fpl AS (SELECT doc_id,
+                   [('0x' || substr(md5(
+                       CAST(e[peaks[j]] // {AF_BUCKET} AS VARCHAR) || ':' ||
+                       CAST(e[peaks[j+1]] // {AF_BUCKET} AS VARCHAR) || ':' ||
+                       CAST(peaks[j+1] - peaks[j] AS VARCHAR)), 1, 15))::BIGINT
+                    for j in generate_series(1, len(peaks) - 1)] AS hs
+            FROM pk),
+    fp AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM fpl),
+    df AS (SELECT h, count(*) AS c FROM fp GROUP BY h),
+    nd AS (SELECT count(*) AS n FROM documents),
+    cap AS (SELECT fp.doc_id, fp.h
+            FROM fp JOIN df USING (h), nd
+            WHERE {AF_DF_CAP_INV} * df.c <= nd.n)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {AF_MIN_SHARED}
+    """,
+    doc="Audio near-duplicate detection by constellation "
+    "fingerprinting (the Shazam scheme, Wang 2003): windowed energy "
+    "from the decode kernel -> interior local-maxima peaks -> "
+    "consecutive-peak fingerprints hash(quantized energies + time "
+    "delta) -> docs sharing >= 3 rare fingerprints pair up. Decode "
+    "runs in the Arrow mapInPandas kernel (deterministic fake; "
+    "production = soundfile + RMS windows); everything after is "
+    "codegen column expressions + one hash-keyed self-join over the "
+    "df-capped fingerprint table — the same banded-join shape as "
+    "minhash LSH, so raw audio never shuffles and per-fingerprint "
+    "fan-out is bounded by the df-cap at any corpus size.",
+)
+def multimodal_audio_fingerprint_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    decoded = (
+        with_binary_payload(docs)
+        .select("doc_id", "payload")
+        .mapInPandas(_make_audio_energy_kernel(), schema=AUDIO_SCHEMA)
+    )
+    e = F.col("energy")
+    # Spark's sequence(2, n) is DESCENDING when n < 2 (the word_shingles
+    # trap) — guard short arrays to an empty peak list explicitly.
+    peaks_expr = F.when(
+        F.size(e) >= 3,
+        F.filter(
+            F.sequence(F.lit(2), F.size(e) - 1),
+            lambda i: (F.element_at(e, i) > F.element_at(e, i - 1))
+            & (F.element_at(e, i) >= F.element_at(e, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    pk = decoded.select("doc_id", e.alias("e"), peaks_expr.alias("peaks"))
+
+    def _fp(j):
+        p = F.col("peaks")
+        ej = F.element_at(F.col("e"), F.element_at(p, j))
+        ej1 = F.element_at(F.col("e"), F.element_at(p, j + 1))
+        s = F.concat_ws(
+            ":",
+            F.floor(ej / AF_BUCKET).cast("string"),
+            F.floor(ej1 / AF_BUCKET).cast("string"),
+            (F.element_at(p, j + 1) - F.element_at(p, j)).cast("string"),
+        )
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+    hs = F.when(
+        F.size("peaks") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("peaks") - 1), _fp),
+    ).otherwise(F.array().cast("array<bigint>"))
+    fp = (
+        pk.select("doc_id", F.explode(hs).alias("h")).distinct()
+    )
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    fp = tracked_persist(fp)
+    dfreq = fp.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    cap = (
+        fp.join(dfreq, "h")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.lit(AF_DF_CAP_INV) * F.col("c") <= F.col("n"))
+        .select("doc_id", "h")
+    )
+    a = cap.select(F.col("doc_id").alias("doc_a"), "h")
+    b = cap.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= AF_MIN_SHARED)
+    )

@@ -225,6 +225,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "graph_connected_components",
     "zone_map_pruning_audit",
     "join_size_estimate_sampled",
+    "multimodal_audio_fingerprint_pairs",
 ]
 
 
