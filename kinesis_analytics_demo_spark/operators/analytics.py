@@ -472,3 +472,99 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             delta.alias("seconds_to_convert"),
         )
     )
+
+
+# Seasonal anomaly threshold: T = 3 sigma against the (type, hour)
+# baseline. All comparisons run on doubles cast from EXACT decimal
+# sums in identical order on both engines (the Welch discipline from
+# stats2 — never square a wide decimal).
+SEASONAL_T = 3.0
+
+
+@register(
+    "anomaly_seasonal_baseline",
+    oracle=f"""
+    WITH st AS (
+        SELECT event_type, hour(ts) AS hr, count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,6))) AS s1,
+               sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                   AS s2
+        FROM events GROUP BY 1, 2),
+    scored AS (
+        SELECT st.event_type, st.hr, st.n,
+               CAST(st.s1 AS DOUBLE) AS s1d, CAST(st.s2 AS DOUBLE) AS s2d,
+               (st.n * e.value - CAST(st.s1 AS DOUBLE)) AS a,
+               (st.n * CAST(st.s2 AS DOUBLE)
+                - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE)) AS b
+        FROM events e JOIN st
+          ON e.event_type = st.event_type AND hour(e.ts) = st.hr)
+    SELECT event_type, CAST(hr AS INT) AS hr,
+           CAST(max(n) AS BIGINT) AS n,
+           ROUND(max(s1d) / max(n), 6) AS mean_value,
+           ROUND(sqrt(max(b) / max(n) / (max(n) - 1)), 6) AS sd_value,
+           CAST(count_if(a * a > {SEASONAL_T * SEASONAL_T!r} * b) AS BIGINT)
+               AS n_anomalies
+    FROM scored GROUP BY 1, 2
+    """,
+    doc="Seasonality-aware anomaly counts: each event is scored "
+    "against the mean/std of its OWN (event_type, hour-of-day) "
+    "stratum — the baseline shape that catches 'normal at 2pm, "
+    "anomalous at 3am' regressions a global z-score "
+    "(anomaly_zscore_events) averages away. Sufficient statistics "
+    "per stratum in exact DECIMAL, comparison |n*x - s1|^2 > "
+    "T^2 * (n*s2 - s1^2) evaluated in identically-ordered doubles "
+    "cast from the exact sums (never squaring a wide decimal — the "
+    "Welch discipline). At 100 TB the stats table is at most "
+    "types x 24 rows: broadcast join, scoring in codegen, one "
+    "map-side-combinable re-aggregate.",
+)
+def anomaly_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hr = F.hour(F.col("ts").cast("timestamp"))
+    dec = F.col("value").cast("decimal(18,6)")
+    st = (
+        ev.select("event_type", hr.alias("hr"), dec.alias("v"))
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+        )
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    scored = (
+        ev.select("event_type", hr.alias("hr"), "value")
+        .join(F.broadcast(st), ["event_type", "hr"])
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            s1d.alias("s1d"),
+            s2d.alias("s2d"),
+            (F.col("n") * F.col("value") - s1d).alias("a"),
+            (F.col("n") * s2d - s1d * s1d).alias("b"),
+        )
+    )
+    return (
+        scored.groupBy("event_type", "hr")
+        .agg(
+            F.max("n").alias("mn"),
+            F.max("s1d").alias("m1"),
+            F.max("b").alias("mb"),
+            F.count_if(
+                F.col("a") * F.col("a")
+                > F.lit(SEASONAL_T * SEASONAL_T) * F.col("b")
+            ).alias("n_anom"),
+        )
+        .select(
+            "event_type",
+            F.col("hr").cast("int"),
+            F.col("mn").cast("bigint").alias("n"),
+            F.round(F.col("m1") / F.col("mn"), 6).alias("mean_value"),
+            F.round(
+                F.sqrt(F.col("mb") / F.col("mn") / (F.col("mn") - 1)), 6
+            ).alias("sd_value"),
+            F.col("n_anom").cast("bigint").alias("n_anomalies"),
+        )
+    )

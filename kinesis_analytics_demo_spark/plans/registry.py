@@ -226,6 +226,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "zone_map_pruning_audit",
     "join_size_estimate_sampled",
     "multimodal_audio_fingerprint_pairs",
+    "anomaly_seasonal_baseline",
 ]
 
 
