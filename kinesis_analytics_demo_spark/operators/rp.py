@@ -178,3 +178,85 @@ def similarity_rp_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int"))
     )
+
+
+@register(
+    "embedding_covariance_upper",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, i,
+               CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS q
+        FROM embeddings, generate_series(1, {DIM}) AS t(i)),
+    s AS (SELECT i, sum(q) AS si, count(*) AS n FROM base GROUP BY i),
+    p AS (SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS sij
+          FROM base a JOIN base b
+            ON a.vec_id = b.vec_id AND b.i >= a.i
+          GROUP BY 1, 2)
+    SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+           CAST(sa.n AS BIGINT) AS n,
+           -- + 0.0 normalizes IEEE negative zero (DuckDB's ROUND can
+           -- yield -0.0 where Spark yields 0.0 — repr-sensitive hashes
+           -- diverge on a value that compares equal)
+           ROUND((sa.n * CAST(p.sij AS DOUBLE)
+                  - CAST(sa.si AS DOUBLE) * CAST(sb.si AS DOUBLE))
+                 / sa.n / (sa.n - 1), 6) + 0.0 AS cov
+    FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+    """,
+    doc="Empirical covariance matrix of the embedding dimensions "
+    "(upper triangle, d(d+1)/2 = 2080 entries at d=64) — the PCA "
+    "prep that feeds whitening / OPQ rotation ahead of the PQ/SQ "
+    "compression ladder. Components quantized to 6 digits then "
+    "summed in exact DECIMAL (the embedding_outliers_centroid "
+    "discipline, order-free), cross-moments from one posexplode + "
+    "vec_id-local self-join that map-side-combines to d^2 groups — "
+    "the corpus shuffles d(d+1)/2 partial sums per partition, never "
+    "rows. Mean products follow the Welch double-cast rule (never "
+    "square a wide decimal).",
+)
+def embedding_covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double"), 6).cast("decimal(18,6)"),
+            )
+        ).alias("i0", "q"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "q")
+    s = base.groupBy("i").agg(
+        F.sum("q").alias("si"), F.count(F.lit(1)).alias("n")
+    )
+    a = base.select("vec_id", F.col("i").alias("i"), F.col("q").alias("qa"))
+    b = base.select("vec_id", F.col("i").alias("j"), F.col("q").alias("qb"))
+    p = (
+        a.join(b, "vec_id")
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("sij"))
+    )
+    sa = s.select(F.col("i"), F.col("si").alias("sia"), "n")
+    sb = s.select(F.col("i").alias("j"), F.col("si").alias("sib"))
+    return (
+        p.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .select(
+            F.col("i").cast("int"),
+            F.col("j").cast("int"),
+            F.col("n").cast("bigint"),
+            (
+                F.round(
+                    (
+                        F.col("n") * F.col("sij").cast("double")
+                        - F.col("sia").cast("double")
+                        * F.col("sib").cast("double")
+                    )
+                    / F.col("n")
+                    / (F.col("n") - 1),
+                    6,
+                )
+                + 0.0
+            ).alias("cov"),
+        )
+    )

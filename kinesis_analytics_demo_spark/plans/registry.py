@@ -227,6 +227,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "join_size_estimate_sampled",
     "multimodal_audio_fingerprint_pairs",
     "anomaly_seasonal_baseline",
+    "embedding_covariance_upper",
 ]
 
 
