@@ -364,3 +364,99 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("secs"), 6).alias("min_secs"),
         F.round(F.max("secs"), 6).alias("max_secs"),
     )
+
+
+# ------------------------------------------------ top session paths
+PATH_GAP_MIN = 240  #: session gap (minutes) — wide enough for paths
+PATH_MAX_LEN = 5  #: keep the first N steps of each session
+PATH_TOP = 20  #: report the most frequent multi-event paths
+
+
+@register(
+    "top_session_paths",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL {PATH_GAP_MIN} MINUTE
+                    OR lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS nw
+        FROM events),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o),
+    p AS (
+        SELECT user_id, sid, count(*) AS n_ev,
+               array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:{PATH_MAX_LEN}],
+                   '>') AS path
+        FROM s GROUP BY user_id, sid)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM p WHERE n_ev >= 2
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOP}
+    """,
+    doc="Session path mining: the most frequent multi-event journey "
+    "shapes — sessions from the gaps-and-islands rewrite "
+    "({PATH_GAP_MIN}-minute gap, (ts, event_id) tiebreaks), each "
+    "session's first 5 event types joined into a path string, "
+    "singleton sessions excluded, top 20 by frequency. The FULL-path "
+    "complement to the pairwise event_transition_matrix. Order "
+    "inside a session is pinned by sort_array over (ts, event_id, "
+    "type) structs — collect_list alone does not guarantee order. "
+    "At scale this is two user-partitioned windows + one aggregate "
+    "keyed by path string; TakeOrderedAndProject caps the output.",
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # exact microsecond interval comparison on BOTH engines — epoch
+    # truncation would flip boundary rows with fractional-second gaps
+    nw = F.when(
+        prev.isNull()
+        | (
+            F.col("ts").cast("timestamp") - prev.cast("timestamp")
+            > F.expr(f"INTERVAL {PATH_GAP_MIN} MINUTES")
+        ),
+        1,
+    ).otherwise(0)
+    s = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "sid",
+        F.sum(nw).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        s.groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda r: r["event_type"],
+                    ),
+                    1,
+                    PATH_MAX_LEN,
+                ),
+                ">",
+            ).alias("path"),
+        )
+        .filter(F.col("n_ev") >= 2)
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP)
+    )

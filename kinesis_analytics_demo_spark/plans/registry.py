@@ -228,6 +228,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "multimodal_audio_fingerprint_pairs",
     "anomaly_seasonal_baseline",
     "embedding_covariance_upper",
+    "top_session_paths",
 ]
 
 
