@@ -568,3 +568,112 @@ def anomaly_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_anom").cast("bigint").alias("n_anomalies"),
         )
     )
+
+
+# U-shaped (position-based) attribution: 40% first touch, 40% last,
+# the remaining 20% split across the middle touches. Credits are
+# integer MICRO-credits (1e6 per conversion) so the middle split
+# 200000 // (K-2) truncates IDENTICALLY on both engines — no float
+# division anywhere in the accumulation.
+U_FIRST_LAST = 400_000
+U_MIDDLE_POOL = 200_000
+U_WHOLE = 1_000_000
+U_HALF = 500_000
+
+
+@register(
+    "attribution_position_weighted",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'),
+    t AS (
+        SELECT event_id AS tid, user_id, ts AS tts, event_type AS ttype
+        FROM events WHERE event_type IN ('view', 'click')),
+    j AS (
+        SELECT p.pid, t.tid, t.ttype,
+               row_number() OVER (PARTITION BY p.pid
+                                  ORDER BY t.tts, t.tid) AS pos,
+               count(*) OVER (PARTITION BY p.pid) AS k
+        FROM p JOIN t
+          ON p.user_id = t.user_id
+         AND (t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid))
+         AND date_diff('second', t.tts, p.pts) <= {ATTRIBUTION_WINDOW_S}),
+    credited AS (
+        SELECT ttype,
+               CASE WHEN k = 1 THEN {U_WHOLE}
+                    WHEN k = 2 THEN {U_HALF}
+                    WHEN pos = 1 OR pos = k THEN {U_FIRST_LAST}
+                    ELSE {U_MIDDLE_POOL} // (k - 2) END AS micro
+        FROM j)
+    SELECT ttype AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(ROUND(CAST(SUM(micro) AS DOUBLE) / {U_WHOLE}, 6) AS DOUBLE)
+               AS credited_conversions
+    FROM credited GROUP BY ttype
+    """,
+    doc="U-shaped (position-based) multi-touch attribution: every "
+    "view/click in the 7-day window before a purchase shares that "
+    "conversion's credit — 40% to the first touch, 40% to the last, "
+    "20% split over the middle (whole/half for 1- and 2-touch "
+    "journeys). The multi-touch complement to attribution_last_touch "
+    "(same window, same (ts, event_id) ordering discipline). Credits "
+    "accumulate as INTEGER micro-credits so the middle-split "
+    "division truncates identically on both engines; the only float "
+    "op is the final display division. Plan: one user-keyed "
+    "purchase x touch join bounded by the 7-day predicate, two "
+    "conversion-partitioned windows, one aggregate by touch type.",
+)
+def attribution_position_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("ttype"),
+    )
+    before = (F.col("tts") < F.col("pts")) | (
+        (F.col("tts") == F.col("pts")) & (F.col("tid") < F.col("pid"))
+    )
+    in_window = (
+        F.col("pts").cast("timestamp").cast("long")
+        - F.col("tts").cast("timestamp").cast("long")
+        <= ATTRIBUTION_WINDOW_S
+    )
+    j = p.join(t, "user_id").filter(before & in_window)
+    w = Window.partitionBy("pid").orderBy("tts", "tid")
+    wk = Window.partitionBy("pid")
+    j = j.select(
+        "ttype",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    micro = (
+        F.when(F.col("k") == 1, U_WHOLE)
+        .when(F.col("k") == 2, U_HALF)
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("k")), U_FIRST_LAST
+        )
+        .otherwise(
+            F.floor(F.lit(U_MIDDLE_POOL) / (F.col("k") - 2)).cast("long")
+        )
+    )
+    return (
+        j.select("ttype", micro.alias("micro"))
+        .groupBy(F.col("ttype").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(F.sum("micro").cast("double") / U_WHOLE, 6)
+            .cast("double")
+            .alias("credited_conversions"),
+        )
+    )

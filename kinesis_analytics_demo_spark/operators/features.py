@@ -260,3 +260,91 @@ def embedding_outliers_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", F.round("dist2", 6).alias("dist2"), "outlier_rank"
         )
     )
+
+
+# ---------------------------------------- quantile normalization
+QN_BUCKETS = 20  #: equi-depth buckets for the global reference
+#: bucket fractions as Python doubles — repr'd into the oracle so both
+#: engines interpolate at bit-identical points
+QN_FRACTIONS = [k / QN_BUCKETS for k in range(QN_BUCKETS)]
+
+
+@register(
+    "quantile_normalize_sources",
+    oracle=f"""
+    WITH qs AS (
+        SELECT quantile_cont(n_chars, {QN_FRACTIONS!r}) AS q FROM documents),
+    r AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS ns
+        FROM documents),
+    m AS (
+        SELECT source, n_chars,
+               ((rn - 1) * {QN_BUCKETS}) // ns AS k
+        FROM r),
+    v AS (
+        SELECT m.source, m.n_chars,
+               CAST(ROUND(qs.q[m.k + 1], 6) AS DECIMAL(18,6)) AS nv
+        FROM m, qs)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(18,6))) / count(*), 6)
+                AS DOUBLE) AS mean_raw,
+           CAST(ROUND(SUM(nv) / count(*), 6) AS DOUBLE) AS mean_norm
+    FROM v GROUP BY source
+    """,
+    doc="Quantile normalization across sources (batch-effect "
+    "correction): each document's n_chars is replaced by the GLOBAL "
+    "equi-depth quantile at its within-source rank bucket — after "
+    "normalization every source shares the global length "
+    "distribution (the mean_norm column converges across sources "
+    "while mean_raw differs). Rank windows are PER-SOURCE "
+    "(partition-parallel — no global sort/row_number); the global "
+    "reference is one 20-entry percentile aggregate, broadcast; the "
+    "bucket map is integer arithmetic; means accumulate in exact "
+    "DECIMAL over 6-digit-quantized normalized values, order-free. "
+    "percentile() == quantile_cont bit-parity per "
+    "exact_percentiles; interpolation points are repr'd Python "
+    "doubles shared by both engines.",
+)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.agg(
+        F.percentile("n_chars", QN_FRACTIONS).alias("q")
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    m = docs.select(
+        "source",
+        "n_chars",
+        (
+            ((F.row_number().over(w) - 1) * QN_BUCKETS)
+            / F.count(F.lit(1)).over(wc)
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    v = m.crossJoin(F.broadcast(qs)).select(
+        "source",
+        "n_chars",
+        F.round(F.element_at("q", (F.col("k") + 1).cast("int")), 6)
+        .cast("decimal(18,6)")
+        .alias("nv"),
+    )
+    return v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(18,6)"))
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("mean_raw"),
+        F.round(F.sum("nv") / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("mean_norm"),
+    )

@@ -429,3 +429,69 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("d") > MAD_K * F.col("mad")).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "gini_user_revenue",
+    oracle="""
+    WITH ux AS (
+        SELECT event_type, user_id,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1, 2),
+    r AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY x, user_id) AS i,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM ux)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_users,
+           CAST(ROUND(CAST(SUM(x) AS DOUBLE) / max(n), 6) AS DOUBLE) AS mean_user_value,
+           CAST(ROUND(
+               (2.0 * CAST(SUM(i * x) AS DOUBLE)
+                - (max(n) + 1.0) * CAST(SUM(x) AS DOUBLE))
+               / (max(n) * CAST(SUM(x) AS DOUBLE)), 6) AS DOUBLE) AS gini
+    FROM r GROUP BY event_type
+    """,
+    doc="Gini coefficient of per-user revenue concentration within "
+    "each event type — the whale-dependence audit (how unequal is "
+    "value across users). Rank-weighted formula G = (2*sum(i*x) - "
+    "(n+1)*sum(x)) / (n*sum(x)) over users ordered by (value, "
+    "user_id): both sums accumulate in exact DECIMAL (rank i is an "
+    "integer weight), and the final expression is a fixed-order "
+    "IEEE chain over exact double casts. The rank window is "
+    "partitioned by event_type — parallel, never a global sort; at "
+    "100 TB the per-user rollup map-side-combines first.",
+)
+def gini_user_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ux = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    wc = Window.partitionBy("event_type")
+    r = ux.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    sx = F.sum("x")
+    six = F.sum(F.col("i") * F.col("x"))
+    n = F.max("n")
+    return r.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_users"),
+        F.round(sx.cast("double") / n, 6).cast("double").alias("mean_user_value"),
+        F.round(
+            (
+                F.lit(2.0) * six.cast("double")
+                - (n + F.lit(1.0)) * sx.cast("double")
+            )
+            / (n * sx.cast("double")),
+            6,
+        )
+        .cast("double")
+        .alias("gini"),
+    )

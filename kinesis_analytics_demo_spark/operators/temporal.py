@@ -607,3 +607,111 @@ def interval_coverage_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("covered_sec"),
     )
+
+
+# ------------------------------------- Holt double exponential smoothing
+HOLT_ALPHA = 0.5  #: level smoothing (exactly representable in binary)
+HOLT_BETA = 0.3  #: trend smoothing (same literal parsed by both engines)
+
+
+@register(
+    "holt_forecast_event_types",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS v
+        FROM events GROUP BY 1, 2),
+    series AS (
+        SELECT event_type,
+               [x.v for x in list({{'day': day, 'v': v}} ORDER BY day)] AS vs
+        FROM d GROUP BY event_type),
+    fitted AS (
+        -- state is a 2-element DOUBLE list [level, trend], NOT a
+        -- struct: DuckDB 1.0 list_reduce mis-evaluates multi-field
+        -- struct accumulators (the 't' expression sees a corrupted
+        -- 'l'), while list-typed state folds correctly (verified
+        -- against a pure-Python trace).
+        SELECT event_type, len(vs) AS n_days,
+               list_reduce(
+                   [[vs[1], vs[2] - vs[1]]] ||
+                   [[CAST(y AS DOUBLE), CAST(0 AS DOUBLE)]
+                    for y in vs[3:]],
+                   (acc, e) -> [
+                       {HOLT_ALPHA} * e[1]
+                            + {1 - HOLT_ALPHA} * (acc[1] + acc[2]),
+                       {HOLT_BETA} * ({HOLT_ALPHA} * e[1]
+                                + {1 - HOLT_ALPHA} * (acc[1] + acc[2])
+                                - acc[1])
+                            + {1 - HOLT_BETA} * acc[2]]) AS st
+        FROM series WHERE len(vs) >= 2)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           ROUND(st[1], 6) AS level,
+           ROUND(st[2], 6) AS trend,
+           ROUND(st[1] + st[2], 6) AS forecast_next
+    FROM fitted
+    """,
+    doc="Holt double exponential smoothing over each event type's "
+    "daily revenue series: level/trend state folded left-to-right "
+    "over the day-ordered values (init l=y1, t=y2-y1; "
+    "alpha=0.5, beta=0.3), one-step-ahead forecast = level + trend. "
+    "Daily inputs are DECIMAL-exact sums rounded once, and the fold "
+    "is the SAME fixed-order IEEE chain on both engines (Spark "
+    "aggregate() vs DuckDB list_reduce) — bitwise-reproducible "
+    "without any ln/exp. Per-type series are bounded (one value per "
+    "day), so collect_list state is O(days); the heavy lifting — "
+    "the daily rollup — is one map-side-combinable aggregate.",
+)
+def holt_forecast_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        )
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("v")
+        )
+    )
+    series = d.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "v"))),
+            lambda x: x["v"],
+        ).alias("vs")
+    )
+    vs = F.col("vs")
+    a, b = HOLT_ALPHA, HOLT_BETA
+    y1 = F.element_at(vs, 1)
+    y2 = F.element_at(vs, 2)
+
+    def _step(acc, y):
+        new_l = F.lit(a) * y + F.lit(1 - a) * (acc["l"] + acc["t"])
+        new_t = (
+            F.lit(b)
+            * (F.lit(a) * y + F.lit(1 - a) * (acc["l"] + acc["t"]) - acc["l"])
+            + F.lit(1 - b) * acc["t"]
+        )
+        return F.struct(new_l.alias("l"), new_t.alias("t"))
+
+    st = F.aggregate(
+        F.slice(vs, 3, F.greatest(F.size(vs) - 2, F.lit(0))),
+        F.struct(y1.alias("l"), (y2 - y1).alias("t")),
+        _step,
+    )
+    return (
+        series.filter(F.size(vs) >= 2)
+        .select(
+            "event_type",
+            F.size(vs).cast("bigint").alias("n_days"),
+            st.alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.col("st.l"), 6).alias("level"),
+            F.round(F.col("st.t"), 6).alias("trend"),
+            F.round(F.col("st.l") + F.col("st.t"), 6).alias("forecast_next"),
+        )
+    )

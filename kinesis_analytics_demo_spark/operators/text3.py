@@ -322,3 +322,96 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("dup_chunk_frac"),
         (frac <= CHUNK_MAX_DUP_FRAC).alias("keep"),
     )
+
+
+# ------------------------------------------- collocation detection
+COLL_MIN_COUNT = 5  #: bigram support floor
+COLL_TOP = 30  #: report the strongest collocations
+
+
+@register(
+    "collocation_lift_bigrams",
+    oracle=f"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x != '') AS ws
+        FROM documents),
+    bi AS (
+        SELECT ws[i] AS a, ws[i+1] AS b, count(*) AS cab
+        FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+        GROUP BY 1, 2
+        HAVING count(*) >= {COLL_MIN_COUNT}),
+    uni AS (
+        SELECT w AS word, count(*) AS c
+        FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+    SELECT bi.a, bi.b, CAST(bi.cab AS BIGINT) AS n_pair,
+           ROUND(CAST(tot.n * bi.cab AS DOUBLE)
+                 / CAST(ua.c * ub.c AS DOUBLE), 6) AS lift
+    FROM bi JOIN uni ua ON ua.word = bi.a
+            JOIN uni ub ON ub.word = bi.b, tot
+    ORDER BY lift DESC, bi.a, bi.b
+    LIMIT {COLL_TOP}
+    """,
+    doc="Collocation detection by association lift: adjacent-word "
+    "bigrams with support >= 5 scored by n * c(ab) / (c(a) * c(b)) "
+    "— the word2vec phrase-merge preprocessing signal ('new york' "
+    "-> 'new_york'), reported as the RAW LIFT RATIO rather than PMI "
+    "because ln() is not bit-reproducible across libm "
+    "implementations while the ratio is one exact integer product "
+    "per side and a single IEEE division (the bootstrap no-ln "
+    "lesson). Unigram table broadcasts; bigram expansion is one "
+    "in-doc transform (no shuffle before the count); top-30 via "
+    "TakeOrderedAndProject with a total-order tiebreak.",
+)
+def collocation_lift_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ws = docs.select(
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("ws")
+    )
+    ws = tracked_persist(ws)
+    pairs = ws.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("a"),
+                        F.element_at("ws", i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bi = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= COLL_MIN_COUNT)
+    )
+    uni = ws.select(F.explode("ws").alias("word")).groupBy("word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    ua = uni.select(F.col("word").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("word").alias("b"), F.col("c").alias("cb"))
+    return (
+        bi.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.col("cab").cast("bigint").alias("n_pair"),
+            F.round(
+                (F.col("n") * F.col("cab")).cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "a", "b")
+        .limit(COLL_TOP)
+    )

@@ -229,6 +229,11 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "anomaly_seasonal_baseline",
     "embedding_covariance_upper",
     "top_session_paths",
+    "attribution_position_weighted",
+    "collocation_lift_bigrams",
+    "quantile_normalize_sources",
+    "holt_forecast_event_types",
+    "gini_user_revenue",
 ]
 
 

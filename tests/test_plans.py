@@ -129,6 +129,11 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "cluster_topic_terms",  # broadcast centroids + 1-row corpus total
         "dedup_containment_pairs",  # 1-row corpus-size (df-cap) broadcast
         "skew_profile_lineitem",  # 1-row grand-total broadcast
+        # round-5 additions, same intended shapes
+        "collocation_lift_bigrams",  # 1-row unigram-total broadcast
+        "quantile_normalize_sources",  # 1-row global-quantile broadcast
+        "join_size_estimate_sampled",  # 1-row per-side totals broadcast
+        "multimodal_audio_fingerprint_pairs",  # 1-row corpus-size bc
     }
     offenders = {}
     for name, spec in all_queries().items():
