@@ -1,0 +1,424 @@
+"""Model-evaluation and audit analytics: ROC-AUC, decile lift/gains,
+Kaplan-Meier survival, and a Benford first-digit forensic audit.
+
+These are the readout queries a training/curation pipeline runs AFTER
+a model or heuristic produces scores: does the score rank positives
+above negatives (AUC), how concentrated is the response in the top
+deciles (gains/lift), how long until users convert (survival), and do
+the raw values look organic or fabricated (Benford).
+
+Determinism discipline (repo-wide): scores are quantized to integer
+units through exact DECIMAL sums, every rank statistic is then pure
+integer arithmetic, and the only floating-point steps are final
+single-division displays (or, for Kaplan-Meier, a fixed-order product
+fold — the Holt/list_reduce pattern). No ln/exp anywhere.
+
+Reference anchor: no evaluation surface exists in the reference
+(flink/tumbling_window.py, sliding_window.py); this extends the
+driver-mandated LLM-data-pipeline battery.
+
+Scale notes (100 TB): every query here first collapses events to ONE
+row per user (map-side-combinable aggregate); the rank/cumsum windows
+then run over per-user or per-distinct-score rows. AUC and the gains
+table quantize scores to integer units precisely so the global
+ordered window sees a BOUNDED number of distinct keys — at larger
+scale, widen the quantization grid and these plans are unchanged.
+Kaplan-Meier folds over distinct DAYS (bounded by the time range),
+Benford over 9 digit rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+#: per-user activity score = whole-unit-quantized sum of non-purchase
+#: event values; the binary label is "heavy buyer" = purchase count
+#: STRICTLY above the global median purchase count — self-calibrating,
+#: so both classes are non-empty at every scale factor (a fixed
+#: "has a purchase" label is degenerate on this corpus: every user
+#: buys). Purchase value never enters the score (no leakage).
+_SCORE_SQL = """
+    SELECT user_id,
+           COALESCE(SUM(CASE WHEN event_type != 'purchase'
+                    THEN CAST(value AS DECIMAL(18,6)) END),
+                    0) AS sv,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS np
+    FROM events GROUP BY user_id
+"""
+_LABELED_SQL = f"""
+    WITH cnts AS ({_SCORE_SQL}),
+    med AS (SELECT median(np) AS m FROM cnts)
+    SELECT user_id,
+           CAST(ROUND(sv, 0) AS BIGINT) AS score,
+           CASE WHEN np > m THEN 1 ELSE 0 END AS pos
+    FROM cnts, med
+"""
+
+
+def _user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cnts = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") != "purchase",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        ).alias("sv"),
+        F.count(
+            F.when(F.col("event_type") == "purchase", 1)
+        ).alias("np"),
+    )
+    med = cnts.agg(F.percentile("np", 0.5).alias("m"))
+    return cnts.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        F.round("sv", 0).cast("long").alias("score"),
+        F.when(F.col("np") > F.col("m"), 1).otherwise(0).alias("pos"),
+    )
+
+
+@register(
+    "roc_auc_purchase_propensity",
+    oracle=f"""
+    WITH u AS ({_LABELED_SQL}),
+    g AS (
+        SELECT score,
+               CAST(SUM(pos) AS BIGINT) AS np,
+               CAST(SUM(1 - pos) AS BIGINT) AS nn
+        FROM u GROUP BY score),
+    c AS (
+        SELECT np, nn,
+               COALESCE(SUM(nn) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS nn_below
+        FROM g)
+    SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(nn) AS BIGINT) AS n_neg,
+           CAST(ROUND(CAST(SUM(np * (2 * nn_below + nn)) AS DOUBLE)
+                / (2.0 * SUM(np) * SUM(nn)), 6) AS DOUBLE) AS auc
+    FROM c
+    """,
+    doc="ROC-AUC of the activity score (non-purchase value sum per "
+    "user, whole-unit quantized) as a purchase-propensity predictor, "
+    "via the tie-aware Mann-Whitney identity: AUC = P(score_pos > "
+    "score_neg) + P(equal)/2 = sum over distinct scores of "
+    "np*(2*nn_below + nn) / (2*Npos*Nneg). The numerator is PURE "
+    "INTEGER (ties contribute the exact half through the factor-2 "
+    "scaling — no fractional ranks), so the only float op is the "
+    "final division. The ordered cumsum window runs over DISTINCT "
+    "quantized scores (bounded — widen the grid at larger scale), "
+    "never over raw rows; the per-user rollup map-side-combines.",
+)
+def roc_auc_purchase_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _user_scores(spark, sf_dir)
+    g = u.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("nn"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("nn_below"),
+    )
+    return c.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(
+                F.col("np") * (F.lit(2) * F.col("nn_below") + F.col("nn"))
+            ).cast("double")
+            / (F.lit(2.0) * F.sum("np") * F.sum("nn")),
+            6,
+        )
+        .cast("double")
+        .alias("auc"),
+    )
+
+
+GAINS_TILES = 10  #: decile analysis
+
+
+@register(
+    "lift_gains_deciles",
+    oracle=f"""
+    WITH u AS ({_LABELED_SQL}),
+    t AS (
+        SELECT pos,
+               ntile({GAINS_TILES}) OVER (ORDER BY score DESC, user_id)
+                   AS decile
+        FROM u),
+    d AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(pos) AS BIGINT) AS n_conv
+        FROM t GROUP BY decile)
+    SELECT decile,
+           n_users,
+           n_conv,
+           CAST(ROUND(CAST(n_conv AS DOUBLE) / n_users, 6) AS DOUBLE)
+               AS conv_rate,
+           CAST(ROUND(CAST(SUM(n_conv) OVER (ORDER BY decile) AS DOUBLE)
+                / SUM(n_conv) OVER (), 6) AS DOUBLE) AS cum_capture,
+           CAST(ROUND((CAST(n_conv AS DOUBLE) / n_users)
+                / (CAST(SUM(n_conv) OVER () AS DOUBLE)
+                   / SUM(n_users) OVER ()), 6) AS DOUBLE) AS lift
+    FROM d
+    """,
+    doc="Decile gains/lift table: users ranked by activity score "
+    "(DESC, user_id tiebreak for a total order — ntile's "
+    "remainder-to-first-buckets split is then identical on both "
+    "engines, verified), split into 10 tiles; per decile the "
+    "conversion rate, cumulative share of all conversions captured "
+    "(the gains curve), and lift over the base rate. The campaign "
+    "targeting readout: decile 1's lift is what a score is FOR. "
+    "Counts are integers; the three ratios are final-step double "
+    "divisions. The global ntile window is the documented "
+    "quantize-then-rank scale path shared with the AUC query; the "
+    "decile rollup and the cumulative windows run over 10 rows.",
+)
+def lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _user_scores(spark, sf_dir)
+    t = u.select(
+        "pos",
+        F.ntile(GAINS_TILES)
+        .over(Window.orderBy(F.desc("score"), "user_id"))
+        .alias("decile"),
+    )
+    d = t.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("pos").cast("long").alias("n_conv"),
+    )
+    wcum = Window.orderBy("decile")
+    wall = Window.partitionBy()
+    return d.select(
+        "decile",
+        "n_users",
+        "n_conv",
+        F.round(F.col("n_conv").cast("double") / F.col("n_users"), 6)
+        .cast("double")
+        .alias("conv_rate"),
+        F.round(
+            F.sum("n_conv").over(wcum).cast("double")
+            / F.sum("n_conv").over(wall),
+            6,
+        )
+        .cast("double")
+        .alias("cum_capture"),
+        F.round(
+            (F.col("n_conv").cast("double") / F.col("n_users"))
+            / (
+                F.sum("n_conv").over(wall).cast("double")
+                / F.sum("n_users").over(wall)
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("lift"),
+    )
+
+
+KM_VAL_MIN = 150  #: big-ticket purchase threshold (mixed censoring
+#: at every SF: per-user max purchase value has median ~145)
+
+
+@register(
+    "survival_km_conversion",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               date_diff('second', MIN(ts),
+                   COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                      AND value >= {KM_VAL_MIN}
+                                     THEN ts END), MAX(ts))) // 86400
+                   AS t_day,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND value >= {KM_VAL_MIN}
+                        THEN 1 ELSE 0 END) AS ev
+        FROM events GROUP BY user_id),
+    days AS (
+        SELECT t_day,
+               CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM per_user GROUP BY t_day),
+    risk AS (
+        SELECT t_day, d, c,
+               CAST(SUM(d + c) OVER (ORDER BY t_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - (d + c) AS BIGINT) AS seen_before,
+               CAST(SUM(d + c) OVER () AS BIGINT) AS n_total
+        FROM days),
+    steps AS (
+        SELECT list({{'t': t_day, 'd': d, 'n': n_total - seen_before}}
+                    ORDER BY t_day) AS arr
+        FROM risk WHERE d > 0),
+    idx AS (
+        SELECT arr, UNNEST(generate_series(1, len(arr))) AS k FROM steps)
+    SELECT arr[k].t AS t_day,
+           arr[k].n AS n_risk,
+           arr[k].d AS n_events,
+           CAST(ROUND(list_reduce(
+               [CAST(1 AS DOUBLE)] ||
+               [1 - CAST(arr[i].d AS DOUBLE) / arr[i].n
+                for i in generate_series(1, k)],
+               (acc, x) -> acc * x), 6) AS DOUBLE) AS survival
+    FROM idx
+    """,
+    doc="Kaplan-Meier survival curve for time-to-first-BIG-TICKET-purchase (value >= 150) in "
+    "whole days from each user's first event; users who never make "
+    "one are right-censored at their last observed event (the 150 "
+    "threshold sits near the median per-user max purchase, so every "
+    "SF has BOTH events and censorings). Classic "
+    "product-limit estimator S(t_k) = prod_{i<=k} (1 - d_i/n_i) over "
+    "the distinct DAYS with at least one conversion, with n_i = "
+    "users at risk entering day i. The product is a fixed-order "
+    "left-to-right double fold (Spark aggregate() over a sorted "
+    "struct array vs DuckDB list_reduce over a SCALAR double state — "
+    "the struct-state list_reduce miscompiles in DuckDB 1.0, see "
+    "holt_forecast_event_types) — bit-identical, ln/exp-free. "
+    "Day-level d/c counts and at-risk cumsums are pure integers. "
+    "Scale: one per-user rollup (map-side combine), then everything "
+    "runs over distinct days — bounded by the corpus time range; "
+    "the single collect_list row holds O(days) structs.",
+)
+def survival_km_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ts_l = F.col("ts").cast("timestamp").cast("long")
+    conv = (F.col("event_type") == "purchase") & (
+        F.col("value") >= KM_VAL_MIN
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(
+            (
+                F.coalesce(F.min(F.when(conv, ts_l)), F.max(ts_l))
+                - F.min(ts_l)
+            )
+            / F.lit(86400)
+        )
+        .cast("long")
+        .alias("t_day"),
+        F.max(F.when(conv, 1).otherwise(0)).alias("ev"),
+    )
+    days = per_user.groupBy("t_day").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+    )
+    wcum = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    risk = days.select(
+        "t_day",
+        "d",
+        (
+            F.sum(F.col("d") + F.col("c")).over(wall)
+            - (
+                F.sum(F.col("d") + F.col("c")).over(wcum)
+                - (F.col("d") + F.col("c"))
+            )
+        )
+        .cast("long")
+        .alias("n"),
+    ).filter(F.col("d") > 0)
+    steps = risk.agg(
+        F.sort_array(F.collect_list(F.struct("t_day", "d", "n"))).alias(
+            "arr"
+        )
+    )
+    idx = steps.select(
+        "arr",
+        F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("k"),
+    )
+    e_k = F.element_at(F.col("arr"), F.col("k"))
+    surv = F.aggregate(
+        F.slice(F.col("arr"), 1, F.col("k")),
+        F.lit(1.0),
+        lambda acc, e: acc
+        * (F.lit(1.0) - e["d"].cast("double") / e["n"]),
+    )
+    return idx.select(
+        e_k["t_day"].alias("t_day"),
+        e_k["n"].alias("n_risk"),
+        e_k["d"].alias("n_events"),
+        F.round(surv, 6).cast("double").alias("survival"),
+    )
+
+
+#: Benford expected first-digit shares log10(1 + 1/d), precomputed in
+#: Python and embedded as IDENTICAL double literals in both engines —
+#: no cross-engine log10() call anywhere.
+BENFORD_EXP: dict[int, float] = {
+    d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p!r}" for d, p in BENFORD_EXP.items())
+    + " END"
+)
+
+
+@register(
+    "benford_first_digit_values",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit
+        FROM events WHERE value >= 1),
+    d AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM v GROUP BY digit)
+    SELECT digit, n_obs,
+           CAST(ROUND(CAST(n_obs AS DOUBLE)
+                / SUM(n_obs) OVER (), 6) AS DOUBLE) AS obs_share,
+           CAST({_BENFORD_CASE} AS DOUBLE) AS exp_share,
+           CAST(ROUND(CAST(n_obs AS DOUBLE) / SUM(n_obs) OVER ()
+                - {_BENFORD_CASE}, 6) + 0.0 AS DOUBLE) AS excess
+    FROM d
+    """,
+    doc="Benford's-law first-digit audit over event values >= 1 — the "
+    "fabricated-data forensic: organic multiplicative quantities "
+    "follow P(d) = log10(1 + 1/d), uniform-made-up numbers don't. "
+    "First digit is extracted by INTEGER string conversion "
+    "(floor -> BIGINT -> first char): double->string formatting "
+    "differs between engines but integer rendering is identical, and "
+    "FLOOR sidesteps DuckDB's round-on-cast vs Spark's "
+    "truncate-on-cast. Expected shares are Python-precomputed double "
+    "literals shared by both engines (no runtime log10); excess "
+    "carries the +0.0 negative-zero normalizer. One scan, a 9-row "
+    "aggregate, 9-row windows.",
+)
+def benford_first_digit_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("value") >= 1).select(
+        F.substring(
+            F.floor(F.col("value")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    d = v.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    wall = Window.partitionBy()
+    exp_share = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in BENFORD_EXP.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    obs_raw = F.col("n_obs").cast("double") / F.sum("n_obs").over(wall)
+    return d.select(
+        "digit",
+        "n_obs",
+        F.round(obs_raw, 6).cast("double").alias("obs_share"),
+        exp_share.cast("double").alias("exp_share"),
+        (F.round(obs_raw - exp_share, 6) + F.lit(0.0))
+        .cast("double")
+        .alias("excess"),
+    )

@@ -60,6 +60,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.curation3  # noqa: F401
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.dedup2  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.evaluation  # noqa: F401
     import kinesis_analytics_demo_spark.operators.expectations  # noqa: F401
     import kinesis_analytics_demo_spark.operators.features  # noqa: F401
     import kinesis_analytics_demo_spark.operators.graph  # noqa: F401
@@ -234,6 +235,10 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "quantile_normalize_sources",
     "holt_forecast_event_types",
     "gini_user_revenue",
+    "roc_auc_purchase_propensity",
+    "lift_gains_deciles",
+    "survival_km_conversion",
+    "benford_first_digit_values",
 ]
 
 

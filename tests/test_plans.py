@@ -134,6 +134,8 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "quantile_normalize_sources",  # 1-row global-quantile broadcast
         "join_size_estimate_sampled",  # 1-row per-side totals broadcast
         "multimodal_audio_fingerprint_pairs",  # 1-row corpus-size bc
+        "roc_auc_purchase_propensity",  # 1-row median-threshold broadcast
+        "lift_gains_deciles",  # 1-row median-threshold broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():
