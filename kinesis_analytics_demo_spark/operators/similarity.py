@@ -801,3 +801,208 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int"))
     )
+
+
+# ------------------------------------------ diversified retrieval
+LABEL_QUOTA = 2  #: max neighbors per label in the diversified top-k
+
+
+@register(
+    "similarity_topk_label_quota",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    sims AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+               {V.sql_cosine('e.embedding', 'q.qv', DIM)} AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id != q.query_id),
+    lr AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY query_id, label
+                                  ORDER BY sim DESC, neighbor_id)
+                   AS label_rank
+        FROM sims),
+    capped AS (
+        SELECT query_id, neighbor_id, label, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM lr WHERE label_rank <= {LABEL_QUOTA})
+    SELECT query_id, neighbor_id, label,
+           CAST(ROUND(sim, 6) AS DOUBLE) AS sim,
+           CAST(rank AS INT) AS rank
+    FROM capped WHERE rank <= {TOP_K}
+    """,
+    doc="Diversified top-k by per-label quota: exact cosine "
+    "neighbors, but at most 2 per label reach the final top-10 — "
+    "the cheap, fully-declarative diversity guarantee (quota "
+    "filtering), complementing the greedy relevance-diversity "
+    "trade-off of similarity_mmr_diversified. Two stacked "
+    "row_number windows (within-label cap, then global rank among "
+    "survivors), both WindowGroupLimit-prunable; the corpus is "
+    "scanned once against the broadcast query set and never "
+    "shuffles raw vectors beyond the per-query candidate stream.",
+)
+def similarity_topk_label_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            V.cosine(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+    )
+    wl = Window.partitionBy("query_id", "label").orderBy(
+        F.desc("sim"), "neighbor_id"
+    )
+    wg = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sims.withColumn("label_rank", F.row_number().over(wl))
+        .filter(F.col("label_rank") <= LABEL_QUOTA)
+        .withColumn("rank", F.row_number().over(wg))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round("sim", 6).cast("double").alias("sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+MMR_LAMBDA = 0.7  #: relevance weight; 1-lambda penalizes redundancy
+MMR_CAND = 20  #: relevance-ranked candidate pool per query
+MMR_K = 5  #: diversified picks per query
+
+_MMR_SEL_T = (
+    "array<struct<neighbor_id:bigint,sim:double,norm:double,"
+    "emb:array<double>,mmr:double>>"
+)
+
+
+@register(
+    "similarity_mmr_diversified",
+    oracle=None,  # greedy sequential selection: each pick depends on
+    # every previous pick's embedding — genuinely iterative, like
+    # similarity_ivf_kmeans. Verified by a pure-Python golden
+    # reimplementation in tests/test_mmr.py (exact candidate sets,
+    # selection order, and 1e-9 score agreement at two SFs).
+    doc="Maximal Marginal Relevance (Carbonell & Goldstein 1998) "
+    "diversified top-5: from each query's top-20 cosine candidates, "
+    "greedily pick argmax of lambda*relevance - "
+    "(1-lambda)*max_sim_to_already_selected. The dedup-aware "
+    "retrieval step for training-data curation: near-duplicate "
+    "candidates cannibalize each other's marginal score, so the "
+    "final 5 cover distinct regions. Plan: the candidate pool is the "
+    "same broadcast-query brute-force scan as similarity_cosine_topk "
+    "(WindowGroupLimit caps it at 20 rows/query); the greedy loop "
+    "then runs INSIDE one row per query as a fixed-order aggregate() "
+    "fold over collected candidate structs — no driver collect, no "
+    "per-iteration shuffles, and at 100 TB the only scan-scale work "
+    "is the candidate generation. Ties on the MMR score break to the "
+    "smallest neighbor_id via the negated-id struct-max trick.",
+)
+def similarity_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("embedding"), F.col("qv")).alias("sim"),
+            V.norm(F.col("embedding")).alias("norm"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "emb"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    cand = sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= MMR_CAND
+    )
+    pools = cand.groupBy("query_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("rank", "neighbor_id", "sim", "norm", "emb")
+            )
+        ).alias("arr")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _step(sel, _):
+        remaining = F.filter(
+            F.col("arr"),
+            lambda c: ~F.exists(
+                sel, lambda s: s["neighbor_id"] == c["neighbor_id"]
+            ),
+        )
+        scored = F.transform(
+            remaining,
+            lambda c: F.struct(
+                (
+                    F.lit(MMR_LAMBDA) * c["sim"]
+                    - F.lit(1 - MMR_LAMBDA)
+                    * F.coalesce(
+                        F.array_max(
+                            F.transform(
+                                sel,
+                                lambda s: _dot(c["emb"], s["emb"])
+                                / (c["norm"] * s["norm"]),
+                            )
+                        ),
+                        F.lit(0.0),
+                    )
+                ).alias("mmr"),
+                (-c["neighbor_id"]).alias("negid"),
+                c["neighbor_id"].alias("neighbor_id"),
+                c["sim"].alias("sim"),
+                c["norm"].alias("norm"),
+                c["emb"].alias("emb"),
+            ),
+        )
+        best = F.array_max(scored)
+        return F.concat(
+            sel,
+            F.array(
+                F.struct(
+                    best["neighbor_id"].alias("neighbor_id"),
+                    best["sim"].alias("sim"),
+                    best["norm"].alias("norm"),
+                    best["emb"].alias("emb"),
+                    best["mmr"].alias("mmr"),
+                )
+            ),
+        )
+
+    selected = F.aggregate(
+        F.sequence(F.lit(1), F.lit(MMR_K)),
+        F.expr(f"CAST(array() AS {_MMR_SEL_T})"),
+        _step,
+    )
+    out = pools.select(
+        "query_id", F.posexplode(selected).alias("pos", "s")
+    )
+    return out.select(
+        "query_id",
+        (F.col("pos") + 1).cast("int").alias("select_rank"),
+        F.col("s.neighbor_id").alias("neighbor_id"),
+        F.round(F.col("s.sim"), 6).cast("double").alias("relevance"),
+        F.round(F.col("s.mmr"), 6).cast("double").alias("mmr_score"),
+    )

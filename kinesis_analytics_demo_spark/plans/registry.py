@@ -239,6 +239,8 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "lift_gains_deciles",
     "survival_km_conversion",
     "benford_first_digit_values",
+    "similarity_topk_label_quota",
+    "similarity_mmr_diversified",
 ]
 
 

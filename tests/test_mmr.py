@@ -1,0 +1,115 @@
+"""Golden test for similarity_mmr_diversified (oracle-free: greedy
+sequential selection is not SQL-expressible). A pure-Python MMR
+reimplementation — same float64 operations in the same left-to-right
+order as the Spark fold — must agree on the exact candidate pools,
+selection order, and scores at two scale factors."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from kinesis_analytics_demo_spark.operators.similarity import (
+    MMR_CAND,
+    MMR_K,
+    MMR_LAMBDA,
+    N_QUERIES,
+)
+from kinesis_analytics_demo_spark.plans.registry import all_queries
+from tests.conftest import SF_SMALL, SF_MEDIUM
+
+
+def _dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _python_mmr(sf_dir: str) -> list[tuple[int, int, int]]:
+    """(query_id, select_rank, neighbor_id) triples plus score map."""
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    vecs = {vid: [float(x) for x in emb] for vid, emb in rows}
+    norms = {vid: math.sqrt(_dot(v, v)) for vid, v in vecs.items()}
+    out = []
+    for qid in range(N_QUERIES):
+        qv, qn = vecs[qid], norms[qid]
+        sims = [
+            (_dot(v, qv) / (norms[vid] * qn), vid)
+            for vid, v in vecs.items()
+            if vid != qid
+        ]
+        # top-MMR_CAND by (sim desc, id asc) — the Spark window order
+        cand = sorted(sims, key=lambda t: (-t[0], t[1]))[:MMR_CAND]
+        selected: list[tuple[int, float]] = []  # (id, mmr)
+        while len(selected) < MMR_K:
+            best = None
+            for sim, vid in cand:
+                if any(vid == s for s, _ in selected):
+                    continue
+                red = max(
+                    (
+                        _dot(vecs[vid], vecs[s])
+                        / (norms[vid] * norms[s])
+                        for s, _ in selected
+                    ),
+                    default=0.0,
+                )
+                mmr = MMR_LAMBDA * sim - (1 - MMR_LAMBDA) * red
+                key = (mmr, -vid)
+                if best is None or key > best[0]:
+                    best = (key, vid, mmr)
+            selected.append((best[1], best[2]))
+        out.extend(
+            (qid, k + 1, vid, mmr)
+            for k, (vid, mmr) in enumerate(selected)
+        )
+    return out
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MEDIUM])
+def test_mmr_matches_python_golden(spark, sf_dir):
+    spec = all_queries()["similarity_mmr_diversified"]
+    got = {
+        (r["query_id"], r["select_rank"]): (
+            r["neighbor_id"],
+            r["mmr_score"],
+        )
+        for r in spec.fn(spark, sf_dir).collect()
+    }
+    want = _python_mmr(sf_dir)
+    assert len(got) == len(want) == N_QUERIES * MMR_K
+    for qid, rank, vid, mmr in want:
+        g_vid, g_mmr = got[(qid, rank)]
+        assert g_vid == vid, (qid, rank, g_vid, vid)
+        # mmr_score is ROUND(.,6) in the query output: allow half a
+        # 1e-6 grid step against the raw golden value
+        assert abs(g_mmr - mmr) <= 5.001e-7, (qid, rank, g_mmr, mmr)
+
+
+def test_mmr_picks_are_distinct_and_first_is_top1(spark):
+    spec = all_queries()["similarity_mmr_diversified"]
+    rows = spec.fn(spark, SF_SMALL).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in all_queries()["similarity_cosine_topk"]
+        .fn(spark, SF_SMALL)
+        .collect()
+        if r["rank"] == 1
+    }
+    for qid, picks in by_q.items():
+        ids = [p["neighbor_id"] for p in picks]
+        assert len(set(ids)) == MMR_K
+        # with an empty selected set the MMR score is lambda*sim, so
+        # the first pick must equal the plain cosine top-1
+        first = min(picks, key=lambda p: p["select_rank"])
+        assert first["neighbor_id"] == top1[qid]

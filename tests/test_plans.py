@@ -136,6 +136,8 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "multimodal_audio_fingerprint_pairs",  # 1-row corpus-size bc
         "roc_auc_purchase_propensity",  # 1-row median-threshold broadcast
         "lift_gains_deciles",  # 1-row median-threshold broadcast
+        "similarity_topk_label_quota",  # 10 broadcast queries x corpus
+        "similarity_mmr_diversified",  # 10 broadcast queries x corpus
     }
     offenders = {}
     for name, spec in all_queries().items():
