@@ -1,0 +1,249 @@
+"""Sketches, part 2 — cardinality and second-moment estimation built
+from first principles on deterministic seeded hashes, so both engines
+compute BIT-IDENTICAL sketch state and the estimates are exact-parity
+oracle-checkable (the repo's Poisson-bootstrap discipline applied to
+the two classic streaming sketches):
+
+``hll_distinct_event_ids`` — a from-scratch HyperLogLog (Flajolet et
+al. 2007): 256 registers addressed by the low 8 bits of a 60-bit
+md5-derived hash, register value = position of the leading 1-bit in
+the remaining 52-bit window. The harmonic-mean denominator
+sum(2^-M_j) is computed EXACTLY as the integer sum(2^(53-M_j))
+scaled once by 2^-53 at the end — no floating-point accumulation at
+all, so partition order is irrelevant on both engines. (Spark's
+built-in approx_count_distinct is the production path — benchmarked
+in approx_aggregates; this query is the auditable open-box twin.)
+
+``ams_f2_user_events`` — an AMS/Tug-of-War sketch (Alon, Matias &
+Szegedy 1996) estimating the self-join size F2 = sum_u c_u^2 of the
+events-by-user key: 16 independent +/-1 sign hashes, X_j = sum of
+signs (an INTEGER, order-free), estimator = median of 4 means of 4
+X_j^2 each. The only float ops are the final /4 divisions (exact:
+the numerators are < 2^53) and the engine-proven interpolated
+median. F2 is what a join optimizer needs to size a self-join's
+shuffle before running it — compare join_size_estimate_sampled
+(the sampling-based alternative on the same question).
+
+Scale: both sketches are one scan + a groupBy over a BOUNDED key
+domain (256 registers / 16 sketches) — the shuffle carries only
+map-side-combined partials; sketch state is constant-size regardless
+of input rows. The x16 explode in AMS multiplies scan-side rows but
+combines per partition before the exchange.
+
+Reference anchor: no sketch surface exists in the reference
+(flink/tumbling_window.py, sliding_window.py); extends the sketch
+battery of operators/sketches.py (KMV, CMS, Bloom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_analytics_demo_spark.plans.registry import register
+from kinesis_analytics_demo_spark.session import read_table as _t
+
+HLL_B = 8  #: register-index bits
+HLL_M = 1 << HLL_B  #: 256 registers
+HLL_W = 60 - HLL_B  #: 52-bit rho window from the 60-bit md5 hash
+HLL_SHIFT = HLL_W + 1  #: max rho (all-zero window) = 53
+#: standard HLL bias constant for m >= 128
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+#: 60-bit md5 integer, SQL fragment (functions/hashing.py primitive)
+_H_SQL = "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "hll_distinct_event_ids",
+    oracle=f"""
+    WITH h AS (
+        SELECT {_H_SQL} AS h FROM events),
+    r AS (
+        SELECT h & {HLL_M - 1} AS reg,
+               CASE WHEN h >> {HLL_B} = 0 THEN {HLL_SHIFT}
+                    ELSE {HLL_W} - length(bin(h >> {HLL_B})) + 1
+               END AS rho
+        FROM h),
+    m AS (
+        SELECT reg, MAX(rho) AS mj FROM r GROUP BY reg),
+    s AS (
+        SELECT CAST(SUM(1::BIGINT << ({HLL_SHIFT} - mj)) AS BIGINT)
+               + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_SHIFT})
+                   AS s_int,
+               CAST(COUNT(*) AS BIGINT) AS n_registers_hit
+        FROM m),
+    t AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS true_distinct
+          FROM events)
+    SELECT t.true_distinct, s.n_registers_hit,
+           CAST(ROUND({HLL_ALPHA!r}::DOUBLE * {float(HLL_M * HLL_M)}::DOUBLE
+                * ({float(1 << HLL_SHIFT)}::DOUBLE / s.s_int), 2) AS DOUBLE)
+               AS hll_estimate,
+           CAST(ROUND(({HLL_ALPHA!r}::DOUBLE * {float(HLL_M * HLL_M)}::DOUBLE
+                * ({float(1 << HLL_SHIFT)}::DOUBLE / s.s_int)
+                - t.true_distinct)
+                / t.true_distinct, 6) + 0.0 AS DOUBLE) AS rel_err
+    FROM s, t
+    """,
+    doc="HyperLogLog cardinality of event_id from first principles "
+    "(see module docstring): 256 registers, rho via the minimal-"
+    "binary-string length (bin() renders integers identically on "
+    "both engines — no log2, which mis-rounds at 2^k-1 boundaries), "
+    "integer-exact harmonic denominator, one final float expression "
+    "evaluated in the same parenthesization on both engines. "
+    "Emits the estimate next to the exact distinct and the relative "
+    "error; no small-range (linear counting) branch — the corpus is "
+    "above the 5m/2 threshold at every SF, and the raw-estimate bias "
+    "below it would still be engine-identical.",
+)
+def hll_distinct_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = F.shiftright(h, HLL_B)
+    r = ev.select(
+        h.bitwiseAND(HLL_M - 1).alias("reg"),
+        F.when(w == 0, F.lit(HLL_SHIFT))
+        .otherwise(F.lit(HLL_W) - F.length(F.bin(w)) + 1)
+        .alias("rho"),
+    )
+    m = r.groupBy("reg").agg(F.max("rho").alias("mj"))
+    s = m.agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - mj)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << HLL_SHIFT).cast("long")
+        )
+        .cast("long")
+        .alias("s_int"),
+        F.count(F.lit(1)).cast("long").alias("n_registers_hit"),
+    )
+    t = ev.agg(
+        F.countDistinct("event_id").cast("long").alias("true_distinct")
+    )
+    est = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * (F.lit(float(1 << HLL_SHIFT)) / F.col("s_int"))
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "true_distinct",
+            "n_registers_hit",
+            F.round(est, 2).cast("double").alias("hll_estimate"),
+            (
+                F.round(
+                    (est - F.col("true_distinct")) / F.col("true_distinct"),
+                    6,
+                )
+                + F.lit(0.0)
+            )
+            .cast("double")
+            .alias("rel_err"),
+        )
+    )
+
+
+AMS_SKETCHES = 16  #: independent sign hashes
+AMS_GROUPS = 4  #: median-of-means: 4 groups x 4 sketches
+
+
+@register(
+    "ams_f2_user_events",
+    oracle=f"""
+    WITH signs AS (
+        SELECT j,
+               CASE WHEN CAST(('0x' || substr(md5(
+                        CAST(user_id AS VARCHAR) || '|ams' ||
+                        CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM events, (SELECT unnest(generate_series(1, {AMS_SKETCHES}))
+                      AS j)),
+    x AS (
+        SELECT j, CAST(SUM(sgn) AS BIGINT) AS xj FROM signs GROUP BY j),
+    g AS (
+        SELECT (j - 1) // {AMS_SKETCHES // AMS_GROUPS} AS grp,
+               CAST(SUM(xj * xj) AS DOUBLE)
+                   / {AMS_SKETCHES // AMS_GROUPS} AS mean_x2
+        FROM x GROUP BY 1),
+    est AS (
+        SELECT quantile_cont(mean_x2, 0.5) AS f2_est FROM g),
+    tru AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS f2_true
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY user_id))
+    SELECT tru.f2_true,
+           CAST(ROUND(est.f2_est, 2) AS DOUBLE) AS f2_estimate,
+           CAST(ROUND((est.f2_est - tru.f2_true) / tru.f2_true, 6) + 0.0
+                AS DOUBLE) AS rel_err
+    FROM est, tru
+    """,
+    doc="AMS tug-of-war second-moment sketch for the user_id key of "
+    "events (see module docstring): 16 seeded-md5 sign hashes, "
+    "integer X_j sums, median of 4 group means of X_j^2 against the "
+    "exact F2 = sum of squared per-user counts. The engine-proven "
+    "interpolated median (percentile == quantile_cont) is the only "
+    "non-trivial float op; /4 means are exact doubles.",
+)
+def ams_f2_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    signs = ev.select(
+        F.explode(
+            F.sequence(F.lit(1), F.lit(AMS_SKETCHES))
+        ).alias("j"),
+        "user_id",
+    ).select(
+        "j",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit("|ams"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    x = signs.groupBy("j").agg(F.sum("sgn").cast("long").alias("xj"))
+    per_group = AMS_SKETCHES // AMS_GROUPS
+    g = x.groupBy(
+        F.floor((F.col("j") - 1) / per_group).alias("grp")
+    ).agg(
+        (
+            F.sum(F.col("xj") * F.col("xj")).cast("double")
+            / F.lit(per_group)
+        ).alias("mean_x2")
+    )
+    est = g.agg(F.percentile("mean_x2", 0.5).alias("f2_est"))
+    tru = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_true"))
+    )
+    return est.crossJoin(F.broadcast(tru)).select(
+        "f2_true",
+        F.round("f2_est", 2).cast("double").alias("f2_estimate"),
+        (
+            F.round(
+                (F.col("f2_est") - F.col("f2_true")) / F.col("f2_true"), 6
+            )
+            + F.lit(0.0)
+        )
+        .cast("double")
+        .alias("rel_err"),
+    )

@@ -80,6 +80,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.rp  # noqa: F401
     import kinesis_analytics_demo_spark.operators.similarity  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sketches  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.sketches2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sq  # noqa: F401
     import kinesis_analytics_demo_spark.operators.stats  # noqa: F401
     import kinesis_analytics_demo_spark.operators.stats2  # noqa: F401
@@ -241,6 +242,8 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "benford_first_digit_values",
     "similarity_topk_label_quota",
     "similarity_mmr_diversified",
+    "hll_distinct_event_ids",
+    "ams_f2_user_events",
 ]
 
 

@@ -138,6 +138,8 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "lift_gains_deciles",  # 1-row median-threshold broadcast
         "similarity_topk_label_quota",  # 10 broadcast queries x corpus
         "similarity_mmr_diversified",  # 10 broadcast queries x corpus
+        "hll_distinct_event_ids",  # 1-row true-count broadcast
+        "ams_f2_user_events",  # 1-row true-F2 broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():
