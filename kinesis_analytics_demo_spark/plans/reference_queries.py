@@ -1197,3 +1197,78 @@ def _bind_attribution_oracle() -> None:
 
 
 _bind_attribution_oracle()
+
+
+@register(
+    "streaming_dedup_replay",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming EXACTLY-ONCE dedup: the events table is fed to the "
+    "stream TWICE (two staged copies, one file per micro-batch, so "
+    "the duplicates arrive in a LATER batch than the originals) and "
+    "dropDuplicates on event_id must collapse them across the batch "
+    "boundary through the dedup state store. The per-type counts and "
+    "DECIMAL-exact value sums then equal the single-copy batch "
+    "aggregate exactly — double-counting would double them. The "
+    "30-day watermark keeps every key's dedup state live for the "
+    "whole replay (nothing is dropped as late); in production the "
+    "delay bounds state size instead. This is the at-least-once -> "
+    "exactly-once repair stage every streaming ingestion pipeline "
+    "needs in front of an idempotent sink.",
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_analytics_demo_spark.sinks.factory import write_stream
+    from kinesis_analytics_demo_spark.sources.factory import (
+        create_stream_source,
+    )
+    from kinesis_analytics_demo_spark.streaming.windows import (
+        ensure_event_time,
+    )
+
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="kads_dedup_")
+    try:
+        stage = os.path.join(tmp, "events_stream")
+        os.makedirs(stage)
+        src = os.path.join(sf_dir, "events.parquet")
+        # two copies of the SAME file: batch 1 delivers the original,
+        # batch 2 the duplicate (maxFilesPerTrigger=1) — the dedup
+        # state must carry across the micro-batch boundary
+        os.symlink(src, os.path.join(stage, "events_a.parquet"))
+        os.symlink(src, os.path.join(stage, "events_b.parquet"))
+        stream = create_stream_source(
+            spark, "file-parquet", path=stage, max_files_per_trigger=1
+        )
+        deduped = (
+            ensure_event_time(stream, "ts")
+            .withWatermark("ts", "30 days")
+            .dropDuplicates(["event_id"])
+        )
+        result = deduped.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        q = write_stream(
+            result,
+            "memory",
+            query_name=name,
+            checkpoint=os.path.join(tmp, "ck"),
+            output_mode="complete",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(600)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)

@@ -244,6 +244,8 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "similarity_mmr_diversified",
     "hll_distinct_event_ids",
     "ams_f2_user_events",
+    "streaming_dedup_replay",
+    "feature_drift_halves",
 ]
 
 

@@ -140,6 +140,7 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "similarity_mmr_diversified",  # 10 broadcast queries x corpus
         "hll_distinct_event_ids",  # 1-row true-count broadcast
         "ams_f2_user_events",  # 1-row true-F2 broadcast
+        "feature_drift_halves",  # 1-row median-epoch broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():
