@@ -154,6 +154,20 @@ HEADLINE = [
     # bucketed carry; bpe_encode_tokens stays un-benched — its work
     # happens in the driver-looped training sub-jobs, like bpe_train)
     "concurrent_sessions_peak",
+    # round-5 second batch: one representative per new family —
+    # inequality audit, collocation mining, forecasting, evaluation
+    # readouts, diversified retrieval, first-principles sketching,
+    # and the drift gate. The rest of the round-5 registrations
+    # (quantile normalization, gains table, KM survival, Benford,
+    # label-quota top-k, AMS F2) stay correctness-graded only, per
+    # the one-row-per-family headline discipline.
+    "gini_user_revenue",
+    "collocation_lift_bigrams",
+    "holt_forecast_event_types",
+    "roc_auc_purchase_propensity",
+    "similarity_mmr_diversified",
+    "hll_distinct_event_ids",
+    "feature_drift_halves",
 ]
 
 

@@ -409,3 +409,193 @@ def inverted_index_incremental_merge(
             F.array_join(F.col("plist"), ",").alias("postings"),
         )
     )
+
+
+# -------------------------------------------- hybrid rank fusion
+RRF_K = 60  #: standard reciprocal-rank-fusion damping constant
+RRF_POOL = 50  #: per-ranker candidate pool
+RRF_TOP = 15  #: fused results returned
+
+
+def _rrf_oracle() -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    bm_pivots, ti_pivots = [], []
+    bm_total = ti_total = ""
+    for i, t in enumerate(BM25_QUERY_TERMS):
+        bm_pivots.append(
+            f"max(CASE WHEN term = '{t}' THEN score END) AS s{i}"
+        )
+        ti_pivots.append(
+            f"max(CASE WHEN term = '{t}' THEN score2 END) AS t{i}"
+        )
+        bm_piece = f"COALESCE(s{i}, 0.0)"
+        ti_piece = f"COALESCE(t{i}, 0.0)"
+        bm_total = bm_piece if i == 0 else f"({bm_total} + {bm_piece})"
+        ti_total = ti_piece if i == 0 else f"({ti_total} + {ti_piece})"
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    g AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+                  / (SELECT count(*) FROM dl)) AS avgdl),
+    tfq AS (SELECT doc_id, w AS term, count(*) AS tf FROM t
+            WHERE w IN ({terms_sql}) GROUP BY doc_id, w),
+    dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+    s AS (SELECT tfq.doc_id, tfq.term,
+                 (ln(1.0 + ((g.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)))
+                  * ((tfq.tf * {BM25_K1 + 1.0})
+                     / (tfq.tf + ({BM25_K1} * ((1.0 - {BM25_B})
+                        + ({BM25_B} * (dl.dl / g.avgdl))))))) AS score,
+                 (tfq.tf * ln((g.n_docs + 1.0) / (dfq.df + 1.0)))
+                     AS score2
+          FROM tfq
+          JOIN dl ON tfq.doc_id = dl.doc_id
+          CROSS JOIN g JOIN dfq ON tfq.term = dfq.term),
+    bp AS (SELECT doc_id, {', '.join(bm_pivots)} FROM s GROUP BY doc_id),
+    tp AS (SELECT doc_id, {', '.join(ti_pivots)} FROM s GROUP BY doc_id),
+    bmr AS (SELECT doc_id, r FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY {bm_total} DESC, doc_id) AS r FROM bp)
+            WHERE r <= {RRF_POOL}),
+    tir AS (SELECT doc_id, r FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY {ti_total} DESC, doc_id) AS r FROM tp)
+            WHERE r <= {RRF_POOL}),
+    fused AS (
+        SELECT COALESCE(bmr.doc_id, tir.doc_id) AS doc_id,
+               CAST(bmr.r AS INT) AS bm25_rank,
+               CAST(tir.r AS INT) AS tfidf_rank,
+               (COALESCE(1.0 / ({RRF_K} + bmr.r), 0.0)
+                + COALESCE(1.0 / ({RRF_K} + tir.r), 0.0)) AS rrf
+        FROM bmr FULL OUTER JOIN tir ON bmr.doc_id = tir.doc_id)
+    SELECT doc_id, bm25_rank, tfidf_rank,
+           CAST(ROUND(rrf, 6) AS DOUBLE) AS rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+               AS fused_rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=_rrf_oracle(),
+    doc=f"Hybrid-search rank fusion: BM25 and smoothed-TF-IDF "
+    f"rankings for the same fixed query {BM25_QUERY_TERMS} are fused "
+    "by Reciprocal Rank Fusion (Cormack et al. 2009): rrf = sum over "
+    "rankers of 1/(60 + rank), over each ranker's top-50 pool — the "
+    "standard way modern retrieval stacks combine lexical and "
+    "semantic scorers without calibrating their score scales "
+    "(fusion uses only RANKS, which are exact integers; the two "
+    "reciprocal terms add in fixed left-to-right order). Both "
+    "rankings come from ONE shared token scan (the per-term tf "
+    "pivots feed both scorers), ranked by TakeOrderedAndProject, "
+    "fused by a 50x50 full outer join on doc_id. At 100 TB the "
+    "posting-list prefilter bounds everything downstream of the "
+    "scan at pool size.",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    g = (
+        dl.agg(
+            F.count(F.lit(1)).alias("n_len_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        .crossJoin(
+            F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+        )
+        .select(
+            "n_docs",
+            (F.col("sum_dl").cast("double") / F.col("n_len_docs")).alias(
+                "avgdl"
+            ),
+        )
+    )
+    tfq = (
+        toks.filter(F.col("w").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+    )
+    norm = F.col("tf") + (
+        F.lit(BM25_K1)
+        * (
+            (F.lit(1.0) - F.lit(BM25_B))
+            + (F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    bm_score = idf * ((F.col("tf") * F.lit(BM25_K1 + 1.0)) / norm)
+    ti_score = F.col("tf") * F.log(
+        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    )
+    s = (
+        tfq.join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .join(F.broadcast(dfq), "term")
+        .select(
+            "doc_id",
+            "term",
+            bm_score.alias("score"),
+            ti_score.alias("score2"),
+        )
+    )
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    s = tracked_persist(s)
+
+    def _ranked(col: str) -> DataFrame:
+        pivots = [
+            F.max(F.when(F.col("term") == t, F.col(col))).alias(f"p{i}")
+            for i, t in enumerate(BM25_QUERY_TERMS)
+        ]
+        p = s.groupBy("doc_id").agg(*pivots)
+        total = None
+        for i in range(len(BM25_QUERY_TERMS)):
+            piece = F.coalesce(F.col(f"p{i}"), F.lit(0.0))
+            total = piece if total is None else (total + piece)
+        w = Window.orderBy(F.desc("tot"), "doc_id")
+        return (
+            p.select("doc_id", total.alias("tot"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= RRF_POOL)
+            .select("doc_id", "r")
+        )
+
+    bmr = _ranked("score")
+    tir = _ranked("score2").withColumnRenamed("r", "r2")
+    fused = (
+        bmr.join(tir, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("r").cast("int").alias("bm25_rank"),
+            F.col("r2").cast("int").alias("tfidf_rank"),
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("r")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("r2")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "tfidf_rank",
+            F.round("rrf", 6).cast("double").alias("rrf_score"),
+            "fused_rank",
+        )
+    )

@@ -246,6 +246,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "ams_f2_user_events",
     "streaming_dedup_replay",
     "feature_drift_halves",
+    "retrieval_rrf_fusion",
 ]
 
 
