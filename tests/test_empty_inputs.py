@@ -61,6 +61,22 @@ SAMPLE = [
     "bootstrap_ci_event_values",
     "ab_test_welch_events",
     "cusum_changepoint_events",
+    # round-5 families
+    "attribution_position_weighted",
+    "collocation_lift_bigrams",
+    "quantile_normalize_sources",
+    "holt_forecast_event_types",
+    "gini_user_revenue",
+    "roc_auc_purchase_propensity",
+    "lift_gains_deciles",
+    "survival_km_conversion",
+    "benford_first_digit_values",
+    "similarity_topk_label_quota",
+    "similarity_mmr_diversified",
+    "hll_distinct_event_ids",
+    "ams_f2_user_events",
+    "feature_drift_halves",
+    "retrieval_rrf_fusion",
 ]
 
 

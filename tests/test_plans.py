@@ -141,6 +141,7 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "hll_distinct_event_ids",  # 1-row true-count broadcast
         "ams_f2_user_events",  # 1-row true-F2 broadcast
         "feature_drift_halves",  # 1-row median-epoch broadcast
+        "retrieval_rrf_fusion",  # 1-row (n_docs, avgdl) stats broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():
