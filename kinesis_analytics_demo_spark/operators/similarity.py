@@ -887,13 +887,63 @@ _MMR_SEL_T = (
 )
 
 
+_MMR_L = repr(MMR_LAMBDA)
+_MMR_1L = repr(1 - MMR_LAMBDA)  #: the exact double Spark's F.lit(1 - 0.7) uses
+
 @register(
     "similarity_mmr_diversified",
-    oracle=None,  # greedy sequential selection: each pick depends on
-    # every previous pick's embedding — genuinely iterative, like
-    # similarity_ivf_kmeans. Verified by a pure-Python golden
-    # reimplementation in tests/test_mmr.py (exact candidate sets,
-    # selection order, and 1e-9 score agreement at two SFs).
+    # The greedy selection IS SQL-expressible after all: a recursive
+    # CTE carries the picked-id list and a LATERAL argmax picks the
+    # next candidate — pairwise candidate cosines are precomputed (a
+    # bounded 20x20-per-query table), so each step is one correlated
+    # MAX over the picked set. Doubly verified: this oracle at the
+    # driver plus the pure-Python golden in tests/test_mmr.py.
+    oracle=f"""
+    WITH RECURSIVE q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}),
+    sims AS (
+        SELECT q.query_id, e.vec_id AS nid, e.embedding AS emb,
+               {V.sql_cosine('e.embedding', 'q.qv', DIM)} AS rel
+        FROM embeddings e, q
+        WHERE e.vec_id != q.query_id),
+    cands AS (
+        SELECT query_id, nid, emb, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY rel DESC, nid) AS r
+            FROM sims) WHERE r <= {MMR_CAND}),
+    pairs AS (
+        SELECT a.query_id, a.nid AS a, b.nid AS b,
+               {V.sql_cosine('a.emb', 'b.emb', DIM)} AS s
+        FROM cands a JOIN cands b
+          ON a.query_id = b.query_id AND a.nid != b.nid),
+    rec AS (
+        SELECT query_id, 1 AS k, nid, rel,
+               {_MMR_L}::DOUBLE * rel AS mmr, [nid] AS picks
+        FROM (SELECT query_id, nid, rel,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rel DESC, nid) AS r
+              FROM cands) WHERE r = 1
+        UNION ALL
+        SELECT s.query_id, s.k + 1, b.nid, b.rel, b.mmr,
+               list_append(s.picks, b.nid)
+        FROM rec s, LATERAL (
+            SELECT c.nid, c.rel,
+                   {_MMR_L}::DOUBLE * c.rel
+                   - {_MMR_1L}::DOUBLE * (
+                       SELECT MAX(p.s) FROM pairs p
+                       WHERE p.query_id = s.query_id AND p.a = c.nid
+                         AND list_contains(s.picks, p.b)) AS mmr
+            FROM cands c
+            WHERE c.query_id = s.query_id
+              AND NOT list_contains(s.picks, c.nid)
+            ORDER BY mmr DESC, c.nid LIMIT 1) b
+        WHERE s.k < {MMR_K})
+    SELECT query_id, CAST(k AS INT) AS select_rank, nid AS neighbor_id,
+           CAST(ROUND(rel, 6) AS DOUBLE) AS relevance,
+           CAST(ROUND(mmr, 6) AS DOUBLE) AS mmr_score
+    FROM rec
+    """,
     doc="Maximal Marginal Relevance (Carbonell & Goldstein 1998) "
     "diversified top-5: from each query's top-20 cosine candidates, "
     "greedily pick argmax of lambda*relevance - "

@@ -1,8 +1,9 @@
-"""Golden test for similarity_mmr_diversified (oracle-free: greedy
-sequential selection is not SQL-expressible). A pure-Python MMR
-reimplementation — same float64 operations in the same left-to-right
-order as the Spark fold — must agree on the exact candidate pools,
-selection order, and scores at two scale factors."""
+"""Golden test for similarity_mmr_diversified. The query also has a
+full DuckDB oracle (recursive CTE + LATERAL greedy argmax), so this
+pure-Python MMR reimplementation — same float64 operations in the
+same left-to-right order as the Spark fold — is the third,
+engine-independent witness: exact candidate pools, selection order,
+and scores at two scale factors."""
 
 from __future__ import annotations
 
