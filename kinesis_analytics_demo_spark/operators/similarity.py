@@ -342,9 +342,14 @@ def kmeans_centroids(
             .filter(F.col("crank") == 1)
         )
         ex = assign.select("cid", F.posexplode("embedding").alias("pos", "val"))
+        # mean = (exact decimal sum -> double) / count, ONE IEEE
+        # division then ROUND(9): canonical on both engines. (The
+        # previous decimal-division form round-tripped through
+        # Spark's decimal(38,22) quotient scale — a double-rounding
+        # DuckDB cannot reproduce, 237/640 ninth-digit mismatches.)
         means = ex.groupBy("cid", "pos").agg(
             F.round(
-                F.sum(F.col("val").cast("decimal(28,12)"))
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
                 / F.count(F.lit(1)),
                 9,
             )
@@ -364,10 +369,71 @@ def kmeans_centroids(
     return cent
 
 
+_KM_COS_ER = V.sql_cosine("e.embedding", "r.cv", DIM)
+_KM_COS_EC = V.sql_cosine("e.embedding", "c.cv", DIM)
+_KM_COS_EQ = V.sql_cosine("e.embedding", "q.qv", DIM)
+
 @register(
     "similarity_ivf_kmeans",
-    oracle=None,  # iterative algorithm — rows-only driver check;
-    # determinism + recall-vs-exact are pinned in tests/test_similarity_kmeans.py
+    # Lloyd's algorithm IS SQL-expressible: a recursive CTE carries
+    # the k centroid rows per iteration — assignment is a struct-max
+    # argmax over the working table, the update is the same
+    # decimal-sum -> one-IEEE-division -> ROUND(9) -> REAL chain as
+    # the Spark side (an earlier decimal-DIVISION form was NOT
+    # reproducible: Spark's decimal(38,22) quotient double-rounds).
+    # Determinism + recall-vs-exact stay pinned in
+    # tests/test_similarity_kmeans.py.
+    oracle=f"""
+    WITH RECURSIVE rec AS (
+        SELECT 0 AS it, vec_id AS cid, embedding AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {KMEANS_K})
+        UNION ALL
+        SELECT m.it + 1, m.cid,
+               CAST(list(CAST(m.m AS REAL) ORDER BY m.pos) AS REAL[]) AS cv
+        FROM (
+            SELECT x.it, x.cid, x.pos,
+                   ROUND(CAST(SUM(CAST(x.val AS DECIMAL(28,12))) AS DOUBLE)
+                         / COUNT(*), 9) AS m
+            FROM (
+                SELECT a.it, -(a.best.c) AS cid, i - 1 AS pos,
+                       a.embedding[i] AS val
+                FROM (
+                    SELECT r.it, e.vec_id, e.embedding,
+                           max({{'s': {_KM_COS_ER}, 'c': -r.cid}}) AS best
+                    FROM embeddings e, rec r
+                    WHERE r.it < {KMEANS_ITERS}
+                    GROUP BY r.it, e.vec_id, e.embedding
+                ) a, (SELECT unnest(generate_series(1, {DIM})) AS i)
+            ) x
+            GROUP BY x.it, x.cid, x.pos
+        ) m
+        GROUP BY m.it, m.cid
+    ),
+    cent AS (SELECT cid, cv FROM rec WHERE it = {KMEANS_ITERS}),
+    assign AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_KM_COS_EC} DESC, c.cid) AS crank
+        FROM embeddings e, cent c),
+    lists AS (
+        SELECT vec_id, embedding, cid FROM assign WHERE crank = 1),
+    qprobe AS (
+        SELECT vec_id AS query_id, embedding AS qv, cid
+        FROM assign WHERE vec_id < {N_QUERIES} AND crank <= {KMEANS_NPROBE}),
+    sims AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_KM_COS_EQ} AS sim
+        FROM lists e JOIN qprobe q USING (cid)
+        WHERE e.vec_id != q.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
     doc="ANN via IVF with TRAINED coarse centroids: 3 deterministic "
     "Lloyd iterations (decimal-exact element-wise means -> "
     "partitioning-independent centroids), then an nprobe=4 probe / "
