@@ -1094,18 +1094,25 @@ def similarity_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         best = F.array_max(scored)
-        return F.concat(
-            sel,
-            F.array(
-                F.struct(
-                    best["neighbor_id"].alias("neighbor_id"),
-                    best["sim"].alias("sim"),
-                    best["norm"].alias("norm"),
-                    best["emb"].alias("emb"),
-                    best["mmr"].alias("mmr"),
-                )
+        # Pool exhausted (fewer than MMR_K candidates): stop growing
+        # instead of appending a null-field struct each remaining step
+        # — matches the recursive-CTE oracle, which terminates early
+        # and emits fewer than MMR_K rows for degenerate pools.
+        return F.when(
+            F.size(remaining) > 0,
+            F.concat(
+                sel,
+                F.array(
+                    F.struct(
+                        best["neighbor_id"].alias("neighbor_id"),
+                        best["sim"].alias("sim"),
+                        best["norm"].alias("norm"),
+                        best["emb"].alias("emb"),
+                        best["mmr"].alias("mmr"),
+                    )
+                ),
             ),
-        )
+        ).otherwise(sel)
 
     selected = F.aggregate(
         F.sequence(F.lit(1), F.lit(MMR_K)),

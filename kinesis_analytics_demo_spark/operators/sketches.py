@@ -360,9 +360,13 @@ JS_SAMPLE_MOD = 8  #: key-sample rate 1/8 via md5(key) % 8 == 0
            CAST(SUM(na * nb) AS BIGINT) AS true_join_rows,
            CAST({JS_SAMPLE_MOD} * COALESCE(SUM(CASE WHEN samp THEN na * nb END), 0)
                 AS BIGINT) AS est_join_rows,
+           -- '+ 0.0' normalizes IEEE -0.0 (estimate just under truth
+           -- rounds to zero from below: DuckDB keeps -0.0, Spark
+           -- does not, and the driver hash is repr-sensitive)
            CAST(ROUND(100.0 * ({JS_SAMPLE_MOD} *
                 COALESCE(SUM(CASE WHEN samp THEN na * nb END), 0)
-                - SUM(na * nb)) / SUM(na * nb), 6) AS DOUBLE) AS err_pct
+                - SUM(na * nb)) / SUM(na * nb), 6) AS DOUBLE) + 0.0
+                AS err_pct
     FROM j
     """,
     doc="Sketch-based join cardinality estimation: |events JOIN "
@@ -412,7 +416,8 @@ def join_size_estimate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("est_join_rows") - F.col("true_join_rows"))
             / F.col("true_join_rows"),
             6,
-        ).cast("double"),
+        ).cast("double")
+        + F.lit(0.0),
     )
     na_tot = fa.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys_a"))
     nb_tot = fb.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys_b"))

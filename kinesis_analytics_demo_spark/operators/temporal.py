@@ -645,10 +645,14 @@ HOLT_BETA = 0.3  #: trend smoothing (same literal parsed by both engines)
                                 - acc[1])
                             + {1 - HOLT_BETA} * acc[2]]) AS st
         FROM series WHERE len(vs) >= 2)
+    -- '+ 0.0' normalizes IEEE negative zero: DuckDB ROUND(-1e-9, 6)
+    -- yields -0.0 while Spark yields 0.0, and the driver hash is
+    -- repr-sensitive; a near-flat series rounding to zero from below
+    -- must hash identically on both engines.
     SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
-           ROUND(st[1], 6) AS level,
-           ROUND(st[2], 6) AS trend,
-           ROUND(st[1] + st[2], 6) AS forecast_next
+           ROUND(st[1], 6) + 0.0 AS level,
+           ROUND(st[2], 6) + 0.0 AS trend,
+           ROUND(st[1] + st[2], 6) + 0.0 AS forecast_next
     FROM fitted
     """,
     doc="Holt double exponential smoothing over each event type's "
@@ -710,8 +714,10 @@ def holt_forecast_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_days",
-            F.round(F.col("st.l"), 6).alias("level"),
-            F.round(F.col("st.t"), 6).alias("trend"),
-            F.round(F.col("st.l") + F.col("st.t"), 6).alias("forecast_next"),
+            (F.round(F.col("st.l"), 6) + F.lit(0.0)).alias("level"),
+            (F.round(F.col("st.t"), 6) + F.lit(0.0)).alias("trend"),
+            (F.round(F.col("st.l") + F.col("st.t"), 6) + F.lit(0.0)).alias(
+                "forecast_next"
+            ),
         )
     )

@@ -104,97 +104,24 @@ def _load_all_modules() -> None:
 # items 1-2), minus the 10 lowest-value relational variants that wait
 # for round 4.
 #
-# ROUND-5 ROTATION (active): 50 slots = the 3 round-4 hash-fail
-# re-checks (HUGEINT oracle typing, fixed by CAST(... AS BIGINT) —
-# they must land as green rows), the 2 staged queries that carried the
-# same latent defect (bloom_filter_semijoin, late_lines_by_status,
-# cast-fixed before first driver contact), and 45 of the 69
-# never-driver-checked names — ordered one row per distinct
-# capability family (privacy, entity resolution, the round-4 stats
-# battery, BFS, pHash/scene-change, attribution + its streaming twin,
-# containment/cross-source dedup, DSIR/BPE/kNN-audit, incremental
-# index merge, shard rebalance, and the round-3-staged corpus-audit
-# batch). The remaining 22 never-checked names (17 low-risk
-# TPC-H-shape relational variants + 5 family-duplicate variants whose
-# siblings are already green) are staged in _DRIVER_PRIORITY_NEXT for
-# round 6 — round 5 does NOT complete registry-wide coverage; round 6
-# does, provided new queries keep being appended to the staged list.
+# ROUND-6 ROTATION (active): 50 slots = the 49 names staged at the
+# end of round 5 (17 TPC-H-shape relational variants, 5
+# family-duplicate variants whose production twins are green, and the
+# 27 round-5-new operators — MMR/RRF/HLL/AMS, the evaluation battery,
+# connected components, intervals/reconciliation/zone-map/join-size,
+# Gini/Holt/collocations/quantile-normalize, audio fingerprints,
+# session paths, U-shape attribution, streaming exactly-once dedup,
+# drift, covariance, BPE encode) PLUS one re-check:
+# similarity_ivf_kmeans, whose round-3 driver row predates its
+# recursive-CTE Lloyd-iteration oracle (commit c93e0fc) and was
+# recorded as no_oracle/rows-only — the upgraded oracle needs a real
+# hash row. This rotation completes registry-wide driver coverage:
+# every registered query will have at least one driver CORRECTNESS
+# row, and every query with an oracle will have a hash-checked one.
 _DRIVER_PRIORITY: list[str] = [
-    # -- round-4 hash-fail re-checks (oracle CAST fix must go green)
-    "dedup_chunk_exact",
-    "winsorize_event_values",
-    "user_feature_vector",
-    # -- same HUGEINT defect, fixed before first driver contact
-    "bloom_filter_semijoin",
-    "late_lines_by_status",
-    # -- streaming stateful twins (attribution, CUSUM)
-    "streaming_attribution_replay",
-    "streaming_cusum_replay",
-    # -- privacy audits
-    "k_anonymity_audit",
-    "l_diversity_audit",
-    "dp_noisy_counts",
-    # -- entity resolution / skyline / clustering
-    "fuzzy_match_entity_names",
-    "pareto_quality_frontier",
-    "cluster_topic_terms",
-    # -- round-4 stats battery
-    "anomaly_mad_events",
-    "bootstrap_ci_event_values",
-    "ab_test_welch_events",
-    "cusum_changepoint_events",
-    # -- graph BFS (recursive-CTE oracle)
-    "graph_bfs_levels",
-    # -- multimodal perceptual near-dup + scene changes
-    "dedup_image_phash",
-    "multimodal_scene_changes",
-    # -- attribution
-    "attribution_last_touch",
-    # -- containment (PPJoin) + cross-source dedup
-    "dedup_containment_pairs",
-    "dedup_cross_source_matrix",
-    # -- target-domain weighting, tokenizer stats, kNN label audit
-    "corpus_dsir_weights",
-    "bpe_pair_counts",
-    "bpe_train_merges",
-    "label_knn_disagreement",
-    # -- incremental index maintenance + physical layout
-    "inverted_index_incremental_merge",
-    "corpus_rebalance_shards",
-    "skew_profile_lineitem",
-    # -- round-3-staged sketch / lifecycle / corpus-audit batch
-    "heavy_hitters_cms",
-    "cohort_retention",
-    "anomaly_zscore_events",
-    "funnel_time_to_convert",
-    "dedup_lsh_recall_audit",
-    "corpus_token_budget_select",
-    "corpus_soft_dedup_weights",
-    "source_quality_report",
-    "embedding_outliers_centroid",
-    "corpus_sample_weighted",
-    "file_provenance_audit",
-    "sessionize_dynamic_gap",
-    "variant_props_extraction",
-    "embedding_drift_by_label",
-    "text_token_entropy",
-    "source_token_kl",
-    "corpus_zipf_alpha",
-    "corpus_split_leakage_safe",
-    "temporal_split_embargo",
-    "timeseries_similarity_topk",
-]
-
-
-#: ROUND-6 ROTATION, staged at the start of round 5: the 22 remaining
-#: never-driver-checked names — 17 TPC-H-shape relational variants
-#: (lowest defect risk: their families have multiple green rows since
-#: round 1) plus 5 family-duplicate variants (baseline/intermediate
-#: forms of queries whose production twins are green). Swapping these
-#: in next round completes registry-wide driver coverage. NEW queries
-#: added during round 5 must be APPENDED here (test_registry enforces
-#: that active + staged + driver-checked covers the whole registry).
-_DRIVER_PRIORITY_NEXT: list[str] = [
+    # -- oracle-upgrade re-check (r3 row was no_oracle; now has a
+    #    recursive-CTE Lloyd oracle that must earn a hash match)
+    "similarity_ivf_kmeans",
     # -- relational variants
     "large_orders",
     "monthly_revenue",
@@ -219,7 +146,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "embedding_pq_quantization_error",
     "daily_p95_value",
     "profile_lineitem",
-    # -- round-5 additions (never driver-checked, next rotation)
+    # -- round-5 additions (never driver-checked)
     "concurrent_sessions_peak",
     "bpe_encode_tokens",
     "interval_coverage_seconds",
@@ -248,6 +175,15 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "feature_drift_halves",
     "retrieval_rrf_fusion",
 ]
+
+
+#: ROUND-7 ROTATION: queries registered during round 6 that have not
+#: yet had a driver CORRECTNESS row. NEW queries MUST be APPENDED here
+#: when registered (test_registry enforces that active + staged +
+#: driver-checked covers the whole registry, and that a prior
+#: ``no_oracle`` row does not count as coverage for a query that now
+#: has an oracle).
+_DRIVER_PRIORITY_NEXT: list[str] = []
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -13,14 +13,18 @@ story; reference flink/tumbling_window.py:127-128):
 - ``abort()`` deletes temps, so failed/speculative attempts leave
   nothing;
 - the STREAMING writer keys manifests by micro-batch id, and final
-  file names are DETERMINISTIC — ``<prefix>-<batch>-<i>.jsonl`` from
-  the commit-message (partition) index, never a per-attempt uuid. A
-  replayed batch (failure after commit() but before the checkpoint
-  offset commit) therefore renames onto the SAME names, and commit
-  additionally reads any existing ``_manifest-<batch>`` and deletes
-  the files it lists before renaming the new attempt's files (covers
-  a replay that produced a different partitioning) — at-least-once
-  execution, exactly-once visible output.
+  file names carry an ATTEMPT-UNIQUE token —
+  ``<prefix>-<batch>-<attempt>-<i>.jsonl`` — so a replayed batch
+  (failure after commit() but before the checkpoint offset commit)
+  NEVER renames onto a name the still-current manifest references.
+  The atomic manifest swap is the single commit point: a crash
+  anywhere before it leaves the prior manifest and every file it
+  lists byte-for-byte intact (this attempt's files are unreferenced
+  orphans, swept by the next attempt's janitor); after it, the new
+  manifest's files are all in place and the prior attempt's are
+  deleted. At-least-once execution, exactly-once MANIFEST-visible
+  output — consumers must read via the manifest, not by globbing
+  ``*.jsonl`` (a glob can see a crashed attempt's orphans).
 
 Scale: tasks write independently (no driver data); commit touches
 only O(tasks) renames. Executor pickling follows the repo's
@@ -59,19 +63,19 @@ def _write_partition(path: str, prefix: str, iterator) -> _FileCommit:
 
 
 def _commit_files(path: str, manifest_name: str, messages, name_prefix) -> None:
-    """Rename temps into place under DETERMINISTIC final names derived
-    from ``name_prefix`` + the commit-message index (Spark hands
-    ``messages`` in partition order), so a replayed micro-batch
-    overwrites rather than duplicates. Any files listed by an existing
-    manifest of the same name (a prior attempt of this batch that
-    committed before the checkpoint offset did) but absent from the
-    new entry set are deleted LAST — after the renames and the new
-    manifest write — so a replay with a DIFFERENT partitioning cannot
-    strand files. Ordering matters (ADVICE r4): deleting prior-attempt
-    files before renaming/writing the manifest left a crash window
-    where a committed manifest referenced already-deleted files;
-    rename-first (os.replace overwrites same-name collisions) shrinks
-    the inconsistency to the atomic manifest swap itself."""
+    """Rename temps into place under ATTEMPT-UNIQUE final names —
+    ``<name_prefix>-<attempt>-<i>.jsonl`` (``i`` = commit-message
+    index; Spark hands ``messages`` in partition order) — then
+    atomically swap the manifest, then delete the prior attempt's
+    files. Because no rename can collide with a name the still-current
+    manifest references, a crash at ANY point before the swap leaves
+    the prior manifest and every file it lists byte-for-byte intact
+    (ADVICE r5: deterministic same-name renames had a transient
+    mixed-content window when a replay produced a DIFFERENT
+    partitioning — some old-manifest names overwritten with new-split
+    content before the swap). This attempt's already-renamed files are
+    then unreferenced orphans; the janitor below sweeps them on the
+    next attempt. The manifest swap is the single commit point."""
     manifest = os.path.join(path, manifest_name)
     stale = []
     if os.path.exists(manifest):
@@ -80,6 +84,8 @@ def _commit_files(path: str, manifest_name: str, messages, name_prefix) -> None:
                 stale = json.load(fh).get("files", [])
         except (OSError, ValueError):
             stale = []
+    stale_names = {e.get("file") for e in stale}
+    attempt = uuid.uuid4().hex[:8]
     entries = []
     own_tmps = set()
     for i, m in enumerate(messages):
@@ -90,19 +96,34 @@ def _commit_files(path: str, manifest_name: str, messages, name_prefix) -> None:
             if os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
             continue
-        final_path = os.path.join(path, f"{name_prefix}-{i:05d}.jsonl")
+        final_path = os.path.join(
+            path, f"{name_prefix}-{attempt}-{i:05d}.jsonl"
+        )
         os.replace(m.tmp_path, final_path)
         entries.append(
             {"file": os.path.basename(final_path), "rows": m.n_rows}
         )
+    new_names = {e["file"] for e in entries}
     # Janitor: a query killed mid-batch strands its dot-prefixed temp
-    # files (workers die before abort() runs). Temps are invisible to
-    # readers, but sweep orphans here so a restarted writer leaves a
-    # clean directory. Safe because the sink is single-writer-per-path
-    # (batches are sequential within a query; concurrent queries must
-    # use distinct paths).
+    # files (workers die before abort() runs), and a query killed
+    # between this function's renames and its manifest swap strands
+    # attempt-named data files no manifest references. Sweep both —
+    # anything under this name_prefix that is neither in the current
+    # (old) manifest nor created by this attempt is garbage. Safe
+    # because the sink is single-writer-per-path (batches are
+    # sequential within a query; concurrent queries must use distinct
+    # paths).
     for f in os.listdir(path):
-        if f.startswith(".") and f.endswith(".tmp") and f not in own_tmps:
+        is_orphan_tmp = (
+            f.startswith(".") and f.endswith(".tmp") and f not in own_tmps
+        )
+        is_orphan_data = (
+            f.startswith(f"{name_prefix}-")
+            and f.endswith(".jsonl")
+            and f not in stale_names
+            and f not in new_names
+        )
+        if is_orphan_tmp or is_orphan_data:
             try:
                 os.remove(os.path.join(path, f))
             except OSError:
@@ -114,12 +135,13 @@ def _commit_files(path: str, manifest_name: str, messages, name_prefix) -> None:
             fh,
         )
     os.rename(tmp, manifest)
-    # Only now, with the new manifest committed, remove prior-attempt
-    # files this attempt didn't reuse: a crash anywhere above leaves
-    # either the old manifest with its files intact (same-name files
-    # possibly re-written with this attempt's identical-batch content)
-    # or the new manifest with all its files in place.
-    new_names = {e["file"] for e in entries}
+    # Only now, with the new manifest committed, remove the prior
+    # attempt's files (attempt tokens differ, so none are reused): a
+    # crash anywhere above leaves the old manifest with its files
+    # intact; a crash below leaves the new manifest with all its
+    # files in place plus some undeleted stale files, which the next
+    # commit's janitor sweeps (they are absent from the then-current
+    # manifest).
     for e in stale:
         if e.get("file") not in new_names:
             try:

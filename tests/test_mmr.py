@@ -8,6 +8,7 @@ and scores at two scale factors."""
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
@@ -114,3 +115,49 @@ def test_mmr_picks_are_distinct_and_first_is_top1(spark):
         # the first pick must equal the plain cosine top-1
         first = min(picks, key=lambda p: p["select_rank"])
         assert first["neighbor_id"] == top1[qid]
+
+
+def test_mmr_degenerate_pool_matches_oracle(spark, tmp_path):
+    """ADVICE r5: with fewer than MMR_K candidates per query, the
+    Spark fold must STOP growing (the recursive-CTE oracle terminates
+    early) instead of appending null-field structs up to MMR_K rows.
+    Build a 4-vector corpus (3 candidates per query < MMR_K=5) and
+    assert full engine parity on it."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_analytics_demo_spark.operators.similarity import DIM
+    from tests.conftest import assert_matches_oracle
+
+    rng = np.random.default_rng(7)
+    n = 4  # all 4 are queries (vec_id < N_QUERIES); pools have 3 < MMR_K
+    vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array([i % 2 for i in range(n)], type=pa.int32()),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, os.path.join(sf_dir, "embeddings.parquet"))
+
+    spec = all_queries()["similarity_mmr_diversified"]
+    df = spec.fn(spark, sf_dir)
+    rows = df.collect()
+    # 4 queries x 3-candidate pools: exactly 3 picks each, none null
+    assert len(rows) == n * (n - 1)
+    assert all(r["neighbor_id"] is not None for r in rows)
+    assert all(r["mmr_score"] is not None for r in rows)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    assert_matches_oracle(df, con, spec.oracle)
+    con.close()

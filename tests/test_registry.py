@@ -40,23 +40,40 @@ def test_rotation_covers_whole_registry():
     it resolves, and active-50 + staged + already-driver-checked
     (CORRECTNESS_r*.json) covers the whole registry — so by the end of
     the staged rotation every query has at least one driver row. A new
-    query MUST be appended to _DRIVER_PRIORITY_NEXT when registered."""
+    query MUST be appended to _DRIVER_PRIORITY_NEXT when registered.
+
+    Coverage is oracle-aware: a prior driver row recorded as
+    ``no_oracle`` (rows-only) does NOT count as coverage for a query
+    that NOW has an oracle — upgrading an oracle must re-stage the
+    query so the new SQL earns a real hash row (the
+    similarity_ivf_kmeans lesson from round 5)."""
     import json
     import os
 
     qs = registry.all_queries()
     missing = [n for n in registry._DRIVER_PRIORITY_NEXT if n not in qs]
     assert missing == []
-    checked = set()
+    hash_checked: set[str] = set()
+    rows_only_checked: set[str] = set()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for f in sorted(os.listdir(root)):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
             with open(os.path.join(root, f)) as fh:
-                checked |= set(json.load(fh))
-    covered = (
-        set(registry._DRIVER_PRIORITY)
-        | set(registry._DRIVER_PRIORITY_NEXT)
-        | checked
+                for name, row in json.load(fh).items():
+                    if row.get("err") == "no_oracle":
+                        rows_only_checked.add(name)
+                    else:
+                        hash_checked.add(name)
+    staged = set(registry._DRIVER_PRIORITY) | set(
+        registry._DRIVER_PRIORITY_NEXT
     )
-    uncovered = sorted(set(qs) - covered)
-    assert uncovered == [], uncovered
+    uncovered = []
+    for name, spec in qs.items():
+        if name in staged or name in hash_checked:
+            continue
+        # rows-only driver row suffices only while the query still has
+        # no oracle; once an oracle exists it needs a hash row.
+        if spec.oracle is None and name in rows_only_checked:
+            continue
+        uncovered.append(name)
+    assert sorted(uncovered) == [], sorted(uncovered)
