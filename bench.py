@@ -168,6 +168,13 @@ HEADLINE = [
     "similarity_mmr_diversified",
     "hll_distinct_event_ids",
     "feature_drift_halves",
+    # round-6 additions: the rolling sketch-merge pattern, robust
+    # trend estimation, and probability calibration. textrank_keywords
+    # and streaming_hll_rolling_replay stay un-benched (driver-looped
+    # PageRank sub-jobs / streaming replay — the pagerank precedent).
+    "hll_rolling_distinct_users",
+    "theil_sen_trend_event_types",
+    "calibration_bins_propensity",
 ]
 
 

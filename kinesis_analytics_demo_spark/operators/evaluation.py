@@ -422,3 +422,104 @@ def benford_first_digit_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("excess"),
     )
+
+
+# ---------------------------------------- calibration bins + Brier
+CAL_BINS = 10  #: reliability-diagram bins
+
+
+@register(
+    "calibration_bins_propensity",
+    oracle=f"""
+    WITH u AS ({_LABELED_SQL}),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+    rk AS (
+        SELECT pos,
+               row_number() OVER (ORDER BY score, user_id) AS r
+        FROM u),
+    b AS (
+        SELECT ((r - 1) * {CAL_BINS}) // (SELECT n FROM nn) + 1 AS bin,
+               pos, r,
+               2 * r - 1 - 2 * (SELECT n FROM nn) * pos AS dev
+        FROM rk)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(ROUND(CAST(SUM(2 * r - 1) AS DOUBLE)
+                / (2.0 * (SELECT n FROM nn) * COUNT(*)), 6) AS DOUBLE)
+               AS mean_pred,
+           CAST(ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+               AS pos_rate,
+           CAST(ROUND(CAST(SUM(CAST(dev AS DECIMAL(19,0))
+                                * CAST(dev AS DECIMAL(19,0))) AS DOUBLE)
+                / (4.0 * (SELECT n FROM nn) * (SELECT n FROM nn)
+                   * COUNT(*)), 6) AS DOUBLE) AS brier
+    FROM b GROUP BY bin
+    """,
+    doc="Reliability diagram + per-bin Brier score for the rank-"
+    "calibrated purchase propensity: predicted probability = mid-rank "
+    "percentile (2r-1)/(2n) over the (score, user_id)-totally-ordered "
+    "users, binned into 10 equal-population bins; each bin reports "
+    "mean predicted probability vs empirical positive rate (their "
+    "gap IS the calibration error) and the bin's Brier contribution. "
+    "Complements roc_auc_purchase_propensity: AUC measures ranking, "
+    "this measures probability calibration. Integer-exact core: the "
+    "squared deviation (2r-1-2n*pos)^2 sums in DECIMAL(38,0) (never "
+    "a float accumulation) and every displayed value is one final "
+    "division chain in identical operand order on both engines; bins "
+    "come from pure integer division, not ntile, so the remainder "
+    "policy is explicit. Scale: one row per user after the rollup; "
+    "the global ordered window is the same bounded-key caveat as AUC "
+    "(quantize the score grid to widen).",
+)
+def calibration_bins_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _user_scores(spark, sf_dir)
+    nn = u.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rk = u.crossJoin(F.broadcast(nn)).select(
+        "pos",
+        "n",
+        F.row_number()
+        .over(Window.orderBy("score", "user_id"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    b = rk.select(
+        "pos",
+        "r",
+        "n",
+        F.expr(f"CAST(((r - 1) * {CAL_BINS}) div n AS INT) + 1").alias(
+            "bin"
+        ),
+        (
+            2 * F.col("r") - 1 - 2 * F.col("n") * F.col("pos")
+        ).alias("dev"),
+    )
+    dev_d = F.col("dev").cast("decimal(19,0)")
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.round(
+            F.sum(2 * F.col("r") - 1).cast("double")
+            / (F.lit(2.0) * F.max("n") * F.count(F.lit(1))),
+            6,
+        )
+        .cast("double")
+        .alias("mean_pred"),
+        F.round(
+            F.sum("pos").cast("double") / F.count(F.lit(1)), 6
+        )
+        .cast("double")
+        .alias("pos_rate"),
+        F.round(
+            F.sum(dev_d * dev_d).cast("double")
+            / (
+                F.lit(4.0)
+                * F.max("n")
+                * F.max("n")
+                * F.count(F.lit(1))
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("brier"),
+    )

@@ -116,9 +116,7 @@ def pagerank(
 
 def _pr_oracle(iters: int = PR_ITERS, damping: float = DAMPING) -> str:
     """DuckDB twin: the identical unrolled iteration chain."""
-    d = damping
-    parts = [
-        f"""
+    graph_ctes = f"""
 WITH edges AS (
     SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -136,7 +134,29 @@ r0 AS (
            CAST(ROUND(1.0 / (SELECT n FROM nn), {_SCALE})
                 AS DECIMAL(28,{_SCALE})) AS rank
     FROM base)"""
-    ]
+    tail = f"""
+SELECT CASE WHEN node_id % 2 = 0 THEN 'c' || CAST(node_id // 2 AS BIGINT)
+            ELSE 's' || CAST((node_id - 1) // 2 AS BIGINT) END AS node_id,
+       CAST(rank AS DOUBLE) AS rank
+FROM r{iters}"""
+    return pr_unrolled_oracle(graph_ctes, tail, iters=iters, damping=damping)
+
+
+def pr_unrolled_oracle(
+    graph_ctes: str,
+    tail: str,
+    iters: int = PR_ITERS,
+    damping: float = DAMPING,
+) -> str:
+    """Generic unrolled-CTE PageRank oracle: caller supplies the
+    graph-construction CTEs (must define ``edges(src, dst)``,
+    ``base(node_id, outdeg)``, ``nn(n)`` and the ``r0`` initial-rank
+    CTE, opening with ``WITH``) and the final SELECT reading
+    ``r{{iters}}``; this emits the dm/cs/r iteration chain between
+    them — the exact decimal/round arithmetic the Spark ``pagerank``
+    helper performs, so any graph wired through both is bit-exact."""
+    d = damping
+    parts = [graph_ctes]
     for i in range(1, iters + 1):
         p = i - 1
         parts.append(f"""
@@ -158,11 +178,6 @@ r{i} AS (
                             CAST(0 AS DECIMAL(28,{_SCALE}))) AS DOUBLE),
                       {_SCALE}) AS DECIMAL(28,{_SCALE})) AS rank
     FROM base b LEFT JOIN cs{i} c ON b.node_id = c.dst)""")
-    tail = f"""
-SELECT CASE WHEN node_id % 2 = 0 THEN 'c' || CAST(node_id // 2 AS BIGINT)
-            ELSE 's' || CAST((node_id - 1) // 2 AS BIGINT) END AS node_id,
-       CAST(rank AS DOUBLE) AS rank
-FROM r{iters}"""
     return ",".join(parts) + tail
 
 

@@ -247,3 +247,190 @@ def ams_f2_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rel_err"),
     )
+
+
+# ---------------------------------------- rolling HLL sketch merge
+HLL_ROLL_DAYS = 7  #: trailing window width (weekly-active-users)
+
+#: 60-bit md5 integer over user_id (the WAU key)
+_HU_SQL = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+#: shared with streaming_hll_rolling_replay (reference_queries.py):
+#: the streaming sliding-window register merge must equal this batch
+#: range-join merge exactly.
+HLL_ROLL_ORACLE = f"""
+    WITH r AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               {_HU_SQL} & {HLL_M - 1} AS reg,
+               CASE WHEN {_HU_SQL} >> {HLL_B} = 0 THEN {HLL_SHIFT}
+                    ELSE {HLL_W} - length(bin({_HU_SQL} >> {HLL_B})) + 1
+               END AS rho
+        FROM events),
+    daily AS (
+        SELECT day, reg, MAX(rho) AS mj FROM r GROUP BY day, reg),
+    days AS (SELECT DISTINCT day FROM daily),
+    merged AS (
+        SELECT d.day, s.reg, MAX(s.mj) AS mj,
+               CAST(COUNT(DISTINCT s.day) AS BIGINT) AS nd
+        FROM days d JOIN daily s
+          ON s.day BETWEEN d.day - INTERVAL {HLL_ROLL_DAYS - 1} DAY
+                       AND d.day
+        GROUP BY d.day, s.reg),
+    s AS (
+        SELECT day, MAX(nd) AS n_days_merged,
+               CAST(SUM(1::BIGINT << ({HLL_SHIFT} - mj)) AS BIGINT)
+               + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_SHIFT})
+                   AS s_int,
+               CAST(COUNT(*) AS BIGINT) AS n_registers_hit
+        FROM merged GROUP BY day),
+    du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                  user_id
+           FROM events),
+    tru AS (
+        SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
+                          AS true_distinct
+        FROM days d JOIN du u
+          ON u.day BETWEEN d.day - INTERVAL {HLL_ROLL_DAYS - 1} DAY
+                       AND d.day
+        GROUP BY d.day)
+    SELECT s.day, s.n_days_merged, s.n_registers_hit,
+           CAST(ROUND({HLL_ALPHA!r}::DOUBLE * {float(HLL_M * HLL_M)}::DOUBLE
+                * ({float(1 << HLL_SHIFT)}::DOUBLE / s.s_int), 2) AS DOUBLE)
+               AS hll_estimate,
+           tru.true_distinct,
+           CAST(ROUND(({HLL_ALPHA!r}::DOUBLE * {float(HLL_M * HLL_M)}::DOUBLE
+                * ({float(1 << HLL_SHIFT)}::DOUBLE / s.s_int)
+                - tru.true_distinct)
+                / tru.true_distinct, 6) + 0.0 AS DOUBLE) AS rel_err
+    FROM s JOIN tru ON s.day = tru.day
+    """
+
+
+@register(
+    "hll_rolling_distinct_users",
+    oracle=HLL_ROLL_ORACLE,
+    doc="Rolling 7-day distinct users (weekly-active-users) from "
+    "MERGED daily HyperLogLog sketches — the canonical 100 TB "
+    "pre-aggregation pattern: the raw scan builds one 256-register "
+    "sketch PER DAY (map-side-combinable, constant state), and every "
+    "trailing-window question is then answered by register-wise MAX "
+    "over at most 7 day-sketches x 256 rows — the range join touches "
+    "the days x 256 sketch table, never the events again. Estimator "
+    "arithmetic is the integer-exact harmonic form of "
+    "hll_distinct_event_ids (same registers, same rho, zero float "
+    "accumulation), so both engines are bit-identical. The exact "
+    "rolling COUNT(DISTINCT) and rel_err columns are the AUDIT side "
+    "(computed from the bounded daily-distinct-users table here; at "
+    "production scale you emit only the estimate). Raw estimate, no "
+    "linear-counting branch: ln() is not bit-reproducible across "
+    "libm builds, and the small-range bias is engine-identical and "
+    "visible in rel_err.",
+)
+def hll_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = hll_user_daily_registers(ev)
+    return hll_rolling_from_daily(daily, ev)
+
+
+def hll_user_register_cols() -> tuple:
+    """(reg, rho) column expressions over ``user_id`` — the sketch
+    primitive shared by the batch query and the streaming replay."""
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = F.shiftright(h, HLL_B)
+    return (
+        h.bitwiseAND(HLL_M - 1).alias("reg"),
+        F.when(w == 0, F.lit(HLL_SHIFT))
+        .otherwise(F.lit(HLL_W) - F.length(F.bin(w)) + 1)
+        .alias("rho"),
+    )
+
+
+def hll_user_daily_registers(ev: DataFrame) -> DataFrame:
+    """Per-day 256-register HLL sketch of user_id: (day, reg, mj)."""
+    reg, rho = hll_user_register_cols()
+    r = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts").cast("timestamp"))).alias(
+            "day"
+        ),
+        reg,
+        rho,
+    )
+    return r.groupBy("day", "reg").agg(F.max("rho").alias("mj"))
+
+
+def hll_rolling_from_daily(daily: DataFrame, ev: DataFrame) -> DataFrame:
+    """Trailing-window register merge + estimate + exact-audit join,
+    given the (day, reg, mj) daily sketch table — the part of the
+    rolling-WAU plan that never touches raw events again."""
+    days = daily.select("day").distinct().select(F.col("day").alias("d"))
+    merged = (
+        F.broadcast(days)
+        .join(
+            daily,
+            daily["day"].between(
+                F.date_sub(F.col("d"), HLL_ROLL_DAYS - 1), F.col("d")
+            ),
+        )
+        .groupBy("d", "reg")
+        .agg(
+            F.max("mj").alias("mj"),
+            F.countDistinct("day").cast("long").alias("nd"),
+        )
+    )
+    s = merged.groupBy("d").agg(
+        F.max("nd").alias("n_days_merged"),
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - mj)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << HLL_SHIFT).cast("long")
+        )
+        .cast("long")
+        .alias("s_int"),
+        F.count(F.lit(1)).cast("long").alias("n_registers_hit"),
+    )
+    du = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts").cast("timestamp"))).alias(
+            "day"
+        ),
+        "user_id",
+    ).distinct()
+    tru = (
+        F.broadcast(days.select(F.col("d").alias("td")))
+        .join(
+            du,
+            du["day"].between(
+                F.date_sub(F.col("td"), HLL_ROLL_DAYS - 1), F.col("td")
+            ),
+        )
+        .groupBy("td")
+        .agg(F.countDistinct("user_id").cast("long").alias("true_distinct"))
+    )
+    est = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * (F.lit(float(1 << HLL_SHIFT)) / F.col("s_int"))
+    )
+    return (
+        s.join(tru, s["d"] == tru["td"])
+        .select(
+            F.col("d").alias("day"),
+            "n_days_merged",
+            "n_registers_hit",
+            F.round(est, 2).cast("double").alias("hll_estimate"),
+            "true_distinct",
+            (
+                F.round(
+                    (est - F.col("true_distinct")) / F.col("true_distinct"),
+                    6,
+                )
+                + F.lit(0.0)
+            )
+            .cast("double")
+            .alias("rel_err"),
+        )
+    )

@@ -721,3 +721,141 @@ def holt_forecast_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------- Theil-Sen robust trend
+def _ts_median_sql(arr: str) -> str:
+    """Exact median of a sorted DOUBLE list: the order statistic for
+    odd n, the fixed two-term IEEE mean for even n — NOT quantile_cont
+    (whose interpolation formula a + (b-a)*f is a different IEEE
+    chain than Spark's)."""
+    return f"""CASE WHEN len({arr}) % 2 = 1
+             THEN {arr}[(len({arr}) + 1) // 2]
+             ELSE ({arr}[len({arr}) // 2]
+                   + {arr}[len({arr}) // 2 + 1]) / 2.0 END"""
+
+
+def _ts_median_col(arr):
+    n = F.size(arr)
+    mid = ((n + 1) / 2).cast("int")
+    return F.when(
+        n % 2 == 1, F.element_at(arr, mid)
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2).cast("int") + 1)
+        )
+        / 2.0
+    )
+
+
+@register(
+    "theil_sen_trend_event_types",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS di,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS v
+        FROM events GROUP BY 1, 2),
+    p AS (
+        SELECT a.event_type,
+               (b.v - a.v) / CAST(b.di - a.di AS DOUBLE) + 0.0 AS slope
+        FROM d a JOIN d b
+          ON a.event_type = b.event_type AND b.di > a.di),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               list_sort(list(slope)) AS sl
+        FROM p GROUP BY event_type),
+    m AS (
+        SELECT event_type, n_pairs,
+               {_ts_median_sql('sl')} AS med
+        FROM s),
+    r AS (
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               MAX(m.n_pairs) AS n_pairs, MAX(m.med) AS med,
+               list_sort(list(d.v - m.med * d.di)) AS res
+        FROM d JOIN m ON d.event_type = m.event_type
+        GROUP BY d.event_type)
+    SELECT event_type, n_days, n_pairs,
+           ROUND(med, 6) + 0.0 AS slope_per_day,
+           ROUND({_ts_median_sql('res')}, 6) + 0.0 AS intercept
+    FROM r
+    """,
+    doc="Theil-Sen robust trend per event type over the daily revenue "
+    "series: slope = MEDIAN of all pairwise slopes (v_j - v_i) / "
+    "(day_j - day_i), intercept = median of (v_i - slope * day_i) — "
+    "the 29.3%%-breakdown robust alternative to the OLS trend (one "
+    "corrupted ingest day cannot move it). Daily inputs are the "
+    "repo's DECIMAL-exact rounded sums; every slope/residual is one "
+    "fixed IEEE expression; the median is an ORDER STATISTIC over an "
+    "identically sorted double list on both engines (two-term mean "
+    "for even n; + 0.0 normalizes any -0.0 before the sort so the "
+    "repr-sensitive driver hash can't diverge). Scale: the pairwise "
+    "expansion is O(days^2) per type — bounded by the CALENDAR, not "
+    "the data (the heavy scan is the map-side-combinable daily "
+    "rollup); the per-type fold state is one bounded slope list.",
+)
+def theil_sen_trend_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts").cast("timestamp"))),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("di"),
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("v")
+    )
+    d = tracked_persist(d)
+    a = d.select("event_type", F.col("di").alias("i"), F.col("v").alias("vi"))
+    b = d.select(
+        F.col("event_type").alias("et2"),
+        F.col("di").alias("j"),
+        F.col("v").alias("vj"),
+    )
+    p = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("j") > F.col("i"))
+    ).select(
+        "event_type",
+        (
+            (F.col("vj") - F.col("vi"))
+            / (F.col("j") - F.col("i")).cast("double")
+            + F.lit(0.0)
+        ).alias("slope"),
+    )
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sort_array(F.collect_list("slope")).alias("sl"),
+    )
+    m = s.select(
+        "event_type", "n_pairs", _ts_median_col(F.col("sl")).alias("med")
+    )
+    r = (
+        d.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("n_pairs").alias("n_pairs"),
+            F.max("med").alias("med"),
+            F.sort_array(
+                F.collect_list(F.col("v") - F.col("med") * F.col("di"))
+            ).alias("res"),
+        )
+    )
+    return r.select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        (F.round(F.col("med"), 6) + F.lit(0.0)).alias("slope_per_day"),
+        (F.round(_ts_median_col(F.col("res")), 6) + F.lit(0.0)).alias(
+            "intercept"
+        ),
+    )

@@ -415,3 +415,108 @@ def collocation_lift_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "a", "b")
         .limit(COLL_TOP)
     )
+
+
+# ------------------------------------------- TextRank keyword extraction
+TEXTRANK_TOP = 15  #: strongest keywords reported
+
+_TR_GRAPH_CTES = """
+WITH ws AS (
+    SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x != '') AS ws
+    FROM documents),
+adj AS (
+    SELECT ws[i] AS a, ws[i+1] AS b
+    FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+    WHERE ws[i] != ws[i+1]),
+edges AS (
+    SELECT DISTINCT a AS src, b AS dst FROM adj
+    UNION
+    SELECT DISTINCT b, a FROM adj),
+nodes AS (SELECT DISTINCT unnest(ws) AS node_id FROM ws),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+base AS (
+    SELECT n.node_id, o.outdeg
+    FROM nodes n LEFT JOIN outdeg o ON n.node_id = o.src),
+nn AS (SELECT count(*) AS n FROM base),
+r0 AS (
+    SELECT node_id, outdeg,
+           CAST(ROUND(1.0 / (SELECT n FROM nn), 12)
+                AS DECIMAL(28,12)) AS rank
+    FROM base)"""
+
+
+def _tr_oracle() -> str:
+    from kinesis_analytics_demo_spark.operators.graph import (
+        PR_ITERS,
+        pr_unrolled_oracle,
+    )
+
+    tail = f"""
+SELECT node_id AS word, CAST(rank AS DOUBLE) AS rank
+FROM r{PR_ITERS}
+ORDER BY rank DESC, node_id
+LIMIT {TEXTRANK_TOP}"""
+    return pr_unrolled_oracle(_TR_GRAPH_CTES, tail)
+
+
+@register(
+    "textrank_keywords",
+    oracle=_tr_oracle(),
+    doc="TextRank keyword extraction (Mihalcea & Tarau 2004): "
+    "PageRank over the corpus-wide word co-occurrence graph — nodes "
+    "are distinct lowercased words, undirected edges link ADJACENT "
+    "word pairs (window 2, both directions, self-loops dropped) — "
+    "top-15 words by rank. Unsupervised keyword signal for corpus "
+    "labeling/routing without a model. Reuses the repo's "
+    "fixed-iteration decimal PageRank (operators/graph.py pagerank: "
+    "5 iterations, damping 0.85, dangling-mass redistribution, "
+    "12-digit decimal state) against the SAME unrolled-CTE oracle "
+    "chain via pr_unrolled_oracle — bit-exact on both engines. "
+    "Scale: the edge build is one in-document transform + a distinct "
+    "over (word, word) pairs (bounded by vocabulary^2 observed "
+    "adjacencies, NOT corpus size); per-iteration state is one row "
+    "per vocabulary word, broadcast into the persisted edge list — "
+    "at 100 TB the scan-scale work is the single tokenize pass.",
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = tracked_persist(
+        docs.select(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+            ).alias("ws")
+        )
+    )
+    pairs = (
+        ws.select(
+            F.explode(
+                F.when(
+                    F.size("ws") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - 1),
+                        lambda i: F.struct(
+                            F.element_at("ws", i).alias("a"),
+                            F.element_at("ws", i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<a:string,b:string>>")
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    nodes = ws.select(F.explode("ws").alias("node_id")).distinct()
+    ranks = pagerank(nodes, edges)
+    return (
+        ranks.orderBy(F.desc("rank"), "node_id")
+        .limit(TEXTRANK_TOP)
+        .select(F.col("node_id").alias("word"), "rank")
+    )

@@ -1272,3 +1272,51 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)
+
+
+def _hll_roll_oracle() -> str:
+    from kinesis_analytics_demo_spark.operators.sketches2 import (
+        HLL_ROLL_ORACLE,
+    )
+
+    return HLL_ROLL_ORACLE
+
+
+@register(
+    "streaming_hll_rolling_replay",
+    oracle=_hll_roll_oracle(),
+    doc="The rolling-WAU HLL pipeline with its DAILY SKETCH stage run "
+    "as a true streaming job: the events replay builds the per-day "
+    "256-register table as a tumbling-window streaming aggregate "
+    "(groupBy(window(ts, '1 day'), reg).max(rho) — constant state "
+    "per day, no pane explosion), complete mode into a memory sink; "
+    "the trailing-window register merge + estimate then runs on the "
+    "sink table via the SAME hll_rolling_from_daily finalizer as the "
+    "batch query. Register max is order- and batch-boundary-free, so "
+    "the result equals hll_rolling_distinct_users exactly — this IS "
+    "the production shape at 100 TB: stream daily sketches "
+    "continuously, answer any trailing window from days x 256 rows.",
+)
+def streaming_hll_rolling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.operators.sketches2 import (
+        hll_rolling_from_daily,
+        hll_user_register_cols,
+    )
+    from kinesis_analytics_demo_spark.streaming.windows import (
+        ensure_event_time,
+    )
+
+    def build(stream, name):
+        s = ensure_event_time(stream, "ts")
+        reg, rho = hll_user_register_cols()
+        r = s.select(F.window("ts", "1 day").alias("win"), reg, rho)
+        return r.groupBy("win", "reg").agg(F.max("rho").alias("mj"))
+
+    sink = _replay_events_stream(
+        spark, sf_dir, "hllroll", build, output_mode="complete"
+    )
+    daily = sink.select(
+        F.to_date(F.col("win.start")).alias("day"), "reg", "mj"
+    )
+    ev = tbl(spark, sf_dir, "events")
+    return hll_rolling_from_daily(daily, ev)

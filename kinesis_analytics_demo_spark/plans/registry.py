@@ -183,7 +183,14 @@ _DRIVER_PRIORITY: list[str] = [
 #: driver-checked covers the whole registry, and that a prior
 #: ``no_oracle`` row does not count as coverage for a query that now
 #: has an oracle).
-_DRIVER_PRIORITY_NEXT: list[str] = []
+_DRIVER_PRIORITY_NEXT: list[str] = [
+    # -- round-6 additions
+    "textrank_keywords",
+    "hll_rolling_distinct_users",
+    "streaming_hll_rolling_replay",
+    "theil_sen_trend_event_types",
+    "calibration_bins_propensity",
+]
 
 
 def all_queries() -> dict[str, QuerySpec]:

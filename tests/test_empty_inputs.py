@@ -77,6 +77,11 @@ SAMPLE = [
     "ams_f2_user_events",
     "feature_drift_halves",
     "retrieval_rrf_fusion",
+    # round-6 families
+    "textrank_keywords",
+    "hll_rolling_distinct_users",
+    "theil_sen_trend_event_types",
+    "calibration_bins_propensity",
 ]
 
 

@@ -142,6 +142,12 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "ams_f2_user_events",  # 1-row true-F2 broadcast
         "feature_drift_halves",  # 1-row median-epoch broadcast
         "retrieval_rrf_fusion",  # 1-row (n_docs, avgdl) stats broadcast
+        # round-6 additions, same intended shapes
+        "textrank_keywords",  # 1-row dangling-mass broadcast per iter
+        # calendar-bounded day-table broadcast (<=O(days) rows) range-
+        # joined into the days x 256 sketch table — never raw events
+        "hll_rolling_distinct_users",
+        "calibration_bins_propensity",  # 1-row user-count broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():
