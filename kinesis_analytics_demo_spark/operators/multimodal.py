@@ -582,3 +582,119 @@ def multimodal_audio_fingerprint_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= AF_MIN_SHARED)
     )
+
+
+# ------------------------------------- keyframe selection per shot
+#: encode (max luma, then smallest frame index) as one orderable
+#: integer: (LUMA_DOMAIN - luma) * KF_ENC + frame_idx — MIN picks the
+#: brightest frame, ties to the earliest. LUMA_DOMAIN covers the full
+#: unicode code-point range of the fake decode (production: 0-255).
+KF_LUMA_DOMAIN = 1_114_112
+KF_ENC = 10_000_000
+
+
+@register(
+    "multimodal_keyframe_select",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               [unicode(substr(text, i, 1))
+                for i in generate_series(1, least(length(text), {DECODE_STRIP}))]
+                   AS pixels
+        FROM documents),
+    fr AS (
+        SELECT doc_id,
+               [pixels[i] for i in
+                generate_series(1, len(pixels), {FRAME_STRIDE})] AS frames
+        FROM px),
+    cuts AS (
+        SELECT doc_id, frames,
+               [i for i in generate_series(2, len(frames))
+                if abs(frames[i] - frames[i - 1]) > {SCENE_DELTA_T}] AS c
+        FROM fr WHERE len(frames) > 0),
+    fx AS (
+        SELECT doc_id, i AS fi, frames[i] AS luma,
+               len(list_filter(c, x -> x <= i)) + 1 AS shot
+        FROM cuts, LATERAL (
+            SELECT unnest(generate_series(1, len(frames))) AS i))
+    SELECT doc_id,
+           CAST(shot AS INT) AS shot_id,
+           CAST(MIN(fi) AS INT) AS start_frame,
+           CAST(MAX(fi) AS INT) AS end_frame,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(MIN((CAST({KF_LUMA_DOMAIN} AS BIGINT) - luma)
+                    * {KF_ENC} + fi) % {KF_ENC}
+                AS INT) AS keyframe_idx,
+           CAST({KF_LUMA_DOMAIN}
+                - MIN((CAST({KF_LUMA_DOMAIN} AS BIGINT) - luma)
+                      * {KF_ENC} + fi) // {KF_ENC}
+                AS INT) AS keyframe_luma
+    FROM fx GROUP BY doc_id, shot
+    """,
+    doc="Keyframe selection on the multimodal/video path: frames "
+    "(decode pipeline's deterministic fake; production = real frame "
+    "luma) are segmented into SHOTS at the scene-change cuts "
+    "(|delta| > threshold, same rule as multimodal_scene_changes), "
+    "and each shot contributes its brightest frame (ties to the "
+    "earliest) as the keyframe — the representative-frame sampling "
+    "step a video training pipeline runs before captioning/embedding "
+    "so it stores one frame per shot, not FPS x duration. The "
+    "argmax-with-tiebreak is the single-integer encode "
+    "(DOMAIN - luma) * 10^7 + idx under MIN — pure integer "
+    "arithmetic, engine-exact; shot assignment is an in-document "
+    "prefix count over the cut list. Post-decode everything is "
+    "array expressions + one grouped aggregate; at 100 TB the scan "
+    "cost IS the decode kernel, and output is one row per shot.",
+)
+def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = decode_pipeline(_t(spark, sf_dir, "documents"))
+    cuts = F.filter(
+        F.sequence(F.lit(2), F.size("frames")),
+        lambda i: F.abs(
+            F.element_at(F.col("frames"), i)
+            - F.element_at(F.col("frames"), i - 1)
+        )
+        > SCENE_DELTA_T,
+    )
+    c = decoded.filter(F.size("frames") > 0).select(
+        "doc_id",
+        "frames",
+        F.when(F.size("frames") >= 2, cuts)
+        .otherwise(F.array().cast("array<int>"))
+        .alias("c"),
+    )
+    fx = c.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("frames")),
+                lambda i: F.struct(
+                    i.alias("fi"),
+                    F.element_at(F.col("frames"), i).alias("luma"),
+                    (
+                        F.size(F.filter(F.col("c"), lambda x: x <= i)) + 1
+                    ).alias("shot"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.fi", "s.luma", "s.shot")
+    enc = (F.lit(KF_LUMA_DOMAIN) - F.col("luma")).cast("bigint") * F.lit(
+        KF_ENC
+    ) + F.col("fi")
+    return fx.groupBy("doc_id", "shot").agg(
+        F.min("fi").cast("int").alias("start_frame"),
+        F.max("fi").cast("int").alias("end_frame"),
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        (F.min(enc) % KF_ENC).cast("int").alias("keyframe_idx"),
+        (F.lit(KF_LUMA_DOMAIN) - F.floor(F.min(enc) / KF_ENC))
+        .cast("int")
+        .alias("keyframe_luma"),
+    ).select(
+        "doc_id",
+        F.col("shot").cast("int").alias("shot_id"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "keyframe_idx",
+        "keyframe_luma",
+    )

@@ -599,3 +599,212 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fused_rank",
         )
     )
+
+
+# -------------------------------- pseudo-relevance feedback (PRF)
+PRF_FB_DOCS = 10  #: feedback depth (top-k of the first BM25 pass)
+PRF_EXP_TERMS = 5  #: expansion terms mined from the feedback docs
+PRF_EXP_W = 0.5  #: Rocchio-style expansion term weight
+
+
+def _prf_oracle() -> str:
+    from kinesis_analytics_demo_spark.operators.text import _SQL_STOPLIST
+
+    qterms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    qvals = ", ".join(f"('{t}', 1.0)" for t in BM25_QUERY_TERMS)
+    # pass-1 pivoted fixed-order total (the bm25_search form)
+    total = ""
+    pivots = []
+    for i, t in enumerate(BM25_QUERY_TERMS):
+        pivots.append(f"max(CASE WHEN term = '{t}' THEN score END) AS s{i}")
+        piece = f"COALESCE(s{i}, 0.0)"
+        total = piece if i == 0 else f"({total} + {piece})"
+    bm25 = (
+        f"(ln(1.0 + ((g.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)))"
+        f" * ((tfx.tf * {BM25_K1 + 1.0})"
+        f"    / (tfx.tf + ({BM25_K1} * ((1.0 - {BM25_B})"
+        f"       + ({BM25_B} * (dl.dl / g.avgdl)))))))"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    g AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+                  / (SELECT count(*) FROM dl)) AS avgdl),
+    tfq AS (SELECT doc_id, w AS term, count(*) AS tf FROM t
+            WHERE w IN ({qterms_sql}) GROUP BY doc_id, w),
+    dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+    s1 AS (SELECT tfq.doc_id, tfq.term,
+                  {bm25.replace('dfx', 'dfq2').replace('tfx', 'tfq2')
+                       .replace('dfq2', 'dfq').replace('tfq2', 'tfq')} AS score
+           FROM tfq JOIN dl ON tfq.doc_id = dl.doc_id
+           CROSS JOIN g JOIN dfq ON tfq.term = dfq.term),
+    p1 AS (SELECT doc_id, {', '.join(pivots)} FROM s1 GROUP BY doc_id),
+    fb AS (SELECT doc_id FROM (SELECT doc_id, {total} AS bm25 FROM p1)
+           ORDER BY bm25 DESC, doc_id LIMIT {PRF_FB_DOCS}),
+    exp AS (SELECT w AS term FROM t JOIN fb USING (doc_id)
+            WHERE w NOT IN ({qterms_sql})
+              AND NOT list_contains({_SQL_STOPLIST}, w)
+            GROUP BY w ORDER BY count(*) DESC, w LIMIT {PRF_EXP_TERMS}),
+    terms AS (SELECT * FROM (VALUES {qvals}) AS q(term, wt)
+              UNION ALL SELECT term, {PRF_EXP_W} FROM exp),
+    tfx AS (SELECT t.doc_id, t.w AS term, count(*) AS tf FROM t
+            JOIN terms ON t.w = terms.term GROUP BY t.doc_id, t.w),
+    dfx AS (SELECT term, count(*) AS df FROM tfx GROUP BY term),
+    s2 AS (SELECT tfx.doc_id, tfx.term, terms.wt * {bm25} AS ws
+           FROM tfx JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN g JOIN dfx ON tfx.term = dfx.term
+           JOIN terms ON tfx.term = terms.term),
+    agg AS (SELECT doc_id,
+                   list_reduce(
+                       [0.0] || [x.ws for x in
+                                 list_sort(list({{'t': term, 'ws': ws}}))],
+                       (a, b) -> a + b) AS total
+            FROM s2 GROUP BY doc_id),
+    ranked AS (SELECT doc_id, total FROM agg
+               ORDER BY total DESC, doc_id LIMIT {BM25_TOP_K})
+    SELECT doc_id, ROUND(total, 6) AS prf_score,
+           row_number() OVER (ORDER BY total DESC, doc_id) AS doc_rank
+    FROM ranked
+    """
+
+
+@register(
+    "retrieval_prf_expansion",
+    oracle=_prf_oracle(),
+    doc=f"Pseudo-relevance feedback query expansion (Rocchio 1971 "
+    f"lineage): pass 1 runs the fixed BM25 query {BM25_QUERY_TERMS}, "
+    f"takes the top {PRF_FB_DOCS} docs, mines their top "
+    f"{PRF_EXP_TERMS} non-query non-stopword terms by feedback-set "
+    f"term frequency (ties to term asc), and pass 2 re-scores the "
+    f"corpus over the expanded query with expansion weight "
+    f"{PRF_EXP_W} — recall-oriented retrieval without a model, the "
+    "query-side complement to RRF's ranker fusion. Determinism: the "
+    "pass-2 term set is DATA-DEPENDENT, so the per-doc score sum "
+    "cannot be a fixed pivot — it folds the per-term scores in "
+    "term-ASC order via a scalar-state left fold (the Holt "
+    "list-state discipline: scalar DOUBLE accumulators fold "
+    "correctly on both engines). Scale: both passes filter the "
+    "exploded token stream to <= 9 terms BEFORE aggregating (a few "
+    "posting lists, never the corpus); stats/df/term tables are all "
+    "broadcast-sized.",
+)
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+    from kinesis_analytics_demo_spark.operators.text import EN_STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tracked_persist(_doc_tokens(docs))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    g = dl.agg(
+        F.count(F.lit(1)).alias("n_len_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ).crossJoin(
+        F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    ).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_len_docs")).alias(
+            "avgdl"
+        ),
+    )
+
+    def bm25_score():
+        idf = F.log(
+            F.lit(1.0)
+            + (
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+        )
+        norm = F.col("tf") + (
+            F.lit(BM25_K1)
+            * (
+                (F.lit(1.0) - F.lit(BM25_B))
+                + (F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+        return idf * ((F.col("tf") * F.lit(BM25_K1 + 1.0)) / norm)
+
+    # pass 1: fixed query, pivoted fixed-order sum (bm25_search form)
+    tfq = (
+        toks.filter(F.col("w").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    s1 = (
+        tfq.join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .join(F.broadcast(dfq), "term")
+        .select("doc_id", "term", bm25_score().alias("score"))
+    )
+    pivots = [
+        F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"s{i}")
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    p1 = s1.groupBy("doc_id").agg(*pivots)
+    total1 = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        piece = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+        total1 = piece if total1 is None else (total1 + piece)
+    fb = (
+        p1.select("doc_id", total1.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(PRF_FB_DOCS)
+        .select("doc_id")
+    )
+
+    # expansion terms from the feedback docs
+    stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    exp = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .filter(
+            ~F.col("w").isin(*BM25_QUERY_TERMS)
+            & ~F.array_contains(stoplist, F.col("w"))
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(PRF_EXP_TERMS)
+        .select(F.col("w").alias("term"), F.lit(PRF_EXP_W).alias("wt"))
+    )
+    qt = spark.createDataFrame(
+        [(t, 1.0) for t in BM25_QUERY_TERMS], ["term", "wt"]
+    )
+    terms = qt.unionByName(exp)
+
+    # pass 2: expanded term set, term-asc scalar fold
+    tfx = (
+        toks.join(F.broadcast(terms.select("term")), toks["w"] == F.col("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = tfx.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    s2 = (
+        tfx.join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .join(F.broadcast(dfx), "term")
+        .join(F.broadcast(terms), "term")
+        .select(
+            "doc_id",
+            "term",
+            (F.col("wt") * bm25_score()).alias("ws"),
+        )
+    )
+    agg = s2.groupBy("doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("term", "ws"))),
+                lambda x: x["ws"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("total")
+    )
+    ranked = agg.orderBy(F.desc("total"), F.asc("doc_id")).limit(BM25_TOP_K)
+    w = Window.orderBy(F.desc("total"), F.asc("doc_id"))
+    return ranked.select(
+        "doc_id",
+        F.round("total", 6).alias("prf_score"),
+        F.row_number().over(w).alias("doc_rank"),
+    )

@@ -63,24 +63,45 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 
 
+def sql_lang_pred(toks: str = "toks") -> str:
+    """DuckDB fragment: the heuristic language prediction over a
+    token-list column — the ONE definition shared by text_lang_id and
+    langid_confusion_audit (the sql_quality_score no-desync rule)."""
+    dens = (
+        f"len(list_filter({toks}, w -> list_contains({_SQL_STOPLIST}, w)))"
+        f" / len({toks})"
+    )
+    return (
+        f"CASE WHEN {dens} >= {LANG_ID_THRESHOLD} THEN 'en'"
+        f" ELSE 'unknown' END"
+    )
+
+
+def lang_pred_col(toks):
+    """Spark twin of :func:`sql_lang_pred`."""
+    stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.array_contains(stoplist, w))
+    ).cast("bigint")
+    score = n_stop / F.size(toks).cast("bigint")
+    return F.when(score >= LANG_ID_THRESHOLD, "en").otherwise("unknown")
+
+
 @register(
     "text_lang_id",
     oracle=f"""
-    WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents),
-    s AS (SELECT doc_id, lang,
-                 len(list_filter(toks, w -> list_contains({_SQL_STOPLIST}, w))) AS n_stop,
-                 len(toks) AS n
-          FROM t)
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents)
     SELECT doc_id,
-           n_stop / n AS en_score,
-           CASE WHEN n_stop / n >= {LANG_ID_THRESHOLD} THEN 'en' ELSE 'unknown' END
-               AS predicted_lang,
+           len(list_filter(toks, w -> list_contains({_SQL_STOPLIST}, w)))
+               / len(toks) AS en_score,
+           {sql_lang_pred('toks')} AS predicted_lang,
            lang AS metadata_lang
-    FROM s
+    FROM t
     """,
     doc="Language-ID heuristic: English function-word density over "
     "whitespace tokens (n-gram-profile style), compared against the "
-    "metadata lang column.",
+    "metadata lang column. Prediction fragment shared with "
+    "langid_confusion_audit via sql_lang_pred/lang_pred_col.",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -94,9 +115,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         score.alias("en_score"),
-        F.when(score >= LANG_ID_THRESHOLD, "en").otherwise("unknown").alias(
-            "predicted_lang"
-        ),
+        lang_pred_col(toks).alias("predicted_lang"),
         F.col("lang").alias("metadata_lang"),
     )
 

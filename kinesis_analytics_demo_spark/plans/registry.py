@@ -88,6 +88,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.text  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text3  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.text4  # noqa: F401
     import kinesis_analytics_demo_spark.functions.udfs  # noqa: F401
     import kinesis_analytics_demo_spark.operators.training  # noqa: F401
     import kinesis_analytics_demo_spark.operators.tsearch  # noqa: F401
@@ -190,6 +191,11 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "streaming_hll_rolling_replay",
     "theil_sen_trend_event_types",
     "calibration_bins_propensity",
+    "winnowing_fingerprint_matches",
+    "ngram_novelty_decay",
+    "langid_confusion_audit",
+    "multimodal_keyframe_select",
+    "retrieval_prf_expansion",
 ]
 
 

@@ -82,6 +82,11 @@ SAMPLE = [
     "hll_rolling_distinct_users",
     "theil_sen_trend_event_types",
     "calibration_bins_propensity",
+    "winnowing_fingerprint_matches",
+    "ngram_novelty_decay",
+    "langid_confusion_audit",
+    "multimodal_keyframe_select",
+    "retrieval_prf_expansion",
 ]
 
 

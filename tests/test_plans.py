@@ -148,6 +148,8 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         # joined into the days x 256 sketch table — never raw events
         "hll_rolling_distinct_users",
         "calibration_bins_propensity",  # 1-row user-count broadcast
+        "winnowing_fingerprint_matches",  # 1-row corpus-size (df-cap) bc
+        "retrieval_prf_expansion",  # 1-row (n_docs, avgdl) stats bc x2
     }
     offenders = {}
     for name, spec in all_queries().items():
