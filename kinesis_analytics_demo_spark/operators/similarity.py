@@ -373,17 +373,12 @@ _KM_COS_ER = V.sql_cosine("e.embedding", "r.cv", DIM)
 _KM_COS_EC = V.sql_cosine("e.embedding", "c.cv", DIM)
 _KM_COS_EQ = V.sql_cosine("e.embedding", "q.qv", DIM)
 
-@register(
-    "similarity_ivf_kmeans",
-    # Lloyd's algorithm IS SQL-expressible: a recursive CTE carries
-    # the k centroid rows per iteration — assignment is a struct-max
-    # argmax over the working table, the update is the same
-    # decimal-sum -> one-IEEE-division -> ROUND(9) -> REAL chain as
-    # the Spark side (an earlier decimal-DIVISION form was NOT
-    # reproducible: Spark's decimal(38,22) quotient double-rounds).
-    # Determinism + recall-vs-exact stay pinned in
-    # tests/test_similarity_kmeans.py.
-    oracle=f"""
+#: the trained-kmeans CTE chain (recursive Lloyd iterations ->
+#: final centroids -> ranked assignment -> coarse lists), shared
+#: VERBATIM between the similarity_ivf_kmeans oracle and the
+#: ivf_kmeans_balance_audit oracle — one training definition, two
+#: readouts.
+_KM_TRAIN_SQL = f"""
     WITH RECURSIVE rec AS (
         SELECT 0 AS it, vec_id AS cid, embedding AS cv
         FROM (SELECT vec_id, embedding FROM embeddings
@@ -417,7 +412,20 @@ _KM_COS_EQ = V.sql_cosine("e.embedding", "q.qv", DIM)
                    ORDER BY {_KM_COS_EC} DESC, c.cid) AS crank
         FROM embeddings e, cent c),
     lists AS (
-        SELECT vec_id, embedding, cid FROM assign WHERE crank = 1),
+        SELECT vec_id, embedding, cid FROM assign WHERE crank = 1)"""
+
+
+@register(
+    "similarity_ivf_kmeans",
+    # Lloyd's algorithm IS SQL-expressible: a recursive CTE carries
+    # the k centroid rows per iteration — assignment is a struct-max
+    # argmax over the working table, the update is the same
+    # decimal-sum -> one-IEEE-division -> ROUND(9) -> REAL chain as
+    # the Spark side (an earlier decimal-DIVISION form was NOT
+    # reproducible: Spark's decimal(38,22) quotient double-rounds).
+    # Determinism + recall-vs-exact stay pinned in
+    # tests/test_similarity_kmeans.py.
+    oracle=f"""{_KM_TRAIN_SQL},
     qprobe AS (
         SELECT vec_id AS query_id, embedding AS qv, cid
         FROM assign WHERE vec_id < {N_QUERIES} AND crank <= {KMEANS_NPROBE}),
@@ -1128,4 +1136,69 @@ def similarity_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.neighbor_id").alias("neighbor_id"),
         F.round(F.col("s.sim"), 6).cast("double").alias("relevance"),
         F.round(F.col("s.mmr"), 6).cast("double").alias("mmr_score"),
+    )
+
+
+# ------------------------------------- IVF list-balance audit
+@register(
+    "ivf_kmeans_balance_audit",
+    oracle=f"""{_KM_TRAIN_SQL},
+    sz AS (SELECT cid, count(*) AS n FROM lists GROUP BY cid)
+    SELECT CAST(count(*) AS BIGINT) AS n_lists,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(MIN(n) AS BIGINT) AS min_list,
+           CAST(MAX(n) AS BIGINT) AS max_list,
+           CAST(ROUND(CAST(count(*) * SUM(CAST(n AS DECIMAL(19,0))
+                                          * CAST(n AS DECIMAL(19,0)))
+                           AS DOUBLE)
+                / (CAST(SUM(n) AS DOUBLE) * SUM(n)), 6) AS DOUBLE)
+               AS imbalance_factor
+    FROM sz
+    """,
+    doc="IVF coarse-list balance audit over the TRAINED k-means "
+    "quantizer (same Lloyd training CTE as similarity_ivf_kmeans, "
+    "shared verbatim): list-size min/max and the imbalance factor "
+    "phi = K * sum(sz^2) / N^2 (Jegou et al.'s probe-cost variance "
+    "measure — phi = 1 is perfectly balanced; expected probe cost "
+    "scales with phi). THE operational readout before shipping an "
+    "IVF index at 100 TB: a hot list turns nprobe into a scan. "
+    "Integer-exact: sz^2 sums in DECIMAL(19,0) products, one final "
+    "division chain; assignment/training reuse the broadcast-"
+    "centroid argmax (one corpus scan per Lloyd iteration, lists "
+    "never shuffle raw vectors for the audit itself).",
+)
+def ivf_kmeans_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb)
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("csim"), F.col("cid")
+                )
+            ),
+        )
+        .filter(F.col("crank") == 1)
+    )
+    sz = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    nd = F.col("n").cast("decimal(19,0)")
+    return sz.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.min("n").cast("bigint").alias("min_list"),
+        F.max("n").cast("bigint").alias("max_list"),
+        F.round(
+            (F.count(F.lit(1)) * F.sum(nd * nd)).cast("double")
+            / (F.sum("n").cast("double") * F.sum("n")),
+            6,
+        )
+        .cast("double")
+        .alias("imbalance_factor"),
     )

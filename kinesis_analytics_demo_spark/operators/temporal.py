@@ -859,3 +859,371 @@ def theil_sen_trend_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# ------------------------------------------- autocorrelation function
+ACF_MAX_LAG = 7  #: report lags 1..7 (a weekly cycle on daily data)
+
+
+@register(
+    "acf_event_type_daily",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS v
+        FROM events GROUP BY 1, 2),
+    series AS (
+        SELECT event_type,
+               [x.v for x in list({{'day': day, 'v': v}} ORDER BY day)] AS vs
+        FROM d GROUP BY event_type),
+    st AS (
+        SELECT event_type, vs, len(vs) AS n,
+               list_reduce([0.0] || vs, (a, b) -> a + b) / len(vs) AS m
+        FROM series WHERE len(vs) >= {ACF_MAX_LAG + 1}),
+    dn AS (
+        SELECT event_type, vs, n, m,
+               list_reduce([0.0] || [(x - m) * (x - m) for x in vs],
+                           (a, b) -> a + b) AS den
+        FROM st)
+    SELECT event_type,
+           CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           CASE WHEN den = 0 THEN NULL
+                ELSE ROUND(list_reduce(
+                         [0.0] || [(vs[i] - m) * (vs[i + lag] - m)
+                                   for i in generate_series(1, n - lag)],
+                         (a, b) -> a + b) / den, 6) + 0.0
+           END AS acf
+    FROM dn, LATERAL (SELECT unnest(generate_series(1, {ACF_MAX_LAG}))
+                      AS lag)
+    """,
+    doc=f"Sample autocorrelation of each event type's daily revenue "
+    f"series at lags 1..{ACF_MAX_LAG}: acf(L) = sum_i (v_i - m)"
+    "(v_i+L - m) / sum_i (v_i - m)^2 over the day-ordered series — "
+    "the seasonality detector (a weekly cycle shows as an acf(7) "
+    "peak) that decides whether anomaly baselines need day-of-week "
+    "stratification (anomaly_seasonal_baseline) and whether Holt "
+    "needs the seasonal term. Determinism: daily inputs are "
+    "DECIMAL-exact rounded sums; the mean, denominator, and every "
+    "lag's numerator are FIXED-ORDER left folds over the same "
+    "day-sorted array on both engines (the Holt discipline) — one "
+    "IEEE division per lag, NULL on a constant series. Scale: the "
+    "heavy scan is the map-side-combinable daily rollup; per-type "
+    "state is one bounded array (days), lags expand O(1) rows each.",
+)
+def acf_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("v")
+    )
+    series = d.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "v"))),
+            lambda x: x["v"],
+        ).alias("vs")
+    )
+    vs = F.col("vs")
+    n = F.size(vs)
+    m = F.aggregate(vs, F.lit(0.0), lambda a, x: a + x) / n
+    den = F.aggregate(
+        F.transform(vs, lambda x: (x - F.col("m")) * (x - F.col("m"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    st = (
+        series.filter(n >= ACF_MAX_LAG + 1)
+        .withColumn("n", n)
+        .withColumn("m", m)
+        .withColumn("den", den)
+    )
+
+    def _acf(lag):
+        num = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - lag),
+                lambda i: (F.element_at(vs, i) - F.col("m"))
+                * (F.element_at(vs, i + lag) - F.col("m")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.when(
+            F.col("den") != 0.0, F.round(num / F.col("den"), 6) + F.lit(0.0)
+        )
+
+    lags = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(ACF_MAX_LAG)),
+            lambda L: F.struct(
+                L.cast("int").alias("lag"), _acf(L).alias("acf")
+            ),
+        )
+    )
+    return st.select(
+        "event_type", lags.alias("s"), F.col("n").cast("bigint").alias("n_days")
+    ).select("event_type", "s.lag", "n_days", "s.acf")
+
+
+# --------------------------------------------- Mann-Kendall trend test
+@register(
+    "mann_kendall_event_types",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS di,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS v
+        FROM events GROUP BY 1, 2),
+    s AS (
+        SELECT a.event_type,
+               CAST(SUM(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT)
+                   AS s_stat
+        FROM d a JOIN d b
+          ON a.event_type = b.event_type AND b.di > a.di
+        GROUP BY a.event_type),
+    n AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM d GROUP BY event_type),
+    ties AS (
+        SELECT event_type,
+               CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5))
+                             FILTER (t > 1), 0) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+              FROM d GROUP BY event_type, v)
+        GROUP BY event_type)
+    SELECT n.event_type, n.n_days, s.s_stat,
+           ROUND((CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5)
+                  - tie_term) / 18.0, 6) + 0.0 AS var_s,
+           CASE WHEN (CAST(n_days AS DOUBLE) * (n_days - 1)
+                      * (2 * n_days + 5) - tie_term) = 0 THEN NULL
+                WHEN s_stat > 0 THEN ROUND((s_stat - 1) / sqrt(
+                    (CAST(n_days AS DOUBLE) * (n_days - 1)
+                     * (2 * n_days + 5) - tie_term) / 18.0), 6) + 0.0
+                WHEN s_stat < 0 THEN ROUND((s_stat + 1) / sqrt(
+                    (CAST(n_days AS DOUBLE) * (n_days - 1)
+                     * (2 * n_days + 5) - tie_term) / 18.0), 6) + 0.0
+                ELSE 0.0 END AS z
+    FROM n JOIN s ON n.event_type = s.event_type
+    JOIN ties ON n.event_type = ties.event_type
+    """,
+    doc="Mann-Kendall non-parametric trend test per event type over "
+    "the daily revenue series: S = sum over day pairs i<j of "
+    "sign(v_j - v_i) (integer-exact — no float accumulation at "
+    "all), tie-corrected variance Var(S) = (n(n-1)(2n+5) - "
+    "sum_t t(t-1)(2t+5)) / 18, and the continuity-corrected normal "
+    "score z = (S -/+ 1)/sqrt(Var). The distribution-free companion "
+    "to theil_sen_trend_event_types: MK answers IS there a "
+    "monotonic trend (outlier-robust, no linearity assumption), "
+    "Theil-Sen answers how steep. Determinism: S and the tie term "
+    "are pure BIGINT sums; the only float ops are the final two "
+    "fixed IEEE expressions (one division, one sqrt-divide), "
+    "released under ROUND(.,6) with the -0.0 normalizer. Scale: "
+    "the pairwise expansion is O(days^2) per type — bounded by the "
+    "CALENDAR, not the data; the heavy scan is the map-side-"
+    "combinable daily rollup.",
+)
+def mann_kendall_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    ev = _t(spark, sf_dir, "events")
+    d = tracked_persist(
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date(
+                    F.date_trunc("day", F.col("ts").cast("timestamp"))
+                ),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("di"),
+        ).agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("v")
+        )
+    )
+    a = d.select("event_type", F.col("di").alias("i"), F.col("v").alias("vi"))
+    b = d.select(
+        F.col("event_type").alias("et2"),
+        F.col("di").alias("j"),
+        F.col("v").alias("vj"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et2")) & (F.col("j") > F.col("i")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("vj") - F.col("vi")).cast("bigint"))
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    t = F.col("t")
+    ties = (
+        d.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(t > 1, t * (t - 1) * (2 * t + 5)).otherwise(
+                        F.lit(None)
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var_num = (
+        F.col("n_days").cast("double")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    )
+    sd = F.sqrt(var_num / 18.0)
+    ss = F.col("s_stat")
+    z = (
+        F.when(var_num == 0, F.lit(None).cast("double"))
+        .when(ss > 0, F.round((ss - 1) / sd, 6) + F.lit(0.0))
+        .when(ss < 0, F.round((ss + 1) / sd, 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (F.round(var_num / 18.0, 6) + F.lit(0.0)).alias("var_s"),
+            z.alias("z"),
+        )
+    )
+
+
+# ------------------------------------- lagged cross-correlation (CCF)
+CCF_X_TYPE = "view"  #: leading series
+CCF_Y_TYPE = "purchase"  #: lagged series (y at day d + lag)
+CCF_MAX_LAG = 3  #: report lags -3..3
+
+
+@register(
+    "ccf_view_purchase_daily",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS di,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2)
+                    AS DECIMAL(18,2)) AS v
+        FROM events
+        WHERE event_type IN ('{CCF_X_TYPE}', '{CCF_Y_TYPE}')
+        GROUP BY 1, 2),
+    x AS (SELECT di, v FROM d WHERE event_type = '{CCF_X_TYPE}'),
+    y AS (SELECT di, v FROM d WHERE event_type = '{CCF_Y_TYPE}'),
+    aligned AS (
+        SELECT lag, x.v AS xv, y.v AS yv
+        FROM x
+        CROSS JOIN (SELECT unnest(generate_series(
+            -{CCF_MAX_LAG}, {CCF_MAX_LAG})) AS lag) l
+        JOIN y ON y.di = x.di + lag),
+    st AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+               SUM(xv) AS sx, SUM(yv) AS sy,
+               SUM(CAST(xv AS DECIMAL(38,4)) * yv) AS sxy,
+               SUM(CAST(xv AS DECIMAL(38,4)) * xv) AS sxx,
+               SUM(CAST(yv AS DECIMAL(38,4)) * yv) AS syy
+        FROM aligned GROUP BY lag)
+    SELECT CAST(lag AS INT) AS lag, n_days,
+           CASE WHEN CAST(n_days * sxx - sx * sx AS DOUBLE) *
+                     CAST(n_days * syy - sy * sy AS DOUBLE) <= 0
+                THEN NULL
+                ELSE ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                            * CAST(n_days * syy - sy * sy AS DOUBLE)),
+                     6) + 0.0
+           END AS ccf
+    FROM st
+    """,
+    doc=f"Lagged cross-correlation between the daily revenue series "
+    f"of '{CCF_X_TYPE}' (x) and '{CCF_Y_TYPE}' (y): ccf(L) = "
+    "Pearson corr(x_d, y_d+L) for L in -3..3 over the days where "
+    "both series exist — the lead/lag detector behind conversion-"
+    "delay attribution (a peak at L=+2 means purchases follow views "
+    "by two days; the ACF's two-series sibling). Determinism: daily "
+    "values are DECIMAL(18,2)-exact; all five sufficient statistics "
+    "accumulate in DECIMAL (order-free), and each correlation is "
+    "computed from them in a fixed IEEE chain (two casts, one "
+    "multiply, one sqrt, one divide) released under ROUND(.,6) "
+    "with the -0.0 normalizer; NULL when either variance is zero. "
+    "Scale: one map-side-combinable rollup scan; the per-lag join "
+    "is over O(calendar) rows. The lag expansion happens on the "
+    "tiny daily table (generator, not a join), never on raw events.",
+)
+def ccf_view_purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    ev = _t(spark, sf_dir, "events")
+    d = tracked_persist(
+        ev.filter(F.col("event_type").isin(CCF_X_TYPE, CCF_Y_TYPE))
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date(
+                    F.date_trunc("day", F.col("ts").cast("timestamp"))
+                ),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("di"),
+        )
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("decimal(18,2)")
+            .alias("v")
+        )
+    )
+    x = (
+        d.filter(F.col("event_type") == CCF_X_TYPE)
+        .select("di", F.col("v").alias("xv"))
+        .withColumn(
+            "lag",
+            F.explode(
+                F.sequence(F.lit(-CCF_MAX_LAG), F.lit(CCF_MAX_LAG))
+            ),
+        )
+    )
+    y = d.filter(F.col("event_type") == CCF_Y_TYPE).select(
+        F.col("di").alias("dj"), F.col("v").alias("yv")
+    )
+    aligned = x.join(y, F.col("dj") == F.col("di") + F.col("lag"))
+    xv, yv = F.col("xv"), F.col("yv")
+    st = aligned.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(xv).alias("sx"),
+        F.sum(yv).alias("sy"),
+        F.sum(xv.cast("decimal(38,4)") * yv).alias("sxy"),
+        F.sum(xv.cast("decimal(38,4)") * xv).alias("sxx"),
+        F.sum(yv.cast("decimal(38,4)") * yv).alias("syy"),
+    )
+    nd = F.col("n_days")
+    dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    ccf = F.when(dx * dy <= 0, F.lit(None).cast("double")).otherwise(
+        F.round(num / F.sqrt(dx * dy), 6) + F.lit(0.0)
+    )
+    return st.select(
+        F.col("lag").cast("int").alias("lag"), "n_days", ccf.alias("ccf")
+    )

@@ -196,6 +196,12 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "langid_confusion_audit",
     "multimodal_keyframe_select",
     "retrieval_prf_expansion",
+    "ivf_kmeans_balance_audit",
+    "acf_event_type_daily",
+    "mann_kendall_event_types",
+    "ccf_view_purchase_daily",
+    "graph_kcore_membership",
+    "hill_tail_index_event_values",
 ]
 
 
