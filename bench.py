@@ -179,6 +179,15 @@ HEADLINE = [
     "ngram_novelty_decay",
     "langid_confusion_audit",
     "multimodal_keyframe_select",
+    # round-6 second batch: the autocorrelation family (acf; its
+    # two-series sibling ccf_view_purchase_daily and the pairwise
+    # mann_kendall share the same daily-rollup cost profile as the
+    # already-benched theil_sen — one row per family) and the
+    # heavy-tail diagnosis. graph_kcore_membership and
+    # ivf_kmeans_balance_audit stay un-benched: iterative loop /
+    # re-trains the already-benched kmeans (pagerank precedent).
+    "acf_event_type_daily",
+    "hill_tail_index_event_values",
     # retrieval_prf_expansion is registered + correctness-graded but
     # NOT benched: like pagerank/BFS, it is a sequential multi-sub-job
     # operator (two retrieval passes + feedback mining = ~6 broadcast

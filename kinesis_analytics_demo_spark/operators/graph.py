@@ -535,3 +535,135 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_components").cast("bigint"),
         )
     )
+
+
+# ------------------------------------------------- k-core decomposition
+KCORE_K = 3  #: keep the 3-core (every node has >= 3 surviving neighbors)
+KCORE_MAX_ITERS = 15  #: peel-round guard; loop RAISES if hit (oracle exact)
+
+
+def kcore_surviving_edges(
+    edges: DataFrame,  # bidirectional (src, dst)
+    k: int = KCORE_K,
+    max_iters: int = KCORE_MAX_ITERS,
+) -> DataFrame:
+    """Simultaneous-round k-core peeling over a BIDIRECTIONAL edge
+    list: per round, drop every edge incident to a node of current
+    degree < k; stop at the (unique) fixpoint. Returns the surviving
+    bidirectional edges; raises if the guard is hit.
+
+    Lineage discipline (the connected_components lesson): each
+    round's surviving edge list ends in an EAGER localCheckpoint —
+    the two anti-joins per round otherwise compound the logical plan
+    until the plan string alone OOMs a 1g driver by round ~10. At
+    cluster scale use reliable checkpoint dirs instead of local
+    blocks."""
+    edges = edges.select("src", "dst").localCheckpoint()
+    for _ in range(max_iters):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        bad = tracked_persist(
+            deg.filter(F.col("deg") < k).select(
+                F.col("src").alias("bad_node")
+            )
+        )
+        if bad.count() == 0:  # loop-control scalar only
+            break
+        edges = (
+            edges.join(
+                F.broadcast(bad),
+                edges["src"] == bad["bad_node"],
+                "left_anti",
+            )
+            .join(
+                F.broadcast(bad),
+                edges["dst"] == bad["bad_node"],
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not converge within {max_iters} "
+            "rounds; raise the max_iters guard (the oracle reads the "
+            f"fixpoint at its final iteration)"
+        )
+    return edges
+
+
+@register(
+    "graph_kcore_membership",
+    # Simultaneous peeling IS SQL-expressible: the recursive CTE's
+    # working table carries the surviving BIDIRECTIONAL edge set; a
+    # window count per endpoint inside the recursive term computes
+    # current degrees, and an edge survives iff both endpoints have
+    # degree >= K — exactly the Spark loop's "drop all edges incident
+    # to an under-degree node" round. Once the core is stable every
+    # iteration reproduces it, so reading the rows at
+    # it = KCORE_MAX_ITERS yields the fixpoint (the Spark side RAISES
+    # if it hasn't converged by then — a parity break is loud, never
+    # silent: the BFS depth-cap lesson applied forward).
+    oracle=f"""
+    WITH RECURSIVE b AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+        SELECT a.l_partkey AS u, c.l_partkey AS v
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MB_MIN_SUPPORT}),
+    rec(it, src, dst) AS (
+        SELECT 0, src, dst FROM (
+            SELECT u AS src, v AS dst FROM e0
+            UNION ALL SELECT v AS src, u AS dst FROM e0)
+        UNION ALL
+        SELECT it + 1, src, dst FROM (
+            SELECT it, src, dst,
+                   count(*) OVER (PARTITION BY it, src) AS dsrc,
+                   count(*) OVER (PARTITION BY it, dst) AS ddst
+            FROM rec)
+        WHERE dsrc >= {KCORE_K} AND ddst >= {KCORE_K}
+          AND it < {KCORE_MAX_ITERS})
+    SELECT CAST(src AS BIGINT) AS part_id,
+           CAST(count(*) AS BIGINT) AS core_degree
+    FROM rec WHERE it = {KCORE_MAX_ITERS}
+    GROUP BY src
+    """,
+    doc=f"{KCORE_K}-core of the co-purchase graph (part pairs sharing "
+    f">= {MB_MIN_SUPPORT} orders): iteratively peel every node whose "
+    f"current degree is < {KCORE_K} until the survivor set is stable; "
+    "emit each surviving part with its within-core degree. The "
+    "density filter that separates structurally-cohesive product "
+    "communities from hub-and-spoke noise (triangle counting's "
+    "subgraph-level sibling; Seidman 1983). Batagelj-Zaversnik "
+    "peeling is inherently sequential, but SIMULTANEOUS-round "
+    "peeling (all under-degree nodes drop per round) reaches the "
+    "same unique fixpoint — the distributed formulation. "
+    "Determinism: pure integer degree counting, no floats anywhere. "
+    "Scale: per round = one map-side-combinable degree count + one "
+    "broadcast anti-join of the (small) under-degree node set "
+    "against the persisted edge list; rounds are bounded by the "
+    "degeneracy ordering depth, not graph size; the loop raises "
+    "loudly if the guard is hit. Driver work is loop control only.",
+)
+
+
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    c = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(c, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= MB_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    core = kcore_surviving_edges(edges, KCORE_K, KCORE_MAX_ITERS)
+    return core.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    ).select(F.col("src").cast("bigint").alias("part_id"), "core_degree")

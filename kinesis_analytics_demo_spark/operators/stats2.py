@@ -618,3 +618,105 @@ def feature_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("event_type", "n_first", "n_second").agg(
         F.round(F.sum("term"), 6).cast("double").alias("drift_stat")
     )
+
+
+# --------------------------------------------- Hill tail-index estimator
+HILL_K = 100  #: top-order statistics used (k); needs k+1 per group
+
+
+@register(
+    "hill_tail_index_event_values",
+    oracle=f"""
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_obs
+        FROM events),
+    t AS (
+        SELECT event_type, MAX(n_obs) AS n_obs,
+               MAX(CASE WHEN rn = {HILL_K + 1} THEN value END) AS x_k1,
+               [x.value for x in
+                list({{'rn': rn, 'value': value}} ORDER BY rn)
+                if x.rn <= {HILL_K}] AS topk
+        FROM r WHERE rn <= {HILL_K + 1}
+        GROUP BY event_type
+        HAVING MAX(CASE WHEN rn = {HILL_K + 1} THEN value END)
+               IS NOT NULL),
+    h AS (
+        SELECT event_type, n_obs, x_k1,
+               list_reduce([0.0] || [ln(x / x_k1) for x in topk],
+                           (a, b) -> a + b) / {HILL_K} AS hinv
+        FROM t WHERE x_k1 > 0)
+    SELECT event_type, n_obs,
+           CAST(x_k1 AS DOUBLE) AS x_k1,
+           ROUND(hinv, 6) + 0.0 AS hill_inv,
+           CASE WHEN hinv = 0 THEN NULL
+                ELSE ROUND(1.0 / hinv, 6) + 0.0 END AS tail_alpha
+    FROM h
+    """,
+    doc=f"Hill tail-index estimator per event type (Hill 1975): over "
+    f"the top k={HILL_K} order statistics, hill_inv = (1/k) * "
+    "sum ln(x_(i) / x_(k+1)) and tail_alpha = 1/hill_inv — the "
+    "standard heavy-tail diagnosis. alpha <= 2 means infinite "
+    "variance: means/CIs are unstable and robust statistics "
+    "(MAD, Theil-Sen) are mandatory; it is also the skew early-"
+    "warning for value-weighted partitioning. Determinism: the "
+    "top-k SET is fixed by the (value DESC, event_id) total order; "
+    "each ln is one IEEE op on exact doubles; the sum is a FIXED-"
+    "ORDER left fold over the rank-ordered list (the Holt/ACF "
+    "discipline) released under ROUND(.,6). Scale: rank-filter via "
+    "WindowGroupLimit-style per-partition top-(k+1) heaps — the "
+    "fold state is one bounded k-element array per group; no "
+    "global sort of the raw table.",
+)
+def hill_tail_index_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.col("event_id")
+    )
+    n_obs = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        n_obs.cast("bigint").alias("n_obs"),
+    ).filter(F.col("rn") <= HILL_K + 1)
+    t = (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n_obs").alias("n_obs"),
+            F.max(
+                F.when(F.col("rn") == HILL_K + 1, F.col("value"))
+            ).alias("x_k1"),
+            F.transform(
+                F.filter(
+                    F.sort_array(F.collect_list(F.struct("rn", "value"))),
+                    lambda x: x["rn"] <= HILL_K,
+                ),
+                lambda x: x["value"],
+            ).alias("topk"),
+        )
+        .filter(F.col("x_k1").isNotNull() & (F.col("x_k1") > 0))
+    )
+    hinv = (
+        F.aggregate(
+            F.transform(
+                F.col("topk"), lambda x: F.log(x / F.col("x_k1"))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / HILL_K
+    )
+    h = t.withColumn("hinv", hinv)
+    return h.select(
+        "event_type",
+        "n_obs",
+        F.col("x_k1").cast("double").alias("x_k1"),
+        (F.round(F.col("hinv"), 6) + F.lit(0.0)).alias("hill_inv"),
+        F.when(F.col("hinv") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.lit(1.0) / F.col("hinv"), 6) + F.lit(0.0))
+        .alias("tail_alpha"),
+    )

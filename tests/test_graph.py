@@ -83,3 +83,46 @@ def test_cc_long_path_converges(spark):
     CC_MAX_ITERS — pointer jumping must collapse it in O(log n)."""
     lbl = _cc(spark, [(i, i + 1) for i in range(40)])
     assert set(lbl.values()) == {0} and len(lbl) == 41
+
+
+# ------------------------------------------------------- k-core peeling
+def _kcore(spark, edges, k):
+    from kinesis_analytics_demo_spark.operators.graph import (
+        kcore_surviving_edges,
+    )
+
+    e0 = spark.createDataFrame(list(edges), "src long, dst long")
+    sym = e0.union(e0.selectExpr("dst AS src", "src AS dst"))
+    try:
+        surv = kcore_surviving_edges(sym, k=k)
+        from pyspark.sql import functions as F
+
+        deg = {
+            r["src"]: r["n"]
+            for r in surv.groupBy("src")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        return deg
+    finally:
+        release_tracked()
+
+
+def test_kcore_triangle_with_pendant(spark):
+    """Triangle 1-2-3 plus pendant 3-4: the 2-core is the triangle."""
+    deg = _kcore(spark, [(1, 2), (2, 3), (1, 3), (3, 4)], k=2)
+    assert deg == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_k4_with_tail(spark):
+    """K4 on 1-4 plus tail 4-5-6: the 3-core is exactly K4 (each node
+    degree 3); the tail and its attachment edges peel away."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    deg = _kcore(spark, k4 + [(4, 5), (5, 6)], k=3)
+    assert deg == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_path_has_no_2core(spark):
+    """A path graph has no 2-core: everything peels (cascading)."""
+    deg = _kcore(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], k=2)
+    assert deg == {}
