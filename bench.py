@@ -188,6 +188,8 @@ HEADLINE = [
     # re-trains the already-benched kmeans (pagerank precedent).
     "acf_event_type_daily",
     "hill_tail_index_event_values",
+    # char-level ExactSubstr audit: the corpus-suffix sort family
+    "repeated_substring_audit",
     # retrieval_prf_expansion is registered + correctness-graded but
     # NOT benched: like pagerank/BFS, it is a sequential multi-sub-job
     # operator (two retrieval passes + feedback mining = ~6 broadcast

@@ -83,6 +83,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.sketches2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sq  # noqa: F401
     import kinesis_analytics_demo_spark.operators.stats  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.suffix  # noqa: F401
     import kinesis_analytics_demo_spark.operators.stats2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.temporal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text  # noqa: F401
@@ -202,6 +203,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "ccf_view_purchase_daily",
     "graph_kcore_membership",
     "hill_tail_index_event_values",
+    "repeated_substring_audit",
 ]
 
 
