@@ -190,6 +190,9 @@ HEADLINE = [
     "hill_tail_index_event_values",
     # char-level ExactSubstr audit: the corpus-suffix sort family
     "repeated_substring_audit",
+    # deterministic Misra-Gries summary (streaming twin un-benched,
+    # replay precedent)
+    "heavy_hitters_spacesaving",
     # retrieval_prf_expansion is registered + correctness-graded but
     # NOT benched: like pagerank/BFS, it is a sequential multi-sub-job
     # operator (two retrieval passes + feedback mining = ~6 broadcast

@@ -434,3 +434,181 @@ def hll_rolling_from_daily(daily: DataFrame, ev: DataFrame) -> DataFrame:
             .alias("rel_err"),
         )
     )
+
+
+# ------------------------------------- Misra-Gries / space-saving top-k
+MG_K = 8  #: summary capacity per bucket (error <= n_bucket/(k+1))
+MG_BUCKETS = 32  #: deterministic item-hash buckets (user_id % buckets)
+MG_TOPN = 10  #: final report size
+MG_SHIFT = 24  #: entry = (item << shift) | count; count < 2^24
+MG_MASK = (1 << MG_SHIFT) - 1
+
+#: The full oracle, shared VERBATIM with streaming_spacesaving_replay
+#: (one sketch definition, batch + streaming readouts): per bucket,
+#: fold the (ts, event_id)-ordered item stream through the
+#: Misra-Gries update with a LIST-of-BIGINT accumulator (bit-packed
+#: entries — the scalar/list-state discipline; the DuckDB struct-
+#: accumulator trap does not apply), then decode, join exact counts,
+#: and rank.
+MG_ORACLE = f"""
+    WITH b AS (
+        SELECT user_id % {MG_BUCKETS} AS bucket, ts, event_id, user_id
+        FROM events),
+    seq AS (
+        SELECT bucket,
+               [x.user_id for x in
+                list({{'ts': ts, 'event_id': event_id,
+                       'user_id': user_id}} ORDER BY ts, event_id)]
+                   AS items
+        FROM b GROUP BY bucket),
+    st AS (
+        SELECT bucket,
+               list_reduce(
+                   [[]::BIGINT[]] || [[x] for x in items],
+                   (st, xe) -> CASE
+                       WHEN len(list_filter(st,
+                                e -> (e >> {MG_SHIFT}) = xe[1])) > 0
+                       THEN list_transform(st,
+                                e -> CASE WHEN (e >> {MG_SHIFT}) = xe[1]
+                                          THEN e + 1 ELSE e END)
+                       WHEN len(st) < {MG_K}
+                       THEN list_append(st, (xe[1] << {MG_SHIFT}) + 1)
+                       ELSE list_filter(
+                                list_transform(st, e -> e - 1),
+                                e -> (e & {MG_MASK}) > 0)
+                   END) AS state
+        FROM seq),
+    dec AS (
+        SELECT e >> {MG_SHIFT} AS user_id,
+               e & {MG_MASK} AS approx_count
+        FROM (SELECT unnest(state) AS e FROM st)),
+    ex AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+        FROM events GROUP BY user_id),
+    r AS (
+        SELECT d.user_id, d.approx_count, ex.exact_count,
+               row_number() OVER (ORDER BY d.approx_count DESC,
+                                  d.user_id) AS rnk
+        FROM dec d JOIN ex ON d.user_id = ex.user_id)
+    SELECT CAST(rnk AS INT) AS rank,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(approx_count AS BIGINT) AS approx_count,
+           exact_count,
+           CAST(exact_count - approx_count AS BIGINT) AS undercount
+    FROM r WHERE rnk <= {MG_TOPN}
+"""
+
+
+def mg_finalize(entries: DataFrame, ev: DataFrame) -> DataFrame:
+    """Decode bit-packed MG entries ``(e)``, join exact counts from
+    the events table, rank by (approx DESC, user) and keep the top
+    MG_TOPN — shared by the batch query and the streaming replay."""
+    from pyspark.sql import Window
+
+    dec = entries.select(
+        F.shiftright(F.col("e"), MG_SHIFT).alias("user_id"),
+        F.col("e").bitwiseAND(F.lit(MG_MASK)).alias("approx_count"),
+    )
+    ex = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    r = dec.join(ex, "user_id").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("approx_count"), F.col("user_id"))
+        ),
+    )
+    return r.filter(F.col("rnk") <= MG_TOPN).select(
+        F.col("rnk").cast("int").alias("rank"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("approx_count").cast("bigint").alias("approx_count"),
+        "exact_count",
+        (F.col("exact_count") - F.col("approx_count"))
+        .cast("bigint")
+        .alias("undercount"),
+    )
+
+
+def mg_update_lambda(st, xe):
+    """One Misra-Gries update as a pure JVM expression: ``st`` is the
+    bit-packed LIST state, ``xe`` the incoming item. Mirrors the
+    DuckDB fold in MG_ORACLE exactly."""
+    item = F.shiftright(xe, 0)  # alias for symmetry; xe is the item
+    seen = F.exists(st, lambda e: F.shiftright(e, MG_SHIFT) == item)
+    return (
+        F.when(
+            seen,
+            F.transform(
+                st,
+                lambda e: F.when(
+                    F.shiftright(e, MG_SHIFT) == item, e + 1
+                ).otherwise(e),
+            ),
+        )
+        .when(
+            F.size(st) < MG_K,
+            F.concat(st, F.array(F.shiftleft(item, MG_SHIFT) + 1)),
+        )
+        .otherwise(
+            F.filter(
+                F.transform(st, lambda e: e - 1),
+                lambda e: e.bitwiseAND(F.lit(MG_MASK)) > 0,
+            )
+        )
+    )
+
+
+@register(
+    "heavy_hitters_spacesaving",
+    oracle=MG_ORACLE,
+    doc=f"Misra-Gries (space-saving) top-{MG_TOPN} users by event "
+    f"count: the items are hash-bucketed ({MG_BUCKETS} buckets = the "
+    "deterministic stand-in for 'one summary per input partition'), "
+    f"each bucket folds its (ts, event_id)-ordered item stream "
+    f"through a capacity-{MG_K} Misra-Gries summary (match -> "
+    "increment; room -> insert at 1; full -> decrement all, drop "
+    "zeros), and because the bucketing partitions the ITEM space, "
+    "the global summary is the plain union — no cross-bucket merge "
+    "arithmetic. Guarantees: approx <= exact (pure undercount), "
+    f"error <= n_bucket/{MG_K + 1}; any item with global share above "
+    "that survives. The DETERMINISTIC oracle-checkable twin of "
+    "per-partition streaming summaries (the Poisson-bootstrap "
+    "discipline: swap buckets for physical partitions + a merge in "
+    "production, one line). State is a LIST of bit-packed BIGINTs "
+    f"(item << {MG_SHIFT} | count) folded with identical lambdas on "
+    "both engines — pure integer ops, no float discipline needed. "
+    "Scale: the fold is map-side-sequential per bucket (the sketch "
+    "property), the shuffle carries only {MG_BUCKETS} bounded "
+    "summaries plus the exact-count rollup for the audit columns; "
+    "compare heavy_hitters_cms (hash-collision overcount) — MG is "
+    "the undercount-biased dual with deterministic state.",
+)
+def heavy_hitters_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            (F.col("user_id") % MG_BUCKETS).alias("bucket"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            "user_id",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "user_id"))
+                ),
+                lambda x: x["user_id"],
+            ).alias("items")
+        )
+    )
+    st = seq.select(
+        "bucket",
+        F.aggregate(
+            F.col("items"),
+            F.expr("CAST(array() AS ARRAY<BIGINT>)"),
+            mg_update_lambda,
+        ).alias("state"),
+    )
+    entries = st.select(F.explode("state").alias("e"))
+    return mg_finalize(entries, ev)

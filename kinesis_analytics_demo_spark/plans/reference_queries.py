@@ -1320,3 +1320,62 @@ def streaming_hll_rolling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = tbl(spark, sf_dir, "events")
     return hll_rolling_from_daily(daily, ev)
+
+
+def _mg_oracle() -> str:
+    from kinesis_analytics_demo_spark.operators.sketches2 import MG_ORACLE
+
+    return MG_ORACLE
+
+
+@register(
+    "streaming_spacesaving_replay",
+    oracle=_mg_oracle(),
+    doc="The Misra-Gries heavy-hitter summary run as a TRUE stateful "
+    "streaming job (applyInPandasWithState): the events replay feeds "
+    "each user-hash bucket's (ts, event_id)-ordered items through a "
+    "constant-size bit-packed summary carried in GroupState across "
+    "micro-batches; every batch emits the bucket's current summary "
+    "under a monotone upd counter and the reader takes each bucket's "
+    "final (max-upd) rows. The finalizer (decode + exact-count join "
+    "+ rank) and the DuckDB oracle are SHARED VERBATIM with the "
+    "batch twin heavy_hitters_spacesaving — one sketch definition, "
+    "batch + streaming readouts (the rolling-HLL pattern). At 100 TB "
+    "this is the production shape: per-partition summaries stream "
+    "continuously, the top-k is answered from 32 bounded sketches.",
+)
+def streaming_spacesaving_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kinesis_analytics_demo_spark.operators.sketches2 import (
+        MG_BUCKETS,
+        MG_K,
+        MG_SHIFT,
+        mg_finalize,
+    )
+    from kinesis_analytics_demo_spark.streaming.stateful import (
+        spacesaving_stateful,
+    )
+
+    def build(stream, name):
+        b = stream.select(
+            (F.col("user_id") % MG_BUCKETS).alias("bucket"),
+            "ts",
+            "event_id",
+            "user_id",
+        )
+        return spacesaving_stateful(b, k=MG_K, shift=MG_SHIFT)
+
+    sink = _replay_events_stream(
+        spark, sf_dir, "mgreplay", build, output_mode="append"
+    )
+    latest = (
+        sink.withColumn(
+            "last_upd",
+            F.max("upd").over(Window.partitionBy("bucket")),
+        )
+        .filter(F.col("upd") == F.col("last_upd"))
+        .select("e")
+    )
+    ev = tbl(spark, sf_dir, "events")
+    return mg_finalize(latest, ev)

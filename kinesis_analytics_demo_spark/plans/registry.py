@@ -204,6 +204,8 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "graph_kcore_membership",
     "hill_tail_index_event_values",
     "repeated_substring_audit",
+    "heavy_hitters_spacesaving",
+    "streaming_spacesaving_replay",
 ]
 
 

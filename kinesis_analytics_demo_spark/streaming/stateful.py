@@ -689,3 +689,101 @@ def attribution_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------- Misra-Gries summary (streaming)
+_MG_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType()),
+        T.StructField("e", T.LongType()),
+        T.StructField("upd", T.LongType()),
+    ]
+)
+
+_MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("entries", T.ArrayType(T.LongType())),
+        T.StructField("upd", T.LongType()),
+    ]
+)
+
+
+def _make_mg_fn(k: int, shift: int, ts_col: str, id_col: str, item_col: str):
+    """Closure (pickled by value): per-bucket Misra-Gries fold over
+    the (ts, id)-ordered items of each micro-batch, state carried
+    across batches as the bit-packed entry list. Mirrors the batch
+    fold in operators/sketches2.py exactly (same packing, same
+    update order), so a single-batch replay equals the batch query
+    and multi-batch replays equal the same fold split at batch
+    boundaries."""
+
+    def mg_fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (bucket,) = key
+        mask = (1 << shift) - 1
+        if state.exists:
+            entries, upd = state.get
+            entries = list(entries)
+        else:
+            entries, upd = [], 0
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(
+                [ts_col, id_col], kind="mergesort"
+            )
+            for x in pdf[item_col]:
+                x = int(x)
+                for i, e in enumerate(entries):
+                    if (e >> shift) == x:
+                        entries[i] = e + 1
+                        break
+                else:
+                    if len(entries) < k:
+                        entries.append((x << shift) | 1)
+                    else:
+                        entries = [e - 1 for e in entries]
+                        entries = [e for e in entries if (e & mask) > 0]
+        upd += 1
+        state.update((entries, upd))
+        yield pd.DataFrame(
+            {
+                "bucket": [bucket] * len(entries),
+                "e": entries,
+                "upd": [upd] * len(entries),
+            }
+        )
+
+    return mg_fn
+
+
+def spacesaving_stateful(
+    df: DataFrame,
+    k: int,
+    shift: int,
+    bucket_col: str = "bucket",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    item_col: str = "user_id",
+) -> DataFrame:
+    """Per-bucket Misra-Gries heavy-hitter summary as a stateful
+    streaming operator: constant state (<= k bit-packed BIGINTs per
+    bucket) carried across micro-batches; each batch emits the
+    bucket's full current summary stamped with a monotone ``upd``
+    counter, so the reader takes each bucket's max-``upd`` rows as
+    the final sketch. The batch twin heavy_hitters_spacesaving
+    (operators/sketches2.py) computes the identical fold as a JVM
+    array aggregate with the same DuckDB oracle."""
+    if df.isStreaming:
+        from kinesis_analytics_demo_spark.streaming.windows import (
+            ensure_event_time,
+        )
+
+        df = ensure_event_time(df, ts_col)
+    return df.groupBy(bucket_col).applyInPandasWithState(
+        _make_mg_fn(k, shift, ts_col, id_col, item_col),
+        outputStructType=_MG_OUTPUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

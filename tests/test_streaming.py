@@ -1051,3 +1051,91 @@ def test_dimension_refresh_via_versioned_pointer(spark, tmp_path):
     }
     assert ratings == {"old", "new"}, ratings
     assert n_before > 0
+
+
+def test_stateful_spacesaving_two_batch_equals_batch(spark, tmp_path):
+    """Misra-Gries summary with the replay split into TWO time-ordered
+    micro-batches: the carried GroupState must make the final summary
+    equal the batch query's single fold over the whole history (the
+    fold-splitting property fold(fold(s0, b1), b2) == fold(s0, b1+b2)
+    for time-ordered halves)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from kinesis_analytics_demo_spark.caching import release_tracked
+    from kinesis_analytics_demo_spark.operators.sketches2 import (
+        MG_BUCKETS,
+        MG_K,
+        MG_SHIFT,
+        mg_finalize,
+    )
+    from kinesis_analytics_demo_spark.plans.registry import get_query
+    from kinesis_analytics_demo_spark.streaming.stateful import (
+        spacesaving_stateful,
+    )
+    from tests.conftest import SF_SMALL
+
+    pdf = pd.read_parquet(SF_SMALL + "/events.parquet").sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    stage = tmp_path / "ev_stream"
+    stage.mkdir()
+    half = len(pdf) // 2
+    # names order the files: batch a (earlier half) replays first
+    pq.write_table(
+        pa.Table.from_pandas(pdf.iloc[:half]), str(stage / "events_a.parquet")
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf.iloc[half:]), str(stage / "events_b.parquet")
+    )
+    stream = create_stream_source(
+        spark, "file-parquet", path=str(stage), max_files_per_trigger=1
+    )
+    b = stream.select(
+        (F.col("user_id") % MG_BUCKETS).alias("bucket"),
+        "ts",
+        "event_id",
+        "user_id",
+    )
+    out = spacesaving_stateful(b, k=MG_K, shift=MG_SHIFT)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.table("mg_probe")
+    # two batches must actually have happened (upd reaches 2 somewhere)
+    assert sink.agg(F.max("upd")).collect()[0][0] >= 2
+    from pyspark.sql import Window
+
+    latest = (
+        sink.withColumn(
+            "last_upd", F.max("upd").over(Window.partitionBy("bucket"))
+        )
+        .filter(F.col("upd") == F.col("last_upd"))
+        .select("e")
+    )
+    from kinesis_analytics_demo_spark.session import read_table
+
+    ev = read_table(spark, SF_SMALL, "events")
+    try:
+        got = sorted(
+            tuple(r) for r in mg_finalize(latest, ev).collect()
+        )
+        exp = sorted(
+            tuple(r)
+            for r in get_query("heavy_hitters_spacesaving")
+            .fn(spark, SF_SMALL)
+            .collect()
+        )
+    finally:
+        release_tracked()
+    assert got == exp
