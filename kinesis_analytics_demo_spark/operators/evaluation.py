@@ -523,3 +523,193 @@ def calibration_bins_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("brier"),
     )
+
+
+# ------------------------------------ WOE / information-value screening
+IV_TILES = 5  #: quintile bins for the numeric features
+IV_SMOOTH = 0.5  #: Laplace half-count per cell (zero-cell guard)
+
+
+@register(
+    "woe_iv_feature_screening",
+    oracle=f"""
+    WITH cnts AS (
+        SELECT user_id,
+               COALESCE(SUM(CASE WHEN event_type != 'purchase'
+                        THEN CAST(value AS DECIMAL(18,6)) END),
+                        0) AS sv,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS np,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events GROUP BY user_id),
+    med AS (SELECT median(np) AS m FROM cnts),
+    u AS (
+        SELECT user_id,
+               CASE WHEN np > m THEN 1 ELSE 0 END AS pos,
+               ntile({IV_TILES}) OVER (ORDER BY CAST(ROUND(sv, 0) AS BIGINT),
+                                       user_id) AS activity_bin,
+               ntile({IV_TILES}) OVER (ORDER BY n_events, user_id)
+                   AS volume_bin,
+               n_types AS breadth_bin
+        FROM cnts, med),
+    long AS (
+        SELECT pos, f.feature, f.bin
+        FROM u, LATERAL (SELECT unnest([
+            {{'feature': 'activity_quintile',
+              'bin': CAST(activity_bin AS BIGINT)}},
+            {{'feature': 'volume_quintile',
+              'bin': CAST(volume_bin AS BIGINT)}},
+            {{'feature': 'type_breadth', 'bin': breadth_bin}}],
+            recursive := true)) f),
+    c AS (
+        SELECT feature, bin,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+        FROM long GROUP BY feature, bin),
+    t AS (
+        SELECT feature,
+               SUM(n_pos) AS tp, SUM(n_neg) AS tn,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM c GROUP BY feature),
+    w AS (
+        SELECT c.feature, c.bin, c.n_pos, c.n_neg,
+               (c.n_pos + {IV_SMOOTH})
+                   / (t.tp + {IV_SMOOTH} * t.nb) AS dp,
+               (c.n_neg + {IV_SMOOTH})
+                   / (t.tn + {IV_SMOOTH} * t.nb) AS dn
+        FROM c JOIN t ON c.feature = t.feature),
+    iv AS (
+        SELECT feature,
+               list_reduce(
+                   [0.0] || [x.c for x in
+                             list({{'bin': bin,
+                                    'c': (dp - dn) * ln(dp / dn)}}
+                                  ORDER BY bin)],
+                   (a, b) -> a + b) AS iv_raw
+        FROM w GROUP BY feature)
+    SELECT w.feature, CAST(w.bin AS BIGINT) AS bin, w.n_pos, w.n_neg,
+           ROUND(ln(w.dp / w.dn), 6) + 0.0 AS woe,
+           ROUND(iv.iv_raw, 6) + 0.0 AS iv
+    FROM w JOIN iv ON w.feature = iv.feature
+    """,
+    doc="Weight-of-evidence / information-value screening of three "
+    "user-level features against the heavy-buyer label (purchase "
+    "count above the global median — the roc_auc label, shared "
+    "definition): activity-score quintile, event-volume quintile, "
+    "and event-type breadth. Per (feature, bin): WOE = "
+    "ln(P(bin|pos)/P(bin|neg)) with a Laplace half-count per cell "
+    "(the standard zero-cell guard), and per feature IV = "
+    "sum (dp - dn) * WOE — the credit-scoring feature-screening "
+    "statistic (Siddiqi 2006): IV < 0.02 useless, > 0.3 strong. "
+    "Determinism: bin counts are exact integers (ntile under a "
+    "total order with the user_id tiebreak — the lift_gains "
+    "lesson), distributions are fixed IEEE divisions of "
+    "half-smoothed integers, each WOE is one ln, and the IV sum is "
+    "a FIXED-ORDER fold over bin-ordered terms (ACF discipline), "
+    "all released under ROUND(.,6) with -0.0 normalizers. Scale: "
+    "one map-side-combinable rollup to user grain, two bounded "
+    "ntile windows over users (quantize to a score grid and group "
+    "first beyond that, the roc_auc note), and the WOE/IV algebra "
+    "runs on <= 15 bin rows.",
+)
+def woe_iv_feature_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cnts = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") != "purchase",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        ).alias("sv"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )
+    med = cnts.agg(F.percentile("np", 0.5).alias("m"))
+    u = cnts.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("np") > F.col("m"), 1).otherwise(0).alias("pos"),
+        F.ntile(IV_TILES)
+        .over(Window.orderBy(F.round("sv", 0).cast("long"), F.col("user_id")))
+        .cast("bigint")
+        .alias("activity_bin"),
+        F.ntile(IV_TILES)
+        .over(Window.orderBy("n_events", "user_id"))
+        .cast("bigint")
+        .alias("volume_bin"),
+        F.col("n_types").alias("breadth_bin"),
+    )
+    long = u.select(
+        "pos",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("activity_quintile").alias("feature"),
+                    F.col("activity_bin").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("volume_quintile").alias("feature"),
+                    F.col("volume_bin").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("type_breadth").alias("feature"),
+                    F.col("breadth_bin").alias("bin"),
+                ),
+            )
+        ).alias("f"),
+    ).select("pos", "f.feature", "f.bin")
+    c = long.groupBy("feature", "bin").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("n_neg"),
+    )
+    t = c.groupBy("feature").agg(
+        F.sum("n_pos").alias("tp"),
+        F.sum("n_neg").alias("tn"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+    )
+    w = c.join(F.broadcast(t), "feature").select(
+        "feature",
+        "bin",
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("n_pos") + IV_SMOOTH)
+            / (F.col("tp") + IV_SMOOTH * F.col("nb"))
+        ).alias("dp"),
+        (
+            (F.col("n_neg") + IV_SMOOTH)
+            / (F.col("tn") + IV_SMOOTH * F.col("nb"))
+        ).alias("dn"),
+    )
+    iv = w.groupBy("feature").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "bin",
+                            (
+                                (F.col("dp") - F.col("dn"))
+                                * F.log(F.col("dp") / F.col("dn"))
+                            ).alias("c"),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("iv_raw")
+    )
+    return w.join(F.broadcast(iv), "feature").select(
+        "feature",
+        F.col("bin").cast("bigint").alias("bin"),
+        "n_pos",
+        "n_neg",
+        (F.round(F.log(F.col("dp") / F.col("dn")), 6) + F.lit(0.0)).alias(
+            "woe"
+        ),
+        (F.round(F.col("iv_raw"), 6) + F.lit(0.0)).alias("iv"),
+    )

@@ -206,6 +206,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "repeated_substring_audit",
     "heavy_hitters_spacesaving",
     "streaming_spacesaving_replay",
+    "woe_iv_feature_screening",
 ]
 
 
