@@ -1227,3 +1227,230 @@ def ccf_view_purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.select(
         F.col("lag").cast("int").alias("lag"), "n_days", ccf.alias("ccf")
     )
+
+
+# ------------------------------------ matrix-profile motif / discord
+MP_W = 7  #: subsequence window (one week of daily points)
+MP_EXCL = 4  #: trivial-match exclusion zone (|i - j| >= excl)
+MP_MIN_DAYS = MP_W + MP_EXCL + 4  #: need >= 2 mutually valid windows
+
+
+@register(
+    "matrix_profile_daily",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS v
+        FROM events GROUP BY 1, 2),
+    series AS (
+        SELECT event_type,
+               [x.v for x in list({{'day': day, 'v': v}} ORDER BY day)]
+                   AS vs
+        FROM d GROUP BY event_type),
+    base AS (
+        SELECT event_type, vs, len(vs) - {MP_W - 1} AS nw
+        FROM series WHERE len(vs) >= {MP_MIN_DAYS}),
+    stat AS (
+        SELECT event_type, vs, nw,
+               [list_reduce([0.0] ||
+                    [vs[i + t] for t in generate_series(0, {MP_W - 1})],
+                    (a, b) -> a + b) / {MP_W}.0
+                for i in generate_series(1, nw)] AS ms
+        FROM base),
+    stat2 AS (
+        SELECT event_type, vs, nw, ms,
+               [sqrt(list_reduce([0.0] ||
+                    [(vs[i + t] - ms[i]) * (vs[i + t] - ms[i])
+                     for t in generate_series(0, {MP_W - 1})],
+                    (a, b) -> a + b) / {MP_W}.0)
+                for i in generate_series(1, nw)] AS ss
+        FROM stat),
+    prof AS (
+        SELECT event_type, nw,
+               list_filter(
+                   [CASE WHEN ss[i] > 0 THEN
+                       list_sort([{{'p': list_reduce([0.0] ||
+                           [((vs[i + t] - ms[i]) / ss[i]
+                             - (vs[j + t] - ms[j]) / ss[j])
+                            * ((vs[i + t] - ms[i]) / ss[i]
+                               - (vs[j + t] - ms[j]) / ss[j])
+                            for t in generate_series(0, {MP_W - 1})],
+                           (a, b) -> a + b),
+                          'i': i, 'nn': j}}
+                         for j in generate_series(1, nw)
+                         if abs(i - j) >= {MP_EXCL} AND ss[j] > 0])[1]
+                    ELSE NULL END
+                    for i in generate_series(1, nw)],
+                   x -> x IS NOT NULL AND x.p IS NOT NULL) AS pr
+        FROM stat2),
+    pick AS (
+        SELECT event_type, nw,
+               list_sort(pr)[1] AS motif,
+               list_sort([{{'p': x.p, 'ni': -x.i, 'nn': x.nn}}
+                          for x in pr])[-1] AS disc
+        FROM prof WHERE len(pr) > 0)
+    SELECT event_type, CAST(nw AS BIGINT) AS n_windows,
+           CAST(motif.i AS INT) AS motif_i,
+           CAST(motif.nn AS INT) AS motif_j,
+           ROUND(motif.p, 6) AS motif_dist,
+           CAST(-disc.ni AS INT) AS discord_i,
+           CAST(disc.nn AS INT) AS discord_j,
+           ROUND(disc.p, 6) AS discord_dist
+    FROM pick
+    """,
+    doc=f"Matrix-profile-style motif and discord discovery (Yeh et "
+    f"al., ICDM 2016) over each event type's daily revenue series: "
+    f"all length-{MP_W} subsequences are z-normalized and every "
+    f"window's nearest neighbor (outside the |i-j| < {MP_EXCL} "
+    "trivial-match exclusion zone) is found by exact squared "
+    "Euclidean distance; the MOTIF is the globally closest pair "
+    "(the series' repeated weekly pattern) and the DISCORD is the "
+    "window farthest from its own nearest neighbor (the strongest "
+    "subsequence ANOMALY — the time-series dual of the pointwise "
+    "MAD/z-score detectors). Determinism: daily inputs are "
+    "DECIMAL-exact; every mean, std, and distance is a FIXED-ORDER "
+    "fold (the ACF discipline) with single IEEE divide/sqrt ops; "
+    "argmin/argmax run on lexicographic (dist, index) structs over "
+    "bit-identical doubles; constant-std windows are excluded "
+    "(z-normalization undefined). Scale: the O(nw^2 x w) pair work "
+    "is bounded by the CALENDAR, not the data (nw = days - 6); the "
+    "heavy scan is the map-side-combinable daily rollup, per-type "
+    "state one bounded array.",
+)
+def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("v")
+    )
+    series = d.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "v"))),
+            lambda x: x["v"],
+        ).alias("vs")
+    )
+    base = series.filter(F.size("vs") >= MP_MIN_DAYS).withColumn(
+        "nw", F.size("vs") - (MP_W - 1)
+    )
+    vs = F.col("vs")
+
+    def _wsum(i, term):
+        return F.aggregate(
+            F.transform(F.sequence(F.lit(0), F.lit(MP_W - 1)), term(i)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    stat = base.withColumn(
+        "ms",
+        F.transform(
+            F.sequence(F.lit(1), F.col("nw")),
+            lambda i: _wsum(i, lambda i: lambda t: F.element_at(vs, i + t))
+            / F.lit(float(MP_W)),
+        ),
+    )
+    ms = F.col("ms")
+    stat2 = stat.withColumn(
+        "ss",
+        F.transform(
+            F.sequence(F.lit(1), F.col("nw")),
+            lambda i: F.sqrt(
+                _wsum(
+                    i,
+                    lambda i: lambda t: (
+                        F.element_at(vs, i + t) - F.element_at(ms, i)
+                    )
+                    * (F.element_at(vs, i + t) - F.element_at(ms, i)),
+                )
+                / F.lit(float(MP_W))
+            ),
+        ),
+    )
+    # Persist barrier (measured, not stylistic): without it Catalyst's
+    # project-collapse inlines the ms/ss ARRAY-BUILDING expressions
+    # into every element_at access downstream, and higher-order
+    # functions evaluate interpreted without common-subexpression
+    # reuse — the nw^2 x w distance pass then rebuilds the nw x w
+    # fold arrays per access (~nw^4 x w^2 work; minutes at 24
+    # windows). Materializing the 5 per-type rows once makes ms/ss
+    # plain stored arrays.
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    stat2 = tracked_persist(stat2)
+    ss = F.col("ss")
+
+    def _znorm(i, t):
+        return (F.element_at(vs, i + t) - F.element_at(ms, i)) / F.element_at(
+            ss, i
+        )
+
+    def _dist(i, j):
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(MP_W - 1)),
+                lambda t: (_znorm(i, t) - _znorm(j, t))
+                * (_znorm(i, t) - _znorm(j, t)),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    def _cands(i):
+        js = F.filter(
+            F.sequence(F.lit(1), F.col("nw")),
+            lambda j: (F.abs(i - j) >= MP_EXCL)
+            & (F.element_at(ss, j) > 0),
+        )
+        return F.transform(
+            js,
+            lambda j: F.struct(
+                _dist(i, j).alias("p"),
+                i.cast("int").alias("i"),
+                j.cast("int").alias("nn"),
+            ),
+        )
+
+    prof = stat2.withColumn(
+        "pr",
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.col("nw")),
+                lambda i: F.when(
+                    F.element_at(ss, i) > 0,
+                    F.try_element_at(F.array_sort(_cands(i)), F.lit(1)),
+                ),
+            ),
+            lambda x: x.isNotNull() & x["p"].isNotNull(),
+        ),
+    ).filter(F.size("pr") > 0)
+    pr = F.col("pr")
+    pick = prof.select(
+        "event_type",
+        F.col("nw").cast("bigint").alias("n_windows"),
+        F.array_min(pr).alias("motif"),
+        F.array_max(
+            F.transform(
+                pr,
+                lambda x: F.struct(
+                    x["p"].alias("p"),
+                    (-x["i"]).alias("ni"),
+                    x["nn"].alias("nn"),
+                ),
+            )
+        ).alias("disc"),
+    )
+    return pick.select(
+        "event_type",
+        "n_windows",
+        F.col("motif.i").cast("int").alias("motif_i"),
+        F.col("motif.nn").cast("int").alias("motif_j"),
+        F.round(F.col("motif.p"), 6).alias("motif_dist"),
+        (-F.col("disc.ni")).cast("int").alias("discord_i"),
+        F.col("disc.nn").cast("int").alias("discord_j"),
+        F.round(F.col("disc.p"), 6).alias("discord_dist"),
+    )

@@ -207,6 +207,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "heavy_hitters_spacesaving",
     "streaming_spacesaving_replay",
     "woe_iv_feature_screening",
+    "matrix_profile_daily",
 ]
 
 
