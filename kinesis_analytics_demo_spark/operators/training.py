@@ -442,3 +442,227 @@ def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("max_ts"),
         )
     )
+
+
+# ---------------------------- in-engine classifier training (full GD)
+GD_ITERS = 5  #: fixed full-batch gradient-descent iterations
+GD_LR = 0.1  #: learning rate
+GD_SCALE = 12  #: decimal digits carried in gradient sums / weight state
+
+#: shared feature construction: three bounded, libm-free quality
+#: signals per document and the is-English label
+_GD_FEAT_SQL = """
+    feat AS (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               len(toks) / 100.0 AS x1,
+               (CAST(list_sum([len(w) for w in toks]) AS DOUBLE)
+                / len(toks)) / 10.0 AS x2,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / len(toks) AS x3
+        FROM (SELECT lang, text,
+                     string_split_regex(text, '\\s+') AS toks
+              FROM documents)
+        WHERE len(toks) > 0 AND length(text) > 0),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+
+
+def _gd_z(w: str) -> str:
+    """The fixed left-to-right logit chain."""
+    return f"{w}.b + {w}.w1 * x1 + {w}.w2 * x2 + {w}.w3 * x3"
+
+
+def _gd_oracle() -> str:
+    """Unrolled GD iteration chain (the pagerank oracle discipline):
+    per iteration one CTE of 12-digit-rounded DECIMAL gradient sums
+    and one 1-row weight CTE; hard-sigmoid activation keeps the whole
+    computation inside exact IEEE arithmetic — no exp/ln anywhere, so
+    every per-row contribution is bit-identical across engines BEFORE
+    the rounding, not merely close to it."""
+    parts = [f"WITH {_GD_FEAT_SQL}"]
+    for t in range(1, GD_ITERS + 1):
+        p = t - 1
+        sig = f"greatest(0.0, least(1.0, 0.25 * ({_gd_z('w')}) + 0.5))"
+        parts.append(f"""
+    s{t} AS (
+        SELECT y, x1, x2, x3, {sig} AS p
+        FROM feat, w{p} w),
+    g{t} AS (
+        SELECT SUM(CAST(ROUND(p - y, {GD_SCALE})
+                        AS DECIMAL(28,{GD_SCALE}))) AS gb,
+               SUM(CAST(ROUND((p - y) * x1, {GD_SCALE})
+                        AS DECIMAL(28,{GD_SCALE}))) AS g1,
+               SUM(CAST(ROUND((p - y) * x2, {GD_SCALE})
+                        AS DECIMAL(28,{GD_SCALE}))) AS g2,
+               SUM(CAST(ROUND((p - y) * x3, {GD_SCALE})
+                        AS DECIMAL(28,{GD_SCALE}))) AS g3
+        FROM s{t}),
+    w{t} AS (
+        SELECT ROUND(w.b - {GD_LR} * (CAST(g.gb AS DOUBLE) / nn.n),
+                     {GD_SCALE}) AS b,
+               ROUND(w.w1 - {GD_LR} * (CAST(g.g1 AS DOUBLE) / nn.n),
+                     {GD_SCALE}) AS w1,
+               ROUND(w.w2 - {GD_LR} * (CAST(g.g2 AS DOUBLE) / nn.n),
+                     {GD_SCALE}) AS w2,
+               ROUND(w.w3 - {GD_LR} * (CAST(g.g3 AS DOUBLE) / nn.n),
+                     {GD_SCALE}) AS w3
+        FROM w{p} w, g{t} g, nn)""")
+    final = GD_ITERS
+    parts.append(f"""
+    scored AS (
+        SELECT y, {_gd_z('w')} AS z,
+               greatest(0.0, least(1.0, 0.25 * ({_gd_z('w')}) + 0.5)) AS p
+        FROM feat, w{final} w),
+    m AS (
+        SELECT CAST(SUM(CASE WHEN (z > 0) = (y = 1.0) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               SUM(CAST(ROUND((p - y) * (p - y), {GD_SCALE})
+                        AS DECIMAL(28,{GD_SCALE}))) AS sse
+        FROM scored)
+    SELECT nn.n AS n_docs,
+           ROUND(w.b, 6) + 0.0 AS bias,
+           ROUND(w.w1, 6) + 0.0 AS w_tokens,
+           ROUND(w.w2, 6) + 0.0 AS w_wordlen,
+           ROUND(w.w3, 6) + 0.0 AS w_ttr,
+           ROUND(100.0 * m.n_correct / nn.n, 6) + 0.0 AS train_acc_pct,
+           ROUND(CAST(m.sse AS DOUBLE) / nn.n, 6) + 0.0 AS train_mse
+    FROM w{final} w, m, nn""")
+    return ",".join(parts)
+
+
+@register(
+    "gd_quality_classifier_train",
+    oracle=_gd_oracle(),
+    doc=f"In-engine training of a linear quality/language classifier "
+    f"by {GD_ITERS} full-batch gradient-descent iterations — the "
+    "distributed-ML-training shape (one map-side-combinable gradient "
+    "aggregate per iteration, broadcast weight state) expressed as "
+    "pure DataFrame ops, the pagerank iteration discipline applied "
+    "to model fitting. Features: token count/100, mean word "
+    "length/10, type-token ratio; label: is-English. Activation is "
+    "the HARD sigmoid clamp(0.25 z + 0.5, 0, 1) (the quantized-"
+    "network surrogate, Courbariaux et al. 2016) with the logistic-"
+    "form gradient (p - y) x, so the ENTIRE computation is exact "
+    "IEEE arithmetic — no exp/ln anywhere; per-row contributions "
+    "are bit-identical across engines before the 12-digit rounding "
+    "into order-free DECIMAL sums (the pagerank state discipline). "
+    "Reports final weights, training accuracy, and MSE. Scale: per "
+    "iteration = one scan of the persisted feature table with a "
+    "4-term combinable aggregate + a 1-row broadcast; iterations "
+    "are a fixed constant; weight state localCheckpoints per round "
+    "(lineage discipline).",
+)
+def gd_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = H.words(F.col("text"))
+    sumlen = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    )
+    feat = tracked_persist(
+        docs.filter((F.size(toks) > 0) & (F.length("text") > 0)).select(
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            (F.size(toks) / F.lit(100.0)).alias("x1"),
+            (
+                (sumlen.cast("double") / F.size(toks)) / F.lit(10.0)
+            ).alias("x2"),
+            (
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks)
+            ).alias("x3"),
+        )
+    )
+    n_df = feat.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_df = spark.range(1).select(
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("w1"),
+        F.lit(0.0).alias("w2"),
+        F.lit(0.0).alias("w3"),
+    )
+    z = (
+        F.col("b")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    sig = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), F.lit(0.25) * z + F.lit(0.5))
+    )
+    dec = f"decimal(28,{GD_SCALE})"
+
+    def gsum(expr):
+        return F.sum(F.round(expr, GD_SCALE).cast(dec))
+
+    for _ in range(GD_ITERS):
+        s = feat.crossJoin(F.broadcast(w_df))
+        g = (
+            s.withColumn("p", sig)
+            .agg(
+                gsum(F.col("p") - F.col("y")).alias("gb"),
+                gsum((F.col("p") - F.col("y")) * F.col("x1")).alias("g1"),
+                gsum((F.col("p") - F.col("y")) * F.col("x2")).alias("g2"),
+                gsum((F.col("p") - F.col("y")) * F.col("x3")).alias("g3"),
+            )
+        )
+        w_df = (
+            g.crossJoin(F.broadcast(w_df))
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                F.round(
+                    F.col("b")
+                    - F.lit(GD_LR) * (F.col("gb").cast("double") / F.col("n")),
+                    GD_SCALE,
+                ).alias("b"),
+                F.round(
+                    F.col("w1")
+                    - F.lit(GD_LR) * (F.col("g1").cast("double") / F.col("n")),
+                    GD_SCALE,
+                ).alias("w1"),
+                F.round(
+                    F.col("w2")
+                    - F.lit(GD_LR) * (F.col("g2").cast("double") / F.col("n")),
+                    GD_SCALE,
+                ).alias("w2"),
+                F.round(
+                    F.col("w3")
+                    - F.lit(GD_LR) * (F.col("g3").cast("double") / F.col("n")),
+                    GD_SCALE,
+                ).alias("w3"),
+            )
+            .localCheckpoint()  # 1 row; resets the per-iteration lineage
+        )
+    scored = feat.crossJoin(F.broadcast(w_df)).select(
+        "y", z.alias("z"), sig.alias("p")
+    )
+    m = scored.agg(
+        F.sum(
+            F.when((F.col("z") > 0) == (F.col("y") == 1.0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        gsum((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias(
+            "sse"
+        ),
+    )
+    return (
+        w_df.crossJoin(m)
+        .crossJoin(n_df)
+        .select(
+            F.col("n").alias("n_docs"),
+            (F.round(F.col("b"), 6) + F.lit(0.0)).alias("bias"),
+            (F.round(F.col("w1"), 6) + F.lit(0.0)).alias("w_tokens"),
+            (F.round(F.col("w2"), 6) + F.lit(0.0)).alias("w_wordlen"),
+            (F.round(F.col("w3"), 6) + F.lit(0.0)).alias("w_ttr"),
+            (
+                F.round(
+                    F.lit(100.0) * F.col("n_correct") / F.col("n"), 6
+                )
+                + F.lit(0.0)
+            ).alias("train_acc_pct"),
+            (
+                F.round(F.col("sse").cast("double") / F.col("n"), 6)
+                + F.lit(0.0)
+            ).alias("train_mse"),
+        )
+    )

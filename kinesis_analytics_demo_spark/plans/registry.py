@@ -208,6 +208,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "streaming_spacesaving_replay",
     "woe_iv_feature_screening",
     "matrix_profile_daily",
+    "gd_quality_classifier_train",
 ]
 
 
