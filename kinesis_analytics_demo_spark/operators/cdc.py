@@ -316,3 +316,89 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(adjusted_open.select(*cols))
         .union(new_out)
     )
+
+
+# --------------------------------- incremental aggregate maintenance
+INC_LATE_MOD = 10  #: event_id % 10 >= 8 simulates the late-arriving 20%
+INC_LATE_MIN = 8
+
+
+@register(
+    "incremental_agg_maintenance",
+    # The oracle aggregates the FULL table directly — parity with the
+    # Spark side's split-into-partials-then-merge plan IS the proof
+    # that the merge identities (count-add, decimal-sum-add,
+    # min-least, max-greatest, avg deferred to finalize) lose
+    # nothing across an arbitrary base/delta split.
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(ROUND(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2)
+                           AS DOUBLE) / count(*), 6) AS DOUBLE)
+               AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Incremental rollup maintenance: the daily per-type aggregate "
+    "is computed as BASE-snapshot partials (80% of rows) merged with "
+    "LATE-delta partials (event_id-hash 20%, hitting every group) "
+    "using only the algebraic merge identities — counts and DECIMAL "
+    "sums add, min/least, max/greatest, avg deferred to the "
+    "finalize step (never merged!). The oracle aggregates the full "
+    "table in one pass, so the green row IS the proof the merge "
+    "loses nothing across an arbitrary split — the correctness "
+    "contract behind every incremental materialized view, partial "
+    "shuffle combine, and backfill-then-catch-up pipeline. "
+    "Determinism: all merged state is exact (BIGINT / "
+    "DECIMAL(18,6) / raw doubles under min-max); the single "
+    "division happens once after the final merge. Scale: at 100 TB "
+    "the base partials are a stored rollup table; each late batch "
+    "shuffles only its OWN partials (O(groups-touched)), never "
+    "rescans the base — this query pins the algebra that makes "
+    "that safe.",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type",
+            F.to_date(
+                F.date_trunc("day", F.col("ts").cast("timestamp"))
+            ).alias("day"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_state"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    late = F.col("event_id") % INC_LATE_MOD >= INC_LATE_MIN
+    base = partials(ev.filter(~late))
+    delta = partials(ev.filter(late))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_state").alias("sum_state"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    sum_d = F.round(F.col("sum_state"), 2).cast("double")
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        sum_d.alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round(sum_d / F.col("n_events"), 6)
+        .cast("double")
+        .alias("avg_value"),
+    )

@@ -612,3 +612,122 @@ def heavy_hitters_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     entries = st.select(F.explode("state").alias("e"))
     return mg_finalize(entries, ev)
+
+
+# --------------------------------------- bitmap-index type overlap
+BM_WORD = 63  #: bits per bitmap word (63 keeps the sign bit clear)
+
+
+@register(
+    "bitmap_type_overlap",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_type, user_id // {BM_WORD} AS word,
+               bit_or(1::BIGINT << CAST(user_id % {BM_WORD} AS INT)) AS bm
+        FROM events GROUP BY 1, 2),
+    n AS (
+        SELECT event_type, CAST(SUM(bit_count(bm)) AS BIGINT) AS n_users
+        FROM w GROUP BY event_type),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(SUM(bit_count(a.bm & b.bm)) AS BIGINT) AS n_both
+        FROM w a JOIN w b
+          ON a.word = b.word AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+    SELECT i.type_a, i.type_b,
+           na.n_users AS n_users_a, nb.n_users AS n_users_b, i.n_both,
+           ROUND(CAST(i.n_both AS DOUBLE)
+                 / (na.n_users + nb.n_users - i.n_both), 6) AS jaccard
+    FROM inter i
+    JOIN n na ON na.event_type = i.type_a
+    JOIN n nb ON nb.event_type = i.type_b
+    """,
+    doc=f"Bitmap-index audience overlap between event types: per "
+    f"(type, word) the user set compresses to a {BM_WORD}-bit BIGINT "
+    "word (bit i set iff user word*63+i did the type — the roaring/"
+    "bitmap-index layout OLAP engines use for COUNT(DISTINCT)-"
+    "intersection questions), and every pairwise overlap is "
+    "SUM(bit_count(a & b)) over word-aligned pairs — no distinct "
+    "shuffle, no set materialization, pure integer ops on both "
+    "engines. Reports per-pair audience sizes, the intersection, "
+    "and Jaccard affinity (one IEEE division under ROUND). Scale: "
+    "the bitmap build is one map-side-combinable BIT_OR rollup "
+    "(state = one word per present (type, word) — dense user-id "
+    "spaces compress ~63:1); intersections join word-aligned on the "
+    "word key and never touch raw users. The classic bitmap-index "
+    "win: K type-pair overlaps cost one self-join of the compressed "
+    "table, not K distinct-count scans.",
+)
+def bitmap_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # integer floor-div via subtraction of the modulus keeps the word
+    # index in exact BIGINT arithmetic (Spark's / is float division)
+    w = (
+        ev.select(
+            "event_type",
+            ((F.col("user_id") - F.col("user_id") % BM_WORD) / BM_WORD)
+            .cast("long")
+            .alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(user_id % {BM_WORD} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("bit").alias("bm"))
+    )
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    w = tracked_persist(w)
+    n = w.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).cast("bigint").alias("n_users")
+    )
+    a = w.select(
+        F.col("event_type").alias("type_a"),
+        F.col("word"),
+        F.col("bm").alias("bm_a"),
+    )
+    b = w.select(
+        F.col("event_type").alias("type_b"),
+        F.col("word").alias("word_b"),
+        F.col("bm").alias("bm_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("word") == F.col("word_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("bm_a").bitwiseAND(F.col("bm_b"))))
+            .cast("bigint")
+            .alias("n_both")
+        )
+    )
+    na = n.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_users_a")
+    )
+    nb = n.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_users_b")
+    )
+    return (
+        inter.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_a",
+            "n_users_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (
+                    F.col("n_users_a")
+                    + F.col("n_users_b")
+                    - F.col("n_both")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

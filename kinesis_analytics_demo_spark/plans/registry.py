@@ -209,6 +209,8 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "woe_iv_feature_screening",
     "matrix_profile_daily",
     "gd_quality_classifier_train",
+    "bitmap_type_overlap",
+    "incremental_agg_maintenance",
 ]
 
 

@@ -126,3 +126,35 @@ def test_lcp_fold_matches_bruteforce(a, b):
     # the operator only ever feeds <=63-char capped suffixes, and the
     # fold's step budget sums to exactly that cap
     assert got == min(expect, SFX_DEPTH)
+
+
+def test_bitmap_overlap_equals_plain_distinct_intersection():
+    """The bitmap-word intersection must equal the naive
+    COUNT(DISTINCT) set intersection — an independent third
+    implementation (plain sets, no bit packing) at sf0.01."""
+    from kinesis_analytics_demo_spark.plans.registry import get_query
+    from tests.conftest import SF_MEDIUM
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_MEDIUM}/events.parquet')"
+    )
+    plain = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(
+            """
+            SELECT a.event_type, b.event_type, count(*) AS n_both
+            FROM (SELECT DISTINCT event_type, user_id FROM events) a
+            JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    bm = {
+        (r[0], r[1]): r[4]
+        for r in con.sql(get_query("bitmap_type_overlap").oracle).fetchall()
+    }
+    con.close()
+    assert bm == plain and len(bm) == 10
