@@ -87,6 +87,20 @@ SAMPLE = [
     "langid_confusion_audit",
     "multimodal_keyframe_select",
     "retrieval_prf_expansion",
+    # round-6 second-session families
+    "acf_event_type_daily",
+    "ivf_kmeans_balance_audit",
+    "mann_kendall_event_types",
+    "ccf_view_purchase_daily",
+    "graph_kcore_membership",
+    "hill_tail_index_event_values",
+    "repeated_substring_audit",
+    "heavy_hitters_spacesaving",
+    "woe_iv_feature_screening",
+    "matrix_profile_daily",
+    "gd_quality_classifier_train",
+    "bitmap_type_overlap",
+    "incremental_agg_maintenance",
 ]
 
 
