@@ -677,3 +677,142 @@ def attribution_position_weighted(
             .alias("credited_conversions"),
         )
     )
+
+
+# ------------------------------- difference-in-differences estimator
+@register(
+    "did_error_impact",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, event_type, value,
+               -- whole-second truncation matches Spark's ts->long cast
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        FROM events),
+    med AS (SELECT quantile_cont(es, 0.5) AS m FROM b),
+    treated AS (
+        SELECT DISTINCT user_id FROM b, med
+        WHERE event_type = 'error' AND es <= med.m),
+    u AS (
+        SELECT b.user_id,
+               MAX(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS grp,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                  AND es <= med.m
+                            THEN CAST(value AS DECIMAL(18,6)) END),
+                        0) AS pre_v,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                  AND es > med.m
+                            THEN CAST(value AS DECIMAL(18,6)) END),
+                        0) AS post_v
+        FROM b CROSS JOIN med
+        LEFT JOIN treated t ON b.user_id = t.user_id
+        GROUP BY b.user_id),
+    g AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(pre_v) AS DOUBLE) / count(*) AS pre_mean,
+               CAST(SUM(post_v) AS DOUBLE) / count(*) AS post_mean
+        FROM u GROUP BY grp)
+    SELECT t.n AS n_treated, c.n AS n_control,
+           ROUND(t.pre_mean, 6) + 0.0 AS pre_treated,
+           ROUND(t.post_mean, 6) + 0.0 AS post_treated,
+           ROUND(c.pre_mean, 6) + 0.0 AS pre_control,
+           ROUND(c.post_mean, 6) + 0.0 AS post_control,
+           ROUND((t.post_mean - t.pre_mean)
+                 - (c.post_mean - c.pre_mean), 6) + 0.0 AS did
+    FROM (SELECT * FROM g WHERE grp = 1) t,
+         (SELECT * FROM g WHERE grp = 0) c
+    """,
+    doc="Difference-in-differences causal estimate of error exposure "
+    "on purchase revenue: users are assigned to treatment by PRE-"
+    "period behavior only (any 'error' event before the global "
+    "median event time — assignment can't leak post-period "
+    "outcomes), per-user purchase revenue is totaled in each period "
+    "(zero-filled — non-purchasers stay in their cohort), and DiD = "
+    "(post_T - pre_T) - (post_C - pre_C) cancels both the group "
+    "level difference and the common time trend — the standard "
+    "quasi-experimental readout when an A/B split isn't available "
+    "(Card & Krueger 1994). Determinism: per-user outcomes are "
+    "DECIMAL-exact sums; each group mean is ONE cast + ONE IEEE "
+    "division; the DiD is a fixed 3-op chain released under "
+    "ROUND(.,6) with -0.0 normalizers. Scale: one scan to user "
+    "grain (map-side combinable), the treated set is a hash "
+    "semi-join on user_id, the final algebra runs on 2 rows.",
+)
+def did_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").cast("timestamp").cast("long").alias("es"),
+    )
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    b = tracked_persist(b)
+    med = b.agg(F.percentile("es", 0.5).alias("m"))
+    bm = b.crossJoin(F.broadcast(med))
+    treated = (
+        bm.filter((F.col("event_type") == "error") & (F.col("es") <= F.col("m")))
+        .select("user_id")
+        .distinct()
+        .withColumn("is_t", F.lit(1))
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    u = (
+        bm.join(F.broadcast(treated), "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.coalesce(F.col("is_t"), F.lit(0))).alias("grp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("es") <= F.col("m")),
+                        dec,
+                    )
+                ),
+                F.lit(0).cast("decimal(18,6)"),
+            ).alias("pre_v"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("es") > F.col("m")),
+                        dec,
+                    )
+                ),
+                F.lit(0).cast("decimal(18,6)"),
+            ).alias("post_v"),
+        )
+    )
+    g = u.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("pre_v").cast("double") / F.count(F.lit(1))).alias("pre_mean"),
+        (F.sum("post_v").cast("double") / F.count(F.lit(1))).alias(
+            "post_mean"
+        ),
+    )
+    t = g.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_treated"),
+        F.col("pre_mean").alias("pt"),
+        F.col("post_mean").alias("qt"),
+    )
+    c = g.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_control"),
+        F.col("pre_mean").alias("pc"),
+        F.col("post_mean").alias("qc"),
+    )
+    return t.crossJoin(F.broadcast(c)).select(
+        "n_treated",
+        "n_control",
+        (F.round(F.col("pt"), 6) + F.lit(0.0)).alias("pre_treated"),
+        (F.round(F.col("qt"), 6) + F.lit(0.0)).alias("post_treated"),
+        (F.round(F.col("pc"), 6) + F.lit(0.0)).alias("pre_control"),
+        (F.round(F.col("qc"), 6) + F.lit(0.0)).alias("post_control"),
+        (
+            F.round(
+                (F.col("qt") - F.col("pt")) - (F.col("qc") - F.col("pc")), 6
+            )
+            + F.lit(0.0)
+        ).alias("did"),
+    )

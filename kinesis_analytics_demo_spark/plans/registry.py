@@ -211,6 +211,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "gd_quality_classifier_train",
     "bitmap_type_overlap",
     "incremental_agg_maintenance",
+    "did_error_impact",
 ]
 
 
