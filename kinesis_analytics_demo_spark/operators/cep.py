@@ -460,3 +460,318 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(PATH_TOP)
     )
+
+
+# ---------------------------- Markov removal-effect attribution
+MK_CHANNELS = ["click", "error", "signup", "view"]  #: non-conversion states
+MK_ITERS = 25  #: Jacobi iterations to absorption (sub-stochastic chain)
+MK_SCALE = 12  #: decimal digits of per-iteration state rounding
+
+#: the journey/transition construction shared by both engines: events
+#: per user up to and including the FIRST purchase, in (ts, event_id)
+#: order; purchase maps to the absorbing CONV state, journey end
+#: without purchase to NULLSTATE; START edges feed each user's first
+#: kept event.
+_MK_EDGE_SQL = """
+    o AS (
+        SELECT user_id, event_type, ts, event_id,
+               COALESCE(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS prior_p
+        FROM events),
+    k AS (SELECT * FROM o WHERE prior_p = 0),
+    seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM k),
+    edges AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS f,
+               CASE WHEN nxt IS NULL THEN 'NULLSTATE'
+                    WHEN nxt = 'purchase' THEN 'CONV'
+                    ELSE nxt END AS t
+        FROM seq WHERE event_type != 'purchase'
+        UNION ALL
+        SELECT 'START',
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END
+        FROM seq WHERE rn = 1),
+    tm AS (
+        SELECT f, t,
+               CAST(count(*) AS DOUBLE)
+                   / SUM(count(*)) OVER (PARTITION BY f) AS p
+        FROM edges GROUP BY f, t)"""
+
+
+def _mk_model_cols_sql() -> str:
+    cols = []
+    for i, ci in enumerate(MK_CHANNELS):
+        for j, cj in enumerate(MK_CHANNELS):
+            cols.append(
+                f"COALESCE(MAX(CASE WHEN f = '{ci}' AND t = '{cj}' "
+                f"THEN p END), 0.0) AS m{i}{j}"
+            )
+        cols.append(
+            f"COALESCE(MAX(CASE WHEN f = '{ci}' AND t = 'CONV' "
+            f"THEN p END), 0.0) AS v{i}"
+        )
+        cols.append(
+            f"COALESCE(MAX(CASE WHEN f = 'START' AND t = '{ci}' "
+            f"THEN p END), 0.0) AS s{i}"
+        )
+    cols.append(
+        "COALESCE(MAX(CASE WHEN f = 'START' AND t = 'CONV' "
+        "THEN p END), 0.0) AS sc"
+    )
+    return ",\n               ".join(cols)
+
+
+def _mk_fold_sql(r: int) -> str:
+    """The 25-iteration absorption fold with channel ``r`` removed
+    (-1 = full chain); returns a DOUBLE[4] SQL expression. The state
+    list and the per-index 4-term sums use the exact op order the
+    Spark twin uses."""
+    items = []
+    for i in range(4):
+        if i == r:
+            items.append("0.0")
+            continue
+        expr = f"v{i}"
+        for j in range(4):
+            expr = f"{expr} + m{i}{j} * s_[{j + 1}]"
+        items.append(f"ROUND({expr}, {MK_SCALE})")
+    body = ", ".join(items)
+    return (
+        f"list_reduce([[0.0, 0.0, 0.0, 0.0]] || "
+        f"[[CAST(q AS DOUBLE)] for q in generate_series(1, {MK_ITERS})], "
+        f"(s_, x_) -> [{body}])"
+    )
+
+
+def _mk_pstart_sql(vec: str, r: int) -> str:
+    expr = "sc"
+    for j in range(4):
+        if j == r:
+            continue
+        expr = f"{expr} + s{j} * {vec}[{j + 1}]"
+    return f"ROUND({expr}, {MK_SCALE})"
+
+
+def _mk_oracle() -> str:
+    folds = ",\n        ".join(
+        f"{_mk_fold_sql(r)} AS pv{r + 1}" for r in range(-1, 4)
+    )
+    pstarts = ",\n        ".join(
+        f"{_mk_pstart_sql(f'pv{r + 1}', r)} AS ps{r + 1}"
+        for r in range(-1, 4)
+    )
+    res = " + ".join(f"(1.0 - ps{r + 1} / ps0)" for r in range(4))
+    chan_rows = []
+    for r in range(4):
+        chan_rows.append(
+            f"SELECT '{MK_CHANNELS[r]}' AS channel,"
+            f" ROUND(ps0, 6) + 0.0 AS conv_prob,"
+            f" CASE WHEN ps0 > 0 THEN"
+            f" ROUND(1.0 - ps{r + 1} / ps0, 6) + 0.0 END AS removal_effect,"
+            f" CASE WHEN ps0 > 0 AND re_sum > 0 THEN"
+            f" ROUND((1.0 - ps{r + 1} / ps0) / re_sum, 6) + 0.0 END"
+            f" AS attribution_share"
+            f" FROM ps"
+        )
+    union = " UNION ALL ".join(chan_rows)
+    return f"""
+    WITH {_MK_EDGE_SQL},
+    model AS (
+        SELECT {_mk_model_cols_sql()}
+        FROM tm),
+    pv AS (
+        SELECT *,
+        {folds}
+        FROM model),
+    ps0_ AS (
+        SELECT *,
+        {pstarts}
+        FROM pv),
+    ps AS (
+        SELECT *, CASE WHEN ps0 > 0 THEN {res} END AS re_sum
+        FROM ps0_ WHERE ps0 IS NOT NULL)
+    SELECT * FROM ({union})
+    """
+
+
+@register(
+    "markov_attribution_removal",
+    oracle=_mk_oracle(),
+    doc=f"Markov-chain removal-effect attribution (Anderl et al. "
+    f"2014): user journeys (events up to the first purchase, "
+    "event-time order) become a first-order absorbing chain over "
+    f"{{START, {', '.join(MK_CHANNELS)}, CONV, NULLSTATE}}; "
+    f"conversion probability from START is solved by {MK_ITERS} "
+    "Jacobi iterations of p = V + M p (the pagerank iteration "
+    "discipline: 12-digit state rounding, fixed 4-term chains), and "
+    "each channel's REMOVAL EFFECT is the relative conversion drop "
+    "when journeys through it are absorbed into NULLSTATE (forcing "
+    "p[c] = 0) — the data-driven alternative to last-touch/U-shape "
+    "position rules (both also registered, for comparison on the "
+    "same journeys). Shares normalize removal effects to 1. "
+    "Determinism: transition probabilities are exact-integer "
+    "divisions; the iteration arithmetic is generated from ONE "
+    "Python loop for both engines, so op order is identical by "
+    "construction. Scale: journeys need one per-user window scan; "
+    "the chain model is O(channels^2) ~ 25 numbers — the fold runs "
+    "on a single row regardless of corpus size.",
+)
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    o = ev.withColumn(
+        "prior_p",
+        F.coalesce(
+            F.count(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).over(uw.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    k = o.filter(F.col("prior_p") == 0)
+    seq = k.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(uw).alias("nxt"),
+        F.row_number().over(uw).alias("rn"),
+    )
+    conv_map = lambda c: F.when(c == "purchase", "CONV").otherwise(c)
+    mid = seq.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("f"),
+        F.when(F.col("nxt").isNull(), "NULLSTATE")
+        .otherwise(conv_map(F.col("nxt")))
+        .alias("t"),
+    )
+    start = seq.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("f"), conv_map(F.col("event_type")).alias("t")
+    )
+    edges = mid.unionByName(start)
+    tm = (
+        edges.groupBy("f", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "p",
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("f")),
+        )
+    )
+    aggs = []
+    for i, ci in enumerate(MK_CHANNELS):
+        for j, cj in enumerate(MK_CHANNELS):
+            aggs.append(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            (F.col("f") == ci) & (F.col("t") == cj),
+                            F.col("p"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ).alias(f"m{i}{j}")
+            )
+        aggs.append(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("f") == ci) & (F.col("t") == "CONV"),
+                        F.col("p"),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias(f"v{i}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("f") == "START") & (F.col("t") == ci),
+                        F.col("p"),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias(f"s{i}")
+        )
+    aggs.append(
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("f") == "START") & (F.col("t") == "CONV"),
+                    F.col("p"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("sc")
+    )
+    model = tm.agg(*aggs)
+
+    def fold_col(r: int):
+        def step(p, _):
+            items = []
+            for i in range(4):
+                if i == r:
+                    items.append(F.lit(0.0))
+                    continue
+                expr = F.col(f"v{i}")
+                for j in range(4):
+                    expr = expr + F.col(f"m{i}{j}") * F.element_at(p, j + 1)
+                items.append(F.round(expr, MK_SCALE))
+            return F.array(*items)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(MK_ITERS)),
+            F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+            step,
+        )
+
+    def pstart_col(vec, r: int):
+        expr = F.col("sc")
+        for j in range(4):
+            if j == r:
+                continue
+            expr = expr + F.col(f"s{j}") * F.element_at(vec, j + 1)
+        return F.round(expr, MK_SCALE)
+
+    pv = model.select(
+        "*", *[fold_col(r).alias(f"pv{r + 1}") for r in range(-1, 4)]
+    )
+    ps = pv.select(
+        "*",
+        *[
+            pstart_col(F.col(f"pv{r + 1}"), r).alias(f"ps{r + 1}")
+            for r in range(-1, 4)
+        ],
+    )
+    re_sum = None
+    for r in range(4):
+        term = F.lit(1.0) - F.col(f"ps{r + 1}") / F.col("ps0")
+        re_sum = term if re_sum is None else re_sum + term
+    ps = ps.withColumn(
+        "re_sum", F.when(F.col("ps0") > 0, re_sum)
+    )
+    out = None
+    for r in range(4):
+        re_raw = F.lit(1.0) - F.col(f"ps{r + 1}") / F.col("ps0")
+        row = ps.select(
+            F.lit(MK_CHANNELS[r]).alias("channel"),
+            (F.round(F.col("ps0"), 6) + F.lit(0.0)).alias("conv_prob"),
+            F.when(
+                F.col("ps0") > 0, F.round(re_raw, 6) + F.lit(0.0)
+            ).alias("removal_effect"),
+            F.when(
+                (F.col("ps0") > 0) & (F.col("re_sum") > 0),
+                F.round(re_raw / F.col("re_sum"), 6) + F.lit(0.0),
+            ).alias("attribution_share"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -212,6 +212,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "bitmap_type_overlap",
     "incremental_agg_maintenance",
     "did_error_impact",
+    "markov_attribution_removal",
 ]
 
 

@@ -101,6 +101,8 @@ SAMPLE = [
     "gd_quality_classifier_train",
     "bitmap_type_overlap",
     "incremental_agg_maintenance",
+    "did_error_impact",
+    "markov_attribution_removal",
 ]
 
 
