@@ -775,3 +775,137 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# -------------------------- bigram next-event prediction accuracy
+@register(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+               ts, event_id
+        FROM events),
+    med AS (SELECT quantile_cont(es, 0.5) AS m FROM b),
+    pairs AS (
+        SELECT event_type AS f, es,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t
+        FROM b),
+    split AS (
+        SELECT f, t, CASE WHEN es <= med.m THEN 1 ELSE 0 END AS is_train
+        FROM pairs, med WHERE t IS NOT NULL),
+    pred AS (
+        SELECT f, t AS predicted_next FROM (
+            SELECT f, t, row_number() OVER (
+                PARTITION BY f ORDER BY count(*) DESC, t) AS rn
+            FROM split WHERE is_train = 1 GROUP BY f, t)
+        WHERE rn = 1),
+    tr AS (
+        SELECT f, CAST(count(*) AS BIGINT) AS n_train
+        FROM split WHERE is_train = 1 GROUP BY f),
+    te AS (
+        SELECT s.f,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN s.t = p.predicted_next
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM split s JOIN pred p ON s.f = p.f
+        WHERE s.is_train = 0 GROUP BY s.f)
+    SELECT te.f AS from_state, tr.n_train, te.n_test,
+           p.predicted_next,
+           ROUND(CAST(n_hit AS DOUBLE) / n_test, 6) + 0.0 AS top1_acc
+    FROM te JOIN tr ON te.f = tr.f JOIN pred p ON te.f = p.f
+    """,
+    doc="Out-of-sample top-1 accuracy of the first-order (bigram) "
+    "next-event model: transitions whose FROM event falls in the "
+    "first time half train a per-state argmax predictor (most "
+    "frequent successor, deterministic alphabetical tiebreak), "
+    "scored on the second half's transitions — the predictive-"
+    "validity check that tells you whether the transition matrix "
+    "(event_transition_matrix) and the Markov attribution chain "
+    "actually generalize forward in time, or just memorize the "
+    "past. Near-uniform accuracy ~1/states means user behavior is "
+    "memoryless and sequence features won't help a model. "
+    "Determinism: pure integer counts, an argmax under a total "
+    "order, one IEEE division under ROUND with the -0.0 normalizer "
+    "(whole-second epoch truncation on both engines). Scale: one "
+    "per-user window scan; train/test never materialize beyond "
+    "(state, successor) counts.",
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("es"),
+        F.col("ts").cast("timestamp").alias("tts"),
+        "event_id",
+    )
+    uw = Window.partitionBy("user_id").orderBy("tts", "event_id")
+    pairs = b.select(
+        F.col("event_type").alias("f"),
+        "es",
+        F.lead("event_type").over(uw).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    # median over ALL events (not just paired rows) — the oracle's
+    # split population; a pairs-only median silently shifts the
+    # boundary because each user's last event has no successor
+    med = b.agg(F.percentile("es", 0.5).alias("m"))
+    split = tracked_persist(
+        pairs.crossJoin(F.broadcast(med)).select(
+            "f",
+            "t",
+            F.when(F.col("es") <= F.col("m"), 1).otherwise(0).alias(
+                "is_train"
+            ),
+        )
+    )
+    pred = (
+        split.filter(F.col("is_train") == 1)
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("f").orderBy(F.desc("n"), F.col("t"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("f", F.col("t").alias("predicted_next"))
+    )
+    tr = (
+        split.filter(F.col("is_train") == 1)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_train"))
+    )
+    te = (
+        split.filter(F.col("is_train") == 0)
+        .join(F.broadcast(pred), "f")
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("t") == F.col("predicted_next"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+    )
+    return (
+        te.join(F.broadcast(tr), "f")
+        .join(F.broadcast(pred), "f")
+        .select(
+            F.col("f").alias("from_state"),
+            "n_train",
+            "n_test",
+            "predicted_next",
+            (
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_test"), 6
+                )
+                + F.lit(0.0)
+            ).alias("top1_acc"),
+        )
+    )

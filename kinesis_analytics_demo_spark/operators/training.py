@@ -666,3 +666,94 @@ def gd_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("train_mse"),
         )
     )
+
+
+# ----------------------------------- stratified k-fold assignment
+KFOLD_K = 5  #: folds
+KFOLD_SEED = "fold0"  #: change to re-deal reproducibly
+
+
+@register(
+    "stratified_kfold_assignment",
+    oracle=f"""
+    WITH cnts AS (
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS np
+        FROM events GROUP BY user_id),
+    med AS (SELECT median(np) AS m FROM cnts),
+    lab AS (
+        SELECT user_id, CASE WHEN np > m THEN 1 ELSE 0 END AS pos
+        FROM cnts, med),
+    dealt AS (
+        SELECT user_id, pos,
+               (row_number() OVER (
+                    PARTITION BY pos
+                    ORDER BY {H.sql_md5_long(
+                        "user_id::VARCHAR || '" + KFOLD_SEED + "'")},
+                             user_id) - 1) % {KFOLD_K} AS fold
+        FROM lab)
+    SELECT CAST(fold AS INT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+           ROUND(CAST(SUM(pos) AS DOUBLE) / count(*), 6) + 0.0
+               AS pos_rate
+    FROM dealt GROUP BY fold
+    """,
+    doc=f"Stratified {KFOLD_K}-fold cross-validation assignment on "
+    "the heavy-buyer label (shared definition with the evaluation "
+    "battery): within each label stratum, users are dealt to folds "
+    "round-robin in seeded-md5-hash order, so every fold's positive "
+    "rate matches the population to within one user per stratum — "
+    "the variance-reducing split sklearn's StratifiedKFold provides, "
+    "expressed as one window over users. Deterministic and "
+    "re-dealable by seed (the Poisson-bootstrap discipline: swap "
+    "the seed, never the engine's RNG). Scale: one map-side "
+    "rollup to user grain; the per-stratum rank is a window over "
+    "users — beyond ~10^9 users per stratum, deal by hash RANGE "
+    "buckets instead of a global rank (same guarantee, no global "
+    "window); emitted here as the audit rollup (fold x counts), "
+    "the assignment itself being the `dealt` intermediate.",
+)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cnts = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np")
+    )
+    med = cnts.agg(F.percentile("np", 0.5).alias("m"))
+    lab = cnts.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        F.when(F.col("np") > F.col("m"), 1).otherwise(0).alias("pos"),
+    )
+    key = H.md5_long(
+        F.concat(F.col("user_id").cast("string"), F.lit(KFOLD_SEED))
+    )
+    dealt = lab.select(
+        "pos",
+        (
+            (
+                F.row_number().over(
+                    Window.partitionBy("pos").orderBy(key, F.col("user_id"))
+                )
+                - 1
+            )
+            % KFOLD_K
+        ).alias("fold"),
+    )
+    return dealt.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("n_neg"),
+        (
+            F.round(
+                F.sum("pos").cast("double") / F.count(F.lit(1)), 6
+            )
+            + F.lit(0.0)
+        ).alias("pos_rate"),
+    ).select(
+        F.col("fold").cast("int").alias("fold"),
+        "n_users",
+        "n_pos",
+        "n_neg",
+        "pos_rate",
+    )

@@ -213,6 +213,8 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "incremental_agg_maintenance",
     "did_error_impact",
     "markov_attribution_removal",
+    "stratified_kfold_assignment",
+    "markov_next_event_accuracy",
 ]
 
 

@@ -103,6 +103,8 @@ SAMPLE = [
     "incremental_agg_maintenance",
     "did_error_impact",
     "markov_attribution_removal",
+    "stratified_kfold_assignment",
+    "markov_next_event_accuracy",
 ]
 
 
