@@ -476,24 +476,11 @@ def _rrf_oracle() -> str:
     """
 
 
-@register(
-    "retrieval_rrf_fusion",
-    oracle=_rrf_oracle(),
-    doc=f"Hybrid-search rank fusion: BM25 and smoothed-TF-IDF "
-    f"rankings for the same fixed query {BM25_QUERY_TERMS} are fused "
-    "by Reciprocal Rank Fusion (Cormack et al. 2009): rrf = sum over "
-    "rankers of 1/(60 + rank), over each ranker's top-50 pool — the "
-    "standard way modern retrieval stacks combine lexical and "
-    "semantic scorers without calibrating their score scales "
-    "(fusion uses only RANKS, which are exact integers; the two "
-    "reciprocal terms add in fixed left-to-right order). Both "
-    "rankings come from ONE shared token scan (the per-term tf "
-    "pivots feed both scorers), ranked by TakeOrderedAndProject, "
-    "fused by a 50x50 full outer join on doc_id. At 100 TB the "
-    "posting-list prefilter bounds everything downstream of the "
-    "scan at pool size.",
-)
-def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rrf_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 + TF-IDF pool rankings with the RRF sum: returns
+    (doc_id, bm25_rank, tfidf_rank, rrf) over the union of the two
+    top pools — consumed by retrieval_rrf_fusion (fused top-15) and
+    ranker_agreement_tau (tau/rho over the pool intersection)."""
     docs = _t(spark, sf_dir, "documents")
     toks = _doc_tokens(docs)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -587,6 +574,29 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rrf"),
         )
     )
+    return fused
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=_rrf_oracle(),
+    doc=f"Hybrid-search rank fusion: BM25 and smoothed-TF-IDF "
+    f"rankings for the same fixed query {BM25_QUERY_TERMS} are fused "
+    "by Reciprocal Rank Fusion (Cormack et al. 2009): rrf = sum over "
+    "rankers of 1/(60 + rank), over each ranker's top-50 pool — the "
+    "standard way modern retrieval stacks combine lexical and "
+    "semantic scorers without calibrating their score scales "
+    "(fusion uses only RANKS, which are exact integers; the two "
+    "reciprocal terms add in fixed left-to-right order). Both "
+    "rankings come from ONE shared token scan (the per-term tf "
+    "pivots feed both scorers), ranked by TakeOrderedAndProject, "
+    "fused by a 50x50 full outer join on doc_id. At 100 TB the "
+    "posting-list prefilter bounds everything downstream of the "
+    "scan at pool size.",
+)
+
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fused = _rrf_rankings(spark, sf_dir)
     wf = Window.orderBy(F.desc("rrf"), "doc_id")
     return (
         fused.withColumn("fused_rank", F.row_number().over(wf).cast("int"))
@@ -816,4 +826,171 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("total", 6).alias("prf_score"),
         F.row_number().over(w).alias("doc_rank"),
+    )
+
+
+# ----------------------------- ranker agreement (tau / rho)
+def _agreement_oracle() -> str:
+    """Kendall tau-a + Spearman rho between the BM25 and TF-IDF
+    top-pool rankings — the rank CTE chain is generated from the
+    SAME constants and pivot construction as ``_rrf_oracle`` (one
+    ranking definition, two readouts)."""
+    terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    bm_pivots, ti_pivots = [], []
+    bm_total = ti_total = ""
+    for i, t in enumerate(BM25_QUERY_TERMS):
+        bm_pivots.append(
+            f"max(CASE WHEN term = '{t}' THEN score END) AS s{i}"
+        )
+        ti_pivots.append(
+            f"max(CASE WHEN term = '{t}' THEN score2 END) AS t{i}"
+        )
+        bm_piece = f"COALESCE(s{i}, 0.0)"
+        ti_piece = f"COALESCE(t{i}, 0.0)"
+        bm_total = bm_piece if i == 0 else f"({bm_total} + {bm_piece})"
+        ti_total = ti_piece if i == 0 else f"({ti_total} + {ti_piece})"
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    g AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+                  / (SELECT count(*) FROM dl)) AS avgdl),
+    tfq AS (SELECT doc_id, w AS term, count(*) AS tf FROM t
+            WHERE w IN ({terms_sql}) GROUP BY doc_id, w),
+    dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+    s AS (SELECT tfq.doc_id, tfq.term,
+                 (ln(1.0 + ((g.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)))
+                  * ((tfq.tf * {BM25_K1 + 1.0})
+                     / (tfq.tf + ({BM25_K1} * ((1.0 - {BM25_B})
+                        + ({BM25_B} * (dl.dl / g.avgdl))))))) AS score,
+                 (tfq.tf * ln((g.n_docs + 1.0) / (dfq.df + 1.0)))
+                     AS score2
+          FROM tfq
+          JOIN dl ON tfq.doc_id = dl.doc_id
+          CROSS JOIN g JOIN dfq ON tfq.term = dfq.term),
+    bp AS (SELECT doc_id, {', '.join(bm_pivots)} FROM s GROUP BY doc_id),
+    tp AS (SELECT doc_id, {', '.join(ti_pivots)} FROM s GROUP BY doc_id),
+    bmr AS (SELECT doc_id, r FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY {bm_total} DESC, doc_id) AS r FROM bp)
+            WHERE r <= {RRF_POOL}),
+    tir AS (SELECT doc_id, r FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY {ti_total} DESC, doc_id) AS r FROM tp)
+            WHERE r <= {RRF_POOL}),
+    common AS (
+        SELECT bmr.doc_id, bmr.r AS r1, tir.r AS r2
+        FROM bmr JOIN tir ON bmr.doc_id = tir.doc_id),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN (a.r1 - b.r1) * (a.r2 - b.r2) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN (a.r1 - b.r1) * (a.r2 - b.r2) < 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS disc
+        FROM common a JOIN common b ON a.doc_id < b.doc_id),
+    st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST((r1 - r2) AS BIGINT) * (r1 - r2))
+                    AS BIGINT) AS d2
+        FROM common)
+    SELECT st.n AS n_common, pairs.conc AS n_concordant,
+           pairs.disc AS n_discordant,
+           CASE WHEN st.n >= 2 THEN
+               ROUND(CAST(pairs.conc - pairs.disc AS DOUBLE)
+                     / (CAST(st.n AS DOUBLE) * (st.n - 1) / 2.0), 6)
+               + 0.0 END AS kendall_tau,
+           CASE WHEN st.n >= 2 THEN
+               ROUND(1.0 - 6.0 * d2
+                     / (CAST(st.n AS DOUBLE) * (st.n * st.n - 1)), 6)
+               + 0.0 END AS spearman_rho
+    FROM st, pairs
+    """
+
+
+@register(
+    "ranker_agreement_tau",
+    oracle=_agreement_oracle(),
+    doc=f"Rank agreement between the BM25 and smoothed-TF-IDF "
+    f"rankings of the shared query {BM25_QUERY_TERMS} (the two "
+    "rankers retrieval_rrf_fusion fuses): over the docs present in "
+    "BOTH top-pools, Kendall tau-a from exact concordant/discordant "
+    "pair counts (pool ranks are distinct row_numbers — no ties by "
+    "construction) and Spearman rho from the integer sum of squared "
+    "rank differences. The diversity diagnostic that tells you "
+    "whether fusing the rankers can help at all: tau near 1 means "
+    "they are redundant (fusion adds nothing), low tau with good "
+    "individual recall is exactly where RRF wins. Determinism: all "
+    "pair counts and d^2 are exact integers; each coefficient is "
+    "one fixed IEEE expression under ROUND(.,6) with the -0.0 "
+    "normalizer. Scale: everything downstream of the shared token "
+    "scan is bounded by the pool size (the O(pool^2) pair join is "
+    f"{RRF_POOL}^2 rows regardless of corpus size).",
+)
+def ranker_agreement_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    ranks = tracked_persist(_rrf_rankings(spark, sf_dir))
+    common = ranks.filter(
+        F.col("bm25_rank").isNotNull() & F.col("tfidf_rank").isNotNull()
+    ).select(
+        "doc_id",
+        F.col("bm25_rank").alias("r1"),
+        F.col("tfidf_rank").alias("r2"),
+    )
+    common = tracked_persist(common)
+    a = common.select(
+        F.col("doc_id").alias("da"),
+        F.col("r1").alias("a1"),
+        F.col("r2").alias("a2"),
+    )
+    b = common.select(
+        F.col("doc_id").alias("db"),
+        F.col("r1").alias("b1"),
+        F.col("r2").alias("b2"),
+    )
+    prod = (F.col("a1") - F.col("b1")) * (F.col("a2") - F.col("b2"))
+    pairs = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("conc"),
+            F.sum(F.when(prod < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("disc"),
+        )
+    )
+    st = common.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("r1") - F.col("r2")).cast("bigint")
+            * (F.col("r1") - F.col("r2"))
+        )
+        .cast("bigint")
+        .alias("d2"),
+    )
+    n = F.col("n")
+    return st.crossJoin(F.broadcast(pairs)).select(
+        n.alias("n_common"),
+        F.col("conc").alias("n_concordant"),
+        F.col("disc").alias("n_discordant"),
+        F.when(
+            n >= 2,
+            F.round(
+                (F.col("conc") - F.col("disc")).cast("double")
+                / (n.cast("double") * (n - 1) / F.lit(2.0)),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("kendall_tau"),
+        F.when(
+            n >= 2,
+            F.round(
+                F.lit(1.0)
+                - F.lit(6.0)
+                * F.col("d2")
+                / (n.cast("double") * (n * n - 1)),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("spearman_rho"),
     )

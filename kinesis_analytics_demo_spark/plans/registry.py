@@ -215,6 +215,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "markov_attribution_removal",
     "stratified_kfold_assignment",
     "markov_next_event_accuracy",
+    "ranker_agreement_tau",
 ]
 
 

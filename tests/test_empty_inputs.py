@@ -105,6 +105,7 @@ SAMPLE = [
     "markov_attribution_removal",
     "stratified_kfold_assignment",
     "markov_next_event_accuracy",
+    "ranker_agreement_tau",
 ]
 
 

@@ -93,6 +93,8 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "did_error_impact",  # 1-row median-epoch + 1-row group broadcasts
         "stratified_kfold_assignment",  # 1-row label-median broadcast
         "markov_next_event_accuracy",  # 1-row split-median broadcast
+        # bounded 50-row pool pair-join + 1-row stats broadcasts
+        "ranker_agreement_tau",
         "dedup_embedding_cosine",    # broadcast block ids x corpus
         "dedup_embedding_cosine_bucketed",  # broadcast centroids x corpus
         "similarity_incremental_assign",  # broadcast frozen centroids x shard
