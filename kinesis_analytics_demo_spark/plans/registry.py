@@ -85,6 +85,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.stats  # noqa: F401
     import kinesis_analytics_demo_spark.operators.suffix  # noqa: F401
     import kinesis_analytics_demo_spark.operators.stats2  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.stats3  # noqa: F401
     import kinesis_analytics_demo_spark.operators.temporal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text2  # noqa: F401
@@ -216,6 +217,10 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "stratified_kfold_assignment",
     "markov_next_event_accuracy",
     "ranker_agreement_tau",
+    "ks_test_purchase_view",
+    "lorenz_curve_deciles",
+    "burstiness_interevent",
+    "user_diversity_entropy",
 ]
 
 

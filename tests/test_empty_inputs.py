@@ -106,6 +106,11 @@ SAMPLE = [
     "stratified_kfold_assignment",
     "markov_next_event_accuracy",
     "ranker_agreement_tau",
+    # round-6 third-session families
+    "ks_test_purchase_view",
+    "lorenz_curve_deciles",
+    "burstiness_interevent",
+    "user_diversity_entropy",
 ]
 
 

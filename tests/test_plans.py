@@ -158,6 +158,7 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "calibration_bins_propensity",  # 1-row user-count broadcast
         "winnowing_fingerprint_matches",  # 1-row corpus-size (df-cap) bc
         "retrieval_prf_expansion",  # 1-row (n_docs, avgdl) stats bc x2
+        "ks_test_purchase_view",  # 1-row (n_a, n_b) totals broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():
