@@ -909,3 +909,199 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top1_acc"),
         )
     )
+
+
+# ------------------------------- exact Shapley-value attribution
+#: coalition value v(T) = conversions from journeys whose channel set
+#: is a SUBSET of T (monotone, v(empty) = direct purchases), the
+#: order-free simplified game of Zhao, Mahboobi & Bagheri (2018),
+#: "Shapley value methods for attribution modeling in online
+#: advertising". With |N| = 4 channels the 16-coalition lattice is
+#: enumerated EXACTLY in Python once and embedded as literal tables
+#: in both engines; weights |S|!(n-1-|S|)!/n! all have denominator
+#: n! = 24, so phi stays exact-integer (x24) until one final division.
+
+
+def _sh_key(s) -> str:
+    return ",".join(sorted(s))
+
+
+def _sh_lattice():
+    from itertools import combinations
+
+    n = len(MK_CHANNELS)
+    subsets = [
+        frozenset(c)
+        for r in range(n + 1)
+        for c in combinations(MK_CHANNELS, r)
+    ]
+    containment = [
+        (_sh_key(t), _sh_key(s))
+        for t in subsets
+        for s in subsets
+        if s <= t
+    ]
+    import math
+
+    terms = []
+    for ch in MK_CHANNELS:
+        rest = [c for c in MK_CHANNELS if c != ch]
+        for r in range(n):
+            for c in combinations(rest, r):
+                s = frozenset(c)
+                w24 = math.factorial(len(s)) * math.factorial(
+                    n - 1 - len(s)
+                )
+                terms.append(
+                    (ch, _sh_key(s | {ch}), _sh_key(s), w24)
+                )
+    return containment, terms
+
+
+_SH_CONTAIN, _SH_TERMS = _sh_lattice()
+
+
+def _sh_values_sql(rows, cols: str) -> str:
+    body = ", ".join(
+        "(" + ", ".join(f"'{v}'" if isinstance(v, str) else str(v) for v in r)
+        + ")"
+        for r in rows
+    )
+    return f"(VALUES {body}) AS t({cols})"
+
+
+@register(
+    "shapley_attribution_exact",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               COALESCE(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS prior_p
+        FROM events),
+    j AS (
+        SELECT user_id,
+               COALESCE(array_to_string(
+                   list_sort(array_agg(DISTINCT event_type)
+                             FILTER (event_type != 'purchase')), ','), '')
+                   AS s_key,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM o WHERE prior_p = 0 GROUP BY user_id),
+    obs AS (SELECT s_key, SUM(conv) AS c FROM j GROUP BY s_key),
+    cont AS (SELECT * FROM {{CONT}}),
+    v AS (
+        SELECT cont.t_key, COALESCE(SUM(obs.c), 0) AS val
+        FROM cont LEFT JOIN obs ON obs.s_key = cont.s_key
+        GROUP BY cont.t_key),
+    trm AS (SELECT * FROM {{TERMS}}),
+    phi AS (
+        SELECT trm.channel,
+               SUM(trm.w24 * (vw.val - vo.val)) AS phi24
+        FROM trm
+        JOIN v vw ON vw.t_key = trm.with_key
+        JOIN v vo ON vo.t_key = trm.without_key
+        GROUP BY trm.channel)
+    SELECT channel,
+           CAST(ROUND(CAST(phi24 AS DOUBLE) / 24.0, 6) AS DOUBLE) + 0.0
+               AS shapley_conversions,
+           CAST(ROUND(CAST(phi24 AS DOUBLE)
+                      / CAST(SUM(phi24) OVER () AS DOUBLE), 6)
+                AS DOUBLE) + 0.0 AS share
+    FROM phi
+    """.replace("{CONT}", _sh_values_sql(_SH_CONTAIN, "t_key, s_key"))
+    .replace(
+        "{TERMS}",
+        _sh_values_sql(_SH_TERMS, "channel, with_key, without_key, w24"),
+    ),
+    doc="Exact Shapley-value channel attribution (Zhao et al. 2018) "
+    "over the SAME journeys as the Markov/last-touch/U-shape "
+    "operators: v(T) = conversions whose distinct-channel set is "
+    "contained in coalition T; each channel's Shapley value uses the "
+    "exact factorial weights of the 4-channel lattice, kept as "
+    "integer 24ths until the final division, so the result is "
+    "exact-integer arithmetic end to end (no float accumulation "
+    "anywhere). Completes the attribution family: position rules "
+    "(last-touch, U-shape), a Markov removal-effect model, and a "
+    "cooperative-game model on one journey definition. Scale: one "
+    "per-user window scan + a hash aggregate to at most 2^|N| "
+    "observed channel sets; the lattice joins touch 16-row literal "
+    "tables regardless of corpus size.",
+)
+def shapley_attribution_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    o = ev.withColumn(
+        "prior_p",
+        F.coalesce(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).over(
+                uw.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    j = (
+        o.filter(F.col("prior_p") == 0)
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_set(
+                            F.when(
+                                F.col("event_type") != "purchase",
+                                F.col("event_type"),
+                            )
+                        )
+                    ),
+                    ",",
+                ),
+                F.lit(""),
+            ).alias("s_key"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    obs = j.groupBy("s_key").agg(F.sum("conv").alias("c"))
+    cont = spark.createDataFrame(_SH_CONTAIN, "t_key string, s_key string")
+    v = (
+        cont.join(F.broadcast(obs), "s_key", "left")
+        .groupBy("t_key")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("val"))
+    )
+    trm = spark.createDataFrame(
+        _SH_TERMS, "channel string, with_key string, without_key string, w24 long"
+    )
+    vw = v.select(F.col("t_key").alias("with_key"), F.col("val").alias("vw"))
+    vo = v.select(
+        F.col("t_key").alias("without_key"), F.col("val").alias("vo")
+    )
+    phi = (
+        trm.join(F.broadcast(vw), "with_key")
+        .join(F.broadcast(vo), "without_key")
+        .groupBy("channel")
+        .agg(F.sum(F.col("w24") * (F.col("vw") - F.col("vo"))).alias("phi24"))
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return phi.select(
+        "channel",
+        (
+            F.round(F.col("phi24").cast("double") / F.lit(24.0), 6)
+            .cast("double")
+            + F.lit(0.0)
+        ).alias("shapley_conversions"),
+        (
+            F.round(
+                F.col("phi24").cast("double")
+                / F.sum("phi24").over(tot).cast("double"),
+                6,
+            ).cast("double")
+            + F.lit(0.0)
+        ).alias("share"),
+    )

@@ -713,3 +713,124 @@ def woe_iv_feature_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.round(F.col("iv_raw"), 6) + F.lit(0.0)).alias("iv"),
     )
+
+
+# ------------------------------ isotonic calibration (PAVA, exact)
+@register(
+    "isotonic_calibration_pava",
+    oracle=f"""
+    WITH u AS ({_LABELED_SQL}),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+    rk AS (
+        SELECT pos,
+               row_number() OVER (ORDER BY score, user_id) AS r
+        FROM u),
+    bins AS (
+        SELECT ((r - 1) * {CAL_BINS}) // (SELECT n FROM nn) + 1 AS bin,
+               COUNT(*) AS nb, SUM(pos) AS pb
+        FROM rk GROUP BY 1),
+    pfx AS (
+        SELECT bin, nb, pb,
+               SUM(nb) OVER (ORDER BY bin) AS cn,
+               SUM(pb) OVER (ORDER BY bin) AS cp
+        FROM bins),
+    pairs AS (
+        SELECT j.bin AS j, unnest(generate_series(j.bin, {CAL_BINS})) AS k,
+               j.cn - j.nb AS cn0, j.cp - j.pb AS cp0
+        FROM pfx j),
+    av AS (
+        SELECT pairs.j, pairs.k,
+               CAST(kk.cp - pairs.cp0 AS DOUBLE)
+                   / (kk.cn - pairs.cn0) AS a
+        FROM pairs JOIN pfx kk ON kk.bin = pairs.k),
+    tri AS (
+        SELECT unnest(generate_series(j, k)) AS i, j, a FROM av),
+    mn AS (SELECT i, j, MIN(a) AS m FROM tri GROUP BY i, j),
+    iso AS (SELECT i, MAX(m) AS y FROM mn GROUP BY i)
+    SELECT CAST(pfx.bin AS INT) AS bin,
+           CAST(pfx.nb AS BIGINT) AS n_users,
+           CAST(pfx.pb AS BIGINT) AS n_pos,
+           CAST(ROUND(CAST(pfx.pb AS DOUBLE) / pfx.nb, 6) AS DOUBLE)
+               AS pos_rate,
+           CAST(ROUND(iso.y, 6) AS DOUBLE) AS isotonic_rate
+    FROM pfx JOIN iso ON iso.i = pfx.bin
+    """,
+    doc="Isotonic calibration of the binned purchase propensity via "
+    "the pool-adjacent-violators MINIMAX identity (Robertson, Wright "
+    "& Dykstra 1988): the weighted-isotonic fit at bin i equals "
+    "max over j <= i of min over k >= i of the pooled rate "
+    "(cp_k - cp_(j-1)) / (cn_k - cn_(j-1)) — no iteration, no state, "
+    "just the O(B^3) lattice over B = 10 bins, generated by explode "
+    "(never a non-equi join). The pooled rates divide EXACT integer "
+    "prefix sums, so both engines compare identical doubles and the "
+    "argmax lattice is bit-deterministic. Pairs with "
+    "calibration_bins_propensity (same bin deal): pos_rate is the "
+    "raw reliability curve, isotonic_rate its monotone projection — "
+    "the production probability-calibration map. Scale: everything "
+    "after the bin rollup is B^3 = 1000 rows regardless of corpus "
+    "size; the rollup itself is the AUC global-rank caveat.",
+)
+def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _user_scores(spark, sf_dir)
+    nn = u.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rk = u.crossJoin(F.broadcast(nn)).select(
+        "pos",
+        "n",
+        F.row_number()
+        .over(Window.orderBy("score", "user_id"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    bins = (
+        rk.select(
+            F.expr(f"CAST(((r - 1) * {CAL_BINS}) div n AS INT) + 1").alias(
+                "bin"
+            ),
+            "pos",
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("nb"), F.sum("pos").alias("pb"))
+    )
+    wo = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pfx = bins.select(
+        "bin",
+        "nb",
+        "pb",
+        F.sum("nb").over(wo).alias("cn"),
+        F.sum("pb").over(wo).alias("cp"),
+    )
+    pairs = pfx.select(
+        F.col("bin").alias("j"),
+        F.explode(F.sequence("bin", F.lit(CAL_BINS))).alias("k"),
+        (F.col("cn") - F.col("nb")).alias("cn0"),
+        (F.col("cp") - F.col("pb")).alias("cp0"),
+    )
+    kk = pfx.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("cnk"),
+        F.col("cp").alias("cpk"),
+    )
+    av = pairs.join(F.broadcast(kk), "k").select(
+        "j",
+        "k",
+        (
+            (F.col("cpk") - F.col("cp0")).cast("double")
+            / (F.col("cnk") - F.col("cn0"))
+        ).alias("a"),
+    )
+    tri = av.select(
+        F.explode(F.sequence("j", "k")).alias("i"), "j", "a"
+    )
+    mn = tri.groupBy("i", "j").agg(F.min("a").alias("m"))
+    iso = mn.groupBy("i").agg(F.max("m").alias("y"))
+    return pfx.join(
+        F.broadcast(iso), pfx["bin"] == iso["i"]
+    ).select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("nb").cast("bigint").alias("n_users"),
+        F.col("pb").cast("bigint").alias("n_pos"),
+        F.round(F.col("pb").cast("double") / F.col("nb"), 6)
+        .cast("double")
+        .alias("pos_rate"),
+        F.round(F.col("y"), 6).cast("double").alias("isotonic_rate"),
+    )

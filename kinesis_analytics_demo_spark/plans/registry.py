@@ -68,6 +68,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.lm  # noqa: F401
     import kinesis_analytics_demo_spark.operators.multimodal  # noqa: F401
     import kinesis_analytics_demo_spark.operators.pipeline  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.pca  # noqa: F401
     import kinesis_analytics_demo_spark.operators.pq  # noqa: F401
     import kinesis_analytics_demo_spark.operators.profiling  # noqa: F401
     import kinesis_analytics_demo_spark.operators.relational  # noqa: F401
@@ -221,6 +222,10 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "lorenz_curve_deciles",
     "burstiness_interevent",
     "user_diversity_entropy",
+    "shapley_attribution_exact",
+    "adamic_adar_link_prediction",
+    "isotonic_calibration_pava",
+    "power_iteration_top_pc",
 ]
 
 

@@ -111,6 +111,10 @@ SAMPLE = [
     "lorenz_curve_deciles",
     "burstiness_interevent",
     "user_diversity_entropy",
+    "shapley_attribution_exact",
+    "adamic_adar_link_prediction",
+    "isotonic_calibration_pava",
+    "power_iteration_top_pc",
 ]
 
 

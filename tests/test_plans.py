@@ -159,6 +159,8 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "winnowing_fingerprint_matches",  # 1-row corpus-size (df-cap) bc
         "retrieval_prf_expansion",  # 1-row (n_docs, avgdl) stats bc x2
         "ks_test_purchase_view",  # 1-row (n_a, n_b) totals broadcast
+        "isotonic_calibration_pava",  # 1-row user-count broadcast
+        "power_iteration_top_pc",  # 1-row Rayleigh-quotient broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():
