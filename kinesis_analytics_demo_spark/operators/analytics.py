@@ -816,3 +816,182 @@ def did_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("did"),
     )
+
+
+# ------------------------------------------- RFM segmentation
+RFM_Q = 5  #: quintile scores
+
+
+@register(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS m FROM orders),
+    c AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate), (SELECT m FROM mx))
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders GROUP BY o_custkey),
+    sc AS (
+        SELECT ntile({RFM_Q}) OVER (ORDER BY recency_days DESC, o_custkey)
+                   AS r_score,
+               ntile({RFM_Q}) OVER (ORDER BY frequency, o_custkey)
+                   AS f_score,
+               ntile({RFM_Q}) OVER (ORDER BY monetary, o_custkey)
+                   AS m_score,
+               monetary
+        FROM c)
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(monetary), 2) AS DOUBLE) AS segment_revenue
+    FROM sc GROUP BY 1, 2, 3
+    """,
+    doc="RFM segmentation (Hughes 1994): per-customer Recency (days "
+    "since last order, relative to the corpus max date so the result "
+    "is replay-stable), Frequency (order count) and Monetary (exact "
+    "DECIMAL spend) are each dealt into quintile scores 1..5 (5 = "
+    "most recent / most frequent / highest spend) by ntile over a "
+    "TOTAL order (metric, custkey) — the ntile remainder policy is "
+    "identical on both engines only under a total order. Emits the "
+    "segment rollup (up to 125 cells). Scale: one hash aggregate to "
+    "customer grain; the three global ntiles are single-partition "
+    "windows over CUSTOMERS — at 10^9+ swap for histogram-quantile "
+    "cuts (the lorenz_curve_deciles note).",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    od = _t(spark, sf_dir, "orders")
+    mx = od.agg(F.max("o_orderdate").alias("m"))
+    c = (
+        od.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_od"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("m"), F.col("last_od")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    sc = c.select(
+        F.ntile(RFM_Q)
+        .over(Window.orderBy(F.desc("recency_days"), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(RFM_Q)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(RFM_Q)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .alias("m_score"),
+        "monetary",
+    )
+    return sc.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).cast("double").alias("segment_revenue"),
+    ).select(
+        F.col("r_score").cast("int"),
+        F.col("f_score").cast("int"),
+        F.col("m_score").cast("int"),
+        "n_customers",
+        "segment_revenue",
+    )
+
+
+# ------------------------------------- ABC (Pareto) classification
+ABC_A = 0.8  #: class A = parts covering the first 80% of revenue
+ABC_B = 0.95  #: class B = next 15%
+
+
+@register(
+    "abc_classification_parts",
+    oracle=f"""
+    WITH pr AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+        FROM lineitem GROUP BY l_partkey),
+    r AS (
+        SELECT l_partkey, rev,
+               SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS crev,
+               SUM(rev) OVER () AS trev
+        FROM pr),
+    cls AS (
+        SELECT rev,
+               CASE WHEN CAST(crev AS DOUBLE) / CAST(trev AS DOUBLE)
+                         <= {ABC_A} THEN 'A'
+                    WHEN CAST(crev AS DOUBLE) / CAST(trev AS DOUBLE)
+                         <= {ABC_B} THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM r)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS class_revenue,
+           CAST(ROUND(CAST(SUM(rev) AS DOUBLE)
+                      / (SELECT CAST(SUM(rev) AS DOUBLE) FROM pr), 6)
+                AS DOUBLE) AS revenue_share
+    FROM cls GROUP BY abc_class
+    """,
+    doc="ABC / Pareto classification of parts by discounted revenue: "
+    "parts are ranked by exact-DECIMAL revenue (ties broken by "
+    "partkey), class A covers the first 80% of cumulative revenue, "
+    "B to 95%, C the tail — the inventory-prioritization rollup. "
+    "Cumulative and total sums are exact decimals; the class "
+    "boundary compares one IEEE division against literal thresholds, "
+    "identical on both engines. Scale: one hash aggregate to part "
+    "grain plus a global ordered window over PARTS — at 10^9 parts "
+    "use a two-pass histogram cut like the decile operators.",
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("rev")
+    )
+    wo = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.sum("rev").over(wo).cast("double") / F.sum("rev").over(
+        wa
+    ).cast("double")
+    cls = pr.select(
+        "rev",
+        F.when(share <= ABC_A, "A")
+        .when(share <= ABC_B, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    tot = pr.agg(F.sum("rev").cast("double").alias("t"))
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.sum("rev"), 2).cast("double").alias("class_revenue"),
+            F.sum("rev").cast("double").alias("sr"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "n_parts",
+            "class_revenue",
+            F.round(F.col("sr") / F.col("t"), 6)
+            .cast("double")
+            .alias("revenue_share"),
+        )
+    )

@@ -834,3 +834,129 @@ def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos_rate"),
         F.round(F.col("y"), 6).cast("double").alias("isotonic_rate"),
     )
+
+
+# --------------------------- split-conformal prediction intervals
+CP_ALPHA = 0.1  #: target miscoverage (90% intervals)
+
+
+@register(
+    "conformal_interval_event_values",
+    oracle=f"""
+    WITH tr AS (
+        SELECT event_type,
+               COUNT(*) AS n_train,
+               CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                               AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS pred
+        FROM events WHERE event_id % 2 = 0
+        GROUP BY event_type),
+    cal AS (
+        SELECT e.event_type, tr.n_train, tr.pred,
+               ABS(e.value - tr.pred) AS r, e.event_id
+        FROM events e JOIN tr ON tr.event_type = e.event_type
+        WHERE e.event_id % 2 = 1),
+    rk AS (
+        SELECT event_type, n_train, pred, r,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY r, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+        FROM cal),
+    q AS (
+        SELECT event_type, n_train, n_cal, pred, r AS qhat
+        FROM rk
+        WHERE rn = LEAST(CAST(ceil((1 - {CP_ALPHA}) * (n_cal + 1))
+                              AS BIGINT), n_cal))
+    SELECT q.event_type,
+           CAST(q.n_train AS BIGINT) AS n_train,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           q.pred,
+           CAST(ROUND(q.qhat, 6) AS DOUBLE) AS qhat,
+           CAST(ROUND(CAST(COUNT(CASE WHEN cal.r <= q.qhat THEN 1 END)
+                           AS DOUBLE) / q.n_cal, 6) AS DOUBLE)
+               AS cal_coverage
+    FROM q JOIN cal ON cal.event_type = q.event_type
+    GROUP BY q.event_type, q.n_train, q.n_cal, q.pred, q.qhat
+    """,
+    doc="Split-conformal prediction intervals (Vovk et al. 2005; Lei "
+    "et al. JASA 2018) for event values: the model is the per-type "
+    "train-half mean (even event_ids, exact DECIMAL mean rounded "
+    "once), nonconformity = |value - pred| on the held-out odd half, "
+    "and qhat is the ceil((1-alpha)(n+1))-th EXACT order statistic "
+    "(rank over a (r, event_id) total order — no quantile "
+    "interpolation, so both engines pick the same row). The interval "
+    "pred +/- qhat then covers >= 90% of exchangeable future values; "
+    "cal_coverage audits it on the calibration half. Scale: one "
+    "window per event_type partition; qhat selection is "
+    "WindowGroupLimit-able; nothing global.",
+)
+def conformal_interval_event_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tr = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("pred"),
+        )
+    )
+    cal = (
+        ev.where(F.col("event_id") % 2 == 1)
+        .join(F.broadcast(tr), "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            "pred",
+            F.abs(F.col("value") - F.col("pred")).alias("r"),
+            "event_id",
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    rk = cal.select(
+        "event_type",
+        "n_train",
+        "pred",
+        "r",
+        F.row_number().over(wt.orderBy("r", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n_cal"),
+    )
+    q = rk.where(
+        F.col("rn")
+        == F.least(
+            F.ceil(F.lit(1 - CP_ALPHA) * (F.col("n_cal") + 1)).cast(
+                "bigint"
+            ),
+            F.col("n_cal"),
+        )
+    ).select("event_type", "n_train", "n_cal", "pred", F.col("r").alias("qhat"))
+    return (
+        cal.select("event_type", "r")
+        .join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n_train", "n_cal", "pred", "qhat")
+        .agg(
+            F.round(
+                F.count(F.when(F.col("r") <= F.col("qhat"), 1)).cast(
+                    "double"
+                )
+                / F.col("n_cal"),
+                6,
+            )
+            .cast("double")
+            .alias("cal_coverage")
+        )
+        .select(
+            "event_type",
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            "pred",
+            F.round(F.col("qhat"), 6).cast("double").alias("qhat"),
+            "cal_coverage",
+        )
+    )

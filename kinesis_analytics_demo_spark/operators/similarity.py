@@ -1202,3 +1202,88 @@ def ivf_kmeans_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("imbalance_factor"),
     )
+
+
+# --------------------------- mutual nearest neighbors (alignment)
+MNN_LABEL_A = 0  #: "source space" partition
+MNN_LABEL_B = 1  #: "target space" partition
+
+_MNN_COS = V.sql_cosine("a.embedding", "b.embedding", DIM)
+
+
+@register(
+    "mutual_nearest_neighbors",
+    oracle=f"""
+    WITH sim AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               {_MNN_COS} AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = {MNN_LABEL_A} AND b.label = {MNN_LABEL_B}),
+    ab AS (
+        SELECT a_id, b_id, sim FROM (
+            SELECT a_id, b_id, sim,
+                   row_number() OVER (PARTITION BY a_id
+                                      ORDER BY sim DESC, b_id) AS rk
+            FROM sim) WHERE rk = 1),
+    ba AS (
+        SELECT a_id, b_id FROM (
+            SELECT a_id, b_id,
+                   row_number() OVER (PARTITION BY b_id
+                                      ORDER BY sim DESC, a_id) AS rk
+            FROM sim) WHERE rk = 1)
+    SELECT ab.a_id, ab.b_id,
+           CAST(ROUND(ab.sim, 6) AS DOUBLE) AS sim
+    FROM ab JOIN ba ON ba.a_id = ab.a_id AND ba.b_id = ab.b_id
+    """,
+    doc=f"Mutual nearest neighbors between the label-{MNN_LABEL_A} "
+    f"and label-{MNN_LABEL_B} embedding partitions: a pair (a, b) "
+    "survives only when b is a's cosine top-1 in B AND a is b's "
+    "top-1 in A — the standard high-precision seed-pair criterion "
+    "for unsupervised embedding-space alignment (Artetxe et al. "
+    "2018; used for bitext mining and cross-encoder distillation "
+    "pair selection). Ties break (sim DESC, id) under a total "
+    "order. This is the labeled exact O(|A| x |B|) baseline, same "
+    "contract as dedup_embedding_cosine — the scale path reuses the "
+    "IVF coarse lists (similarity_ivf) to bucket both sides before "
+    "the pairwise pass; the mutual check itself is two "
+    "WindowGroupLimit row_number passes + one hash self-join, "
+    "shuffle-keyed by vector id.",
+)
+def mutual_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("label") == MNN_LABEL_A).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
+    )
+    b = emb.where(F.col("label") == MNN_LABEL_B).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
+    )
+    sim = a.crossJoin(F.broadcast(b)).select(
+        "a_id",
+        "b_id",
+        V.cosine(F.col("ea"), F.col("eb")).alias("sim"),
+    )
+    ab = (
+        sim.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("a_id").orderBy(F.desc("sim"), "b_id")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("a_id", "b_id", "sim")
+    )
+    ba = (
+        sim.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("b_id").orderBy(F.desc("sim"), "a_id")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("a_id", "b_id")
+    )
+    return ab.join(ba, ["a_id", "b_id"]).select(
+        "a_id",
+        "b_id",
+        F.round(F.col("sim"), 6).cast("double").alias("sim"),
+    )

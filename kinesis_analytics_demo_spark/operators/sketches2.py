@@ -731,3 +731,87 @@ def bitmap_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ------------------------------------ Chao1 species-richness estimate
+CHAO_SAMPLE_MOD = 10  #: deterministic 1/10 document sample
+
+
+@register(
+    "chao1_vocab_estimate",
+    oracle=f"""
+    WITH st AS (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents WHERE doc_id % {CHAO_SAMPLE_MOD} = 0),
+    cf AS (SELECT w, COUNT(*) AS tf FROM st GROUP BY w),
+    s AS (
+        SELECT COUNT(*) AS d_sample,
+               SUM(tf) AS n_tokens,
+               COUNT(CASE WHEN tf = 1 THEN 1 END) AS f1,
+               COUNT(CASE WHEN tf = 2 THEN 1 END) AS f2
+        FROM cf),
+    tru AS (
+        SELECT COUNT(DISTINCT w) AS d_true
+        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+              FROM documents))
+    SELECT CAST(n_tokens AS BIGINT) AS n_sample_tokens,
+           CAST(d_sample AS BIGINT) AS d_sample,
+           CAST(f1 AS BIGINT) AS f1,
+           CAST(f2 AS BIGINT) AS f2,
+           CAST(ROUND(d_sample + CAST(f1 AS DOUBLE) * (f1 - 1)
+                      / (2.0 * (f2 + 1)), 6) AS DOUBLE) AS chao1_est,
+           CAST(d_true AS BIGINT) AS d_true,
+           CAST(ROUND(100.0 * (d_sample + CAST(f1 AS DOUBLE) * (f1 - 1)
+                               / (2.0 * (f2 + 1)) - d_true)
+                      / d_true, 6) AS DOUBLE) + 0.0 AS err_pct
+    FROM s, tru
+    """,
+    doc="Chao1 species-richness estimator (Chao 1984, bias-corrected "
+    "form D + f1(f1-1)/(2(f2+1)), defined even when no doubletons) "
+    "applied to vocabulary: estimate the FULL corpus's distinct-token "
+    "count from a deterministic 1/10 document sample using only the "
+    "sample's singleton/doubleton profile — the unseen-species bound "
+    "a crawl-curation pass uses to decide whether more data still "
+    "buys vocabulary. err_pct audits the estimate against the true "
+    "full-corpus distinct count (the same correlated-sampling "
+    "discipline as join_size_estimate_sampled). All counts are exact "
+    "integers; one final double expression. Scale: the sample scan "
+    "map-side combines to vocab grain; the frequency-of-frequencies "
+    "profile is 2 numbers — constant state, like the HLL/KMV family.",
+)
+def chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.functions import hashing as H
+
+    docs = _t(spark, sf_dir, "documents")
+    st = docs.where(F.col("doc_id") % CHAO_SAMPLE_MOD == 0).select(
+        F.explode(H.words(F.col("text"))).alias("w")
+    )
+    cf = st.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    s = cf.agg(
+        F.count(F.lit(1)).alias("d_sample"),
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.when(F.col("tf") == 1, 1)).alias("f1"),
+        F.count(F.when(F.col("tf") == 2, 1)).alias("f2"),
+    )
+    tru = (
+        docs.select(F.explode(H.words(F.col("text"))).alias("w"))
+        .agg(F.count_distinct("w").alias("d_true"))
+    )
+    chao = F.col("d_sample") + F.col("f1").cast("double") * (
+        F.col("f1") - 1
+    ) / (F.lit(2.0) * (F.col("f2") + 1))
+    return s.crossJoin(F.broadcast(tru)).select(
+        F.col("n_tokens").cast("bigint").alias("n_sample_tokens"),
+        F.col("d_sample").cast("bigint").alias("d_sample"),
+        F.col("f1").cast("bigint").alias("f1"),
+        F.col("f2").cast("bigint").alias("f2"),
+        F.round(chao, 6).cast("double").alias("chao1_est"),
+        F.col("d_true").cast("bigint").alias("d_true"),
+        (
+            F.round(
+                F.lit(100.0) * (chao - F.col("d_true")) / F.col("d_true"),
+                6,
+            ).cast("double")
+            + F.lit(0.0)
+        ).alias("err_pct"),
+    )

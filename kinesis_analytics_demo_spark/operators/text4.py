@@ -291,3 +291,75 @@ def langid_confusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rate"),
     )
+
+
+# ------------------------------------ Flesch readability scoring
+@register(
+    "readability_flesch_docs",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split_regex(text, '\\s+')) AS n_words,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS n_syllables
+        FROM documents)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CAST(ROUND(206.835
+                      - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                      6) AS DOUBLE) + 0.0 AS flesch_ease,
+           CAST(ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                      + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                      - 15.59, 6) AS DOUBLE) + 0.0 AS fk_grade
+    FROM m WHERE n_words > 0
+    """,
+    doc="Flesch reading-ease and Flesch-Kincaid grade level (Kincaid "
+    "et al. 1975) per document — the readability axis of the quality "
+    "battery (complements the C4/Gopher filters): words by the "
+    "corpus-wide whitespace tokenizer, sentences by terminal-"
+    "punctuation runs (floored at 1), syllables approximated by "
+    "vowel-group runs [aeiouy]+ (the standard regex proxy; "
+    "vowelless tokens count 0). All three counts are exact integers "
+    "from the same regexes on both engines; the two formulas are "
+    "single IEEE expressions rounded once, negative-zero "
+    "normalized (fk_grade goes negative for trivial text). Scale: "
+    "embarrassingly parallel single scan, no shuffle at all.",
+)
+def readability_flesch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.size(H.words(F.col("text"))).alias("n_words"),
+        F.greatest(
+            F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")),
+            F.lit(1),
+        ).alias("n_sentences"),
+        F.size(
+            F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_syllables").cast("bigint").alias("n_syllables"),
+        (
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+            ).cast("double")
+            + F.lit(0.0)
+        ).alias("flesch_ease"),
+        (
+            F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+            ).cast("double")
+            + F.lit(0.0)
+        ).alias("fk_grade"),
+    )

@@ -757,3 +757,91 @@ def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neg",
         "pos_rate",
     )
+
+
+# -------------------------- largest-remainder sampling quotas
+LR_SLOTS = 1000  #: total sample slots to apportion across sources
+
+
+@register(
+    "largest_remainder_quota",
+    oracle=f"""
+    WITH st AS (
+        SELECT source,
+               SUM(len(string_split_regex(text, '\\s+'))) AS tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT SUM(tokens) AS t FROM st),
+    q AS (
+        SELECT source, tokens,
+               ({LR_SLOTS} * tokens) // (SELECT t FROM tot) AS base_slots,
+               ({LR_SLOTS} * tokens) % (SELECT t FROM tot) AS rem
+        FROM st),
+    k AS (SELECT {LR_SLOTS} - SUM(base_slots) AS extras FROM q),
+    r AS (
+        SELECT source, tokens, base_slots,
+               CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                         <= (SELECT extras FROM k)
+                    THEN 1 ELSE 0 END AS extra
+        FROM q)
+    SELECT source,
+           CAST(tokens AS BIGINT) AS tokens,
+           CAST(ROUND({LR_SLOTS} * CAST(tokens AS DOUBLE)
+                      / (SELECT CAST(t AS DOUBLE) FROM tot), 6)
+                AS DOUBLE) AS exact_quota,
+           CAST(base_slots AS BIGINT) AS base_slots,
+           CAST(extra AS INT) AS extra,
+           CAST(base_slots + extra AS BIGINT) AS slots
+    FROM r
+    """,
+    doc=f"Largest-remainder (Hamilton) apportionment of a fixed "
+    f"budget of {LR_SLOTS} sample slots across document sources, "
+    "proportional to token counts — the exact integer quota a "
+    "corpus-mixing pass needs (corpus_sample_weighted draws the "
+    "rows; this fixes the PER-SOURCE counts so they sum EXACTLY to "
+    "the budget). Pure integer arithmetic: floor quotas by integer "
+    "division, remainders ranked as exact integer modulos (never a "
+    "float fraction), ties broken by source — sum(slots) == budget "
+    "by construction. Scale: one hash aggregate to source grain; "
+    "the apportionment itself touches O(sources) rows.",
+)
+def largest_remainder_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    st = docs.groupBy("source").agg(
+        F.sum(F.size(H.words(F.col("text")))).alias("tokens")
+    )
+    tot = st.agg(F.sum("tokens").alias("t"))
+    q = st.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "t",
+        F.expr(f"({LR_SLOTS} * tokens) div t").alias("base_slots"),
+        ((F.lit(LR_SLOTS) * F.col("tokens")) % F.col("t")).alias("rem"),
+    )
+    k = q.agg((F.lit(LR_SLOTS) - F.sum("base_slots")).alias("extras"))
+    r = q.crossJoin(F.broadcast(k)).select(
+        "source",
+        "tokens",
+        "t",
+        "base_slots",
+        F.when(
+            F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+            <= F.col("extras"),
+            1,
+        )
+        .otherwise(0)
+        .alias("extra"),
+    )
+    return r.select(
+        "source",
+        F.col("tokens").cast("bigint").alias("tokens"),
+        F.round(
+            F.lit(LR_SLOTS) * F.col("tokens").cast("double")
+            / F.col("t").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("exact_quota"),
+        F.col("base_slots").cast("bigint").alias("base_slots"),
+        F.col("extra").cast("int").alias("extra"),
+        (F.col("base_slots") + F.col("extra")).cast("bigint").alias("slots"),
+    )

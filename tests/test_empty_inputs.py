@@ -115,6 +115,13 @@ SAMPLE = [
     "adamic_adar_link_prediction",
     "isotonic_calibration_pava",
     "power_iteration_top_pc",
+    "rfm_segmentation",
+    "abc_classification_parts",
+    "conformal_interval_event_values",
+    "chao1_vocab_estimate",
+    "largest_remainder_quota",
+    "mutual_nearest_neighbors",
+    "readability_flesch_docs",
 ]
 
 

@@ -161,6 +161,13 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "ks_test_purchase_view",  # 1-row (n_a, n_b) totals broadcast
         "isotonic_calibration_pava",  # 1-row user-count broadcast
         "power_iteration_top_pc",  # 1-row Rayleigh-quotient broadcast
+        "rfm_segmentation",  # 1-row max-orderdate broadcast
+        "abc_classification_parts",  # 1-row total-revenue broadcast
+        "chao1_vocab_estimate",  # 1-row true-distinct broadcast
+        "largest_remainder_quota",  # 1-row total + extras broadcasts
+        # bounded label-partition brute force (exact MNN baseline,
+        # same contract as dedup_embedding_cosine)
+        "mutual_nearest_neighbors",
     }
     offenders = {}
     for name, spec in all_queries().items():
