@@ -149,3 +149,88 @@ def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("bigint").alias("n_bigrams"),
         F.round(-(fold / F.col("m")), 6).alias("cross_entropy"),
     )
+
+
+# ---------------------------- interpolated Kneser-Ney bigram model
+KN_D = 0.75  #: absolute discount
+KN_TOP = 50  #: highest-count bigrams reported
+
+
+@register(
+    "kneser_ney_bigram_probs",
+    oracle=f"""
+    WITH bg AS (
+        SELECT unnest({H.sql_word_shingles('text', 2)}) AS b
+        FROM documents),
+    sp AS (
+        SELECT string_split(b, ' ')[1] AS w1,
+               string_split(b, ' ')[2] AS w2
+        FROM bg),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c FROM sp GROUP BY w1, w2),
+    c1 AS (
+        SELECT w1, SUM(c) AS c1, COUNT(*) AS n1p
+        FROM c12 GROUP BY w1),
+    r2 AS (SELECT w2, COUNT(*) AS n1pr FROM c12 GROUP BY w2),
+    tt AS (SELECT COUNT(*) AS nbt FROM c12)
+    SELECT c12.w1, c12.w2,
+           CAST(c12.c AS BIGINT) AS c,
+           CAST(ROUND(GREATEST(c12.c - {KN_D}, 0.0) / c1.c1
+                      + {KN_D} * c1.n1p / c1.c1
+                        * (CAST(r2.n1pr AS DOUBLE) / (SELECT nbt FROM tt)),
+                      6) AS DOUBLE) AS p_kn
+    FROM c12 JOIN c1 ON c1.w1 = c12.w1
+    JOIN r2 ON r2.w2 = c12.w2
+    ORDER BY c12.c DESC, c12.w1, c12.w2
+    LIMIT {KN_TOP}
+    """,
+    doc=f"Interpolated Kneser-Ney bigram probabilities (Kneser & Ney "
+    "1995; Chen & Goodman 1999) for the corpus's top-"
+    f"{KN_TOP} bigrams: P(w2|w1) = max(c - D, 0)/c(w1) + "
+    "D * N1+(w1,.)/c(w1) * Pcont(w2), with the continuation "
+    "probability Pcont(w2) = N1+(.,w2) / (distinct bigram types) — "
+    "the smoothing that scores words by how many CONTEXTS they "
+    f"follow, not how often (D = {KN_D}). Complements "
+    "doc_lm_cross_entropy's add-one model with the production-grade "
+    "smoother. All counts are exact integers from one bigram-shingle "
+    "scan; each probability is a single IEEE expression in identical "
+    "operand order. Scale: three hash aggregates over bigram / "
+    "context / right-context keys (the dedup shuffle-width "
+    "discipline — hashes, never raw text, would key the shuffles at "
+    "100 TB); the top-K cut is WindowGroupLimit-able.",
+)
+def kneser_ney_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(H.word_shingles(F.col("text"), 2)).alias("b")
+    )
+    sp = bg.select(
+        F.split(F.col("b"), " ").getItem(0).alias("w1"),
+        F.split(F.col("b"), " ").getItem(1).alias("w2"),
+    )
+    c12 = sp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    r2 = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1pr"))
+    tt = c12.agg(F.count(F.lit(1)).alias("nbt"))
+    pkn = F.round(
+        F.greatest(F.col("c") - KN_D, F.lit(0.0)) / F.col("c1")
+        + F.lit(KN_D)
+        * F.col("n1p")
+        / F.col("c1")
+        * (F.col("n1pr").cast("double") / F.col("nbt")),
+        6,
+    )
+    return (
+        c12.join(c1, "w1")
+        .join(r2, "w2")
+        .crossJoin(F.broadcast(tt))
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(KN_TOP)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("c"),
+            pkn.cast("double").alias("p_kn"),
+        )
+    )

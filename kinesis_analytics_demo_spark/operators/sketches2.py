@@ -815,3 +815,72 @@ def chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("err_pct"),
     )
+
+
+# --------------------------------------- Good-Turing count smoothing
+GT_MAX_R = 10  #: frequency classes reported
+
+
+@register(
+    "good_turing_counts",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents),
+    cf AS (SELECT w, COUNT(*) AS tf FROM t GROUP BY w),
+    ff AS (SELECT tf AS r, COUNT(*) AS fr FROM cf GROUP BY tf),
+    tot AS (
+        SELECT r, fr,
+               SUM(r * fr) OVER () AS n_tokens
+        FROM ff)
+    SELECT CAST(a.r AS BIGINT) AS r,
+           CAST(a.fr AS BIGINT) AS f_r,
+           CAST(COALESCE(b.fr, 0) AS BIGINT) AS f_r1,
+           CAST(ROUND((a.r + 1) * CAST(COALESCE(b.fr, 0) AS DOUBLE)
+                      / a.fr, 6) AS DOUBLE) AS r_star,
+           CAST(ROUND((a.r + 1) * CAST(COALESCE(b.fr, 0) AS DOUBLE)
+                      / a.fr / a.n_tokens, 9) AS DOUBLE) AS p_gt
+    FROM tot a LEFT JOIN ff b ON b.r = a.r + 1
+    WHERE a.r <= {GT_MAX_R}
+    """,
+    doc=f"Good-Turing frequency smoothing (Good 1953) over the corpus "
+    "vocabulary: for each observed frequency class r <= "
+    f"{GT_MAX_R}, the adjusted count r* = (r+1) * f_(r+1) / f_r and "
+    "the smoothed probability r*/N — the unseen-mass machinery "
+    "behind Katz backoff, and the companion diagnostic to "
+    "chao1_vocab_estimate (both read the frequency-of-frequencies "
+    "profile). Classes whose successor class is empty report r* = 0 "
+    "(the raw turing estimate; production smoothers fit a power law "
+    "over the gaps — Gale & Sampson 1995). Exact integer counts, "
+    "one final double expression per row. Scale: vocab rollup "
+    "map-side combines; the f-of-f profile is O(max frequency) "
+    "rows — effectively constant.",
+)
+def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from kinesis_analytics_demo_spark.functions import hashing as H
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(F.explode(H.words(F.col("text"))).alias("w"))
+    cf = t.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    ff = cf.groupBy(F.col("tf").alias("r")).agg(
+        F.count(F.lit(1)).alias("fr")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = ff.select(
+        "r", "fr", F.sum(F.col("r") * F.col("fr")).over(wall).alias("n_tokens")
+    )
+    b = ff.select((F.col("r") - 1).alias("r"), F.col("fr").alias("fr1"))
+    j = tot.join(b, "r", "left").where(F.col("r") <= GT_MAX_R)
+    rstar = (F.col("r") + 1) * F.coalesce(F.col("fr1"), F.lit(0)).cast(
+        "double"
+    ) / F.col("fr")
+    return j.select(
+        F.col("r").cast("bigint").alias("r"),
+        F.col("fr").cast("bigint").alias("f_r"),
+        F.coalesce(F.col("fr1"), F.lit(0)).cast("bigint").alias("f_r1"),
+        F.round(rstar, 6).cast("double").alias("r_star"),
+        F.round(rstar / F.col("n_tokens"), 9).cast("double").alias("p_gt"),
+    )

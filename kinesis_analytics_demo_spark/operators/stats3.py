@@ -357,3 +357,92 @@ def user_diversity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("entropy_nats"),
     )
+
+
+# ------------------------------- sequential probability ratio test
+#: SPRT (Wald 1945) testing the purchase share of the event stream:
+#: H0 p = 0.15 vs H1 p = 0.20 at alpha = beta = 0.05. The per-event
+#: log-likelihood increments and the decision boundaries are
+#: precomputed in PYTHON and embedded as identical double literals in
+#: both engines (the Poisson-bootstrap literal discipline), so
+#: LLR_n = k*L1 + (n-k)*L0 is two exact-integer-by-literal products.
+SPRT_L1 = 0.287682072451781  #: ln(p1/p0)
+SPRT_L0 = -0.060624621816434736  #: ln((1-p1)/(1-p0))
+SPRT_A = 2.9444389791664403  #: accept-H1 boundary ln((1-b)/a)
+SPRT_B = -2.9444389791664403  #: accept-H0 boundary ln(b/(1-a))
+
+
+@register(
+    "sprt_purchase_rate",
+    oracle=f"""
+    WITH c AS (
+        SELECT row_number() OVER (ORDER BY ts, event_id) AS rn,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (ORDER BY ts, event_id) AS k
+        FROM events),
+    l AS (
+        SELECT rn, k,
+               k * {SPRT_L1} + (rn - k) * {SPRT_L0} AS llr
+        FROM c),
+    d AS (
+        SELECT MIN(CASE WHEN llr >= {SPRT_A} OR llr <= {SPRT_B}
+                        THEN rn END) AS dn,
+               MAX(rn) AS n FROM l)
+    SELECT CASE WHEN l.llr >= {SPRT_A} THEN 'accept_h1'
+                WHEN l.llr <= {SPRT_B} THEN 'accept_h0'
+                ELSE 'continue' END AS outcome,
+           CAST(l.rn AS BIGINT) AS n_at_decision,
+           CAST(l.k AS BIGINT) AS k_at_decision,
+           CAST(ROUND(l.llr, 6) AS DOUBLE) + 0.0 AS llr
+    FROM l JOIN d ON l.rn = COALESCE(d.dn, d.n)
+    """,
+    doc="Wald's sequential probability ratio test (1945) on the "
+    "purchase share of the event stream in (ts, event_id) order: "
+    "H0 p=0.15 vs H1 p=0.20, alpha=beta=0.05. Because the Bernoulli "
+    "LLR is k*L1 + (n-k)*L0 with Python-precomputed literals, the "
+    "walk is exact given the integer cumulative counts, and the "
+    "FIRST boundary crossing (or 'continue' at stream end) is a "
+    "deterministic row pick. The early-stopping A/B machinery that "
+    "complements the fixed-horizon Welch test. Scale: the cumulative "
+    "count is a global ordered window — inherently sequential "
+    "semantics; at scale run per-segment SPRTs (partition the "
+    "window) or the streaming stateful twin pattern.",
+)
+def sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.orderBy(F.col("ts").cast("timestamp"), "event_id")
+    c = ev.select(
+        F.row_number().over(wo).alias("rn"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("k"),
+    )
+    ll = tracked_persist(
+        c.select(
+            "rn",
+            "k",
+            (
+                F.col("k") * F.lit(SPRT_L1)
+                + (F.col("rn") - F.col("k")) * F.lit(SPRT_L0)
+            ).alias("llr"),
+        )
+    )
+    crossed = (F.col("llr") >= SPRT_A) | (F.col("llr") <= SPRT_B)
+    d = ll.agg(
+        F.min(F.when(crossed, F.col("rn"))).alias("dn"),
+        F.max("rn").alias("n"),
+    )
+    return ll.join(
+        F.broadcast(d),
+        ll["rn"] == F.coalesce(d["dn"], d["n"]),
+    ).select(
+        F.when(F.col("llr") >= SPRT_A, "accept_h1")
+        .when(F.col("llr") <= SPRT_B, "accept_h0")
+        .otherwise("continue")
+        .alias("outcome"),
+        F.col("rn").cast("bigint").alias("n_at_decision"),
+        F.col("k").cast("bigint").alias("k_at_decision"),
+        (F.round(F.col("llr"), 6).cast("double") + F.lit(0.0)).alias("llr"),
+    )

@@ -1454,3 +1454,361 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("disc.nn").cast("int").alias("discord_j"),
         F.round(F.col("disc.p"), 6).alias("discord_dist"),
     )
+
+
+# ----------------------------------- Hurst exponent (R/S analysis)
+HURST_SCALES = [8, 16, 32]  #: block sizes for rescaled-range analysis
+
+
+@register(
+    "hurst_exponent_daily",
+    oracle=f"""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS v
+        FROM events GROUP BY 1),
+    series AS (
+        SELECT [x.v for x in list({{'day': day, 'v': v}} ORDER BY day)]
+                   AS vs
+        FROM d),
+    sc_t AS (
+        SELECT vs, sc
+        FROM series, (SELECT unnest({HURST_SCALES}) AS sc)
+        WHERE len(vs) // sc >= 2),
+    bi AS (
+        SELECT sc, vs,
+               unnest(generate_series(0, len(vs) // sc - 1)) AS b
+        FROM sc_t),
+    blk AS (
+        SELECT sc, b, vs[b * sc + 1 : b * sc + sc] AS xs
+        FROM bi),
+    stat AS (
+        SELECT sc, b, xs,
+               list_reduce([0.0] || xs, (a, x) -> a + x) / len(xs) AS m
+        FROM blk),
+    rs AS (
+        SELECT sc, b,
+               list_max(z) - list_min(z) AS r,
+               sqrt(list_reduce(
+                        [0.0] || [(x - m) * (x - m) for x in xs],
+                        (a, x) -> a + x) / len(xs)) AS s
+        FROM (
+            SELECT sc, b, xs, m,
+                   list_reduce([[0.0]] || [[x] for x in xs],
+                               (a, e) -> a || [a[-1] + (e[1] - m)])
+                       [2:] AS z
+            FROM stat)),
+    agg AS (
+        SELECT sc,
+               COUNT(CASE WHEN s > 0 THEN 1 END) AS n_blocks,
+               CAST(SUM(CASE WHEN s > 0 THEN
+                        CAST(ROUND(r / s, 12) AS DECIMAL(28,12)) END)
+                    AS DOUBLE)
+                   / COUNT(CASE WHEN s > 0 THEN 1 END) AS avg_rs
+        FROM rs GROUP BY sc
+        HAVING COUNT(CASE WHEN s > 0 THEN 1 END) > 0),
+    pts AS (
+        SELECT list({{'x': ln(CAST(sc AS DOUBLE)),
+                      'y': ln(avg_rs)}} ORDER BY sc) AS ps,
+               CAST(COUNT(*) AS DOUBLE) AS k
+        FROM agg),
+    reg AS (
+        SELECT CASE WHEN k >= 2 THEN
+               ((k * list_reduce([0.0] || [p.x * p.y for p in ps],
+                                 (a, x) -> a + x))
+                - (list_reduce([0.0] || [p.x for p in ps],
+                               (a, x) -> a + x)
+                   * list_reduce([0.0] || [p.y for p in ps],
+                                 (a, x) -> a + x)))
+               / ((k * list_reduce([0.0] || [p.x * p.x for p in ps],
+                                    (a, x) -> a + x))
+                  - (list_reduce([0.0] || [p.x for p in ps],
+                                 (a, x) -> a + x)
+                     * list_reduce([0.0] || [p.x for p in ps],
+                                   (a, x) -> a + x)))
+               END AS h
+        FROM pts)
+    SELECT CAST(agg.sc AS INT) AS scale,
+           CAST(agg.n_blocks AS BIGINT) AS n_blocks,
+           CAST(ROUND(agg.avg_rs, 6) AS DOUBLE) AS avg_rs,
+           CAST(ROUND(reg.h, 6) AS DOUBLE) + 0.0 AS hurst
+    FROM agg, reg
+    """,
+    doc="Hurst exponent of the corpus-wide daily revenue series by "
+    "rescaled-range analysis (Hurst 1951; Mandelbrot & Wallis 1969): "
+    "for each block size n in "
+    f"{HURST_SCALES}, the series splits into contiguous blocks, each "
+    "contributing R/S = (range of cumulative mean-deviations) / "
+    "(population sigma); H is the log-log slope of avg R/S on n "
+    "(H = 0.5 random walk, > 0.5 persistent/trending, < 0.5 "
+    "mean-reverting) — the long-range-dependence diagnostic that "
+    "tells the forecasting family (Holt, Theil-Sen) whether history "
+    "helps at all. Determinism: daily values are DECIMAL-exact; "
+    "block means, cumulative deviations (LIST-state fold — never a "
+    "struct, the Holt trap), and sigma are fixed-order left folds "
+    "over day-sorted arrays; per-block R/S is rounded to 12 dp and "
+    "averaged in exact DECIMAL; the final regression folds a "
+    "scale-sorted 3-point list (the Zipf discipline). Zero-sigma "
+    "blocks are excluded on both engines. Scale: one "
+    "map-side-combinable daily rollup; everything after is one "
+    "bounded array per scale.",
+)
+def hurst_exponent_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("v")
+    )
+    series = d.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "v"))),
+            lambda x: x["v"],
+        ).alias("vs")
+    )
+    scales = F.array(*[F.lit(s) for s in HURST_SCALES])
+    blk = (
+        series.select(F.explode(scales).alias("sc"), "vs")
+        .where((F.size("vs") / F.col("sc")).cast("int") >= 2)
+        .select(
+            "sc",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    (F.size("vs") / F.col("sc")).cast("int") - 1,
+                )
+            ).alias("b"),
+            "vs",
+        )
+        .select(
+            "sc",
+            "b",
+            F.slice(
+                F.col("vs"), F.col("b") * F.col("sc") + 1, F.col("sc")
+            ).alias("xs"),
+        )
+    )
+    stat = blk.withColumn(
+        "m",
+        F.aggregate(F.col("xs"), F.lit(0.0), lambda a, x: a + x)
+        / F.size("xs"),
+    )
+    z = F.slice(
+        F.aggregate(
+            F.col("xs"),
+            F.array(F.lit(0.0)),
+            lambda a, x: F.concat(
+                a, F.array(F.element_at(a, -1) + (x - F.col("m")))
+            ),
+        ),
+        2,
+        F.size("xs"),
+    )
+    rs = stat.withColumn("z", z).select(
+        "sc",
+        "b",
+        (F.array_max("z") - F.array_min("z")).alias("r"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col("xs"),
+                    lambda x: (x - F.col("m")) * (x - F.col("m")),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.size("xs")
+        ).alias("s"),
+    )
+    agg = (
+        rs.groupBy("sc")
+        .agg(
+            F.count(F.when(F.col("s") > 0, 1)).alias("n_blocks"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("s") > 0,
+                        F.round(F.col("r") / F.col("s"), 12).cast(
+                            "decimal(28,12)"
+                        ),
+                    )
+                ).cast("double")
+                / F.count(F.when(F.col("s") > 0, 1))
+            ).alias("avg_rs"),
+        )
+        .where(F.col("n_blocks") > 0)
+    )
+    pts = agg.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("sc"),
+                        F.log(F.col("sc").cast("double")).alias("x"),
+                        F.log(F.col("avg_rs")).alias("y"),
+                    )
+                )
+            ),
+            lambda s: F.struct(s["x"].alias("x"), s["y"].alias("y")),
+        ).alias("ps"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+
+    def fold(expr):
+        return F.aggregate(F.col("ps"), F.lit(0.0), expr)
+
+    sx = fold(lambda a, p: a + p["x"])
+    sy = fold(lambda a, p: a + p["y"])
+    sxy = fold(lambda a, p: a + (p["x"] * p["y"]))
+    sxx = fold(lambda a, p: a + (p["x"] * p["x"]))
+    k = F.col("k")
+    reg = pts.select(
+        F.when(
+            k >= 2,
+            ((k * sxy) - (sx * sy)) / ((k * sxx) - (sx * sx)),
+        ).alias("h")
+    )
+    return agg.crossJoin(F.broadcast(reg)).select(
+        F.col("sc").cast("int").alias("scale"),
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.round(F.col("avg_rs"), 6).cast("double").alias("avg_rs"),
+        (F.round(F.col("h"), 6).cast("double") + F.lit(0.0)).alias("hurst"),
+    )
+
+
+# --------------------------- SAX symbolic aggregate approximation
+SAX_FRAME = 7  #: PAA frame length (days)
+#: gaussian breakpoints for a 4-symbol alphabet (Lin et al. 2003)
+SAX_B1, SAX_B2, SAX_B3 = -0.6745, 0.0, 0.6745
+
+
+@register(
+    "sax_words_daily",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS v
+        FROM events GROUP BY 1, 2),
+    series AS (
+        SELECT event_type,
+               [x.v for x in list({{'day': day, 'v': v}} ORDER BY day)]
+                   AS vs
+        FROM d GROUP BY event_type),
+    st AS (
+        SELECT event_type, vs, len(vs) AS n,
+               list_reduce([0.0] || vs, (a, x) -> a + x) / len(vs) AS m
+        FROM series WHERE len(vs) >= {SAX_FRAME}),
+    sd AS (
+        SELECT event_type, vs, n, m,
+               sqrt(list_reduce(
+                        [0.0] || [(x - m) * (x - m) for x in vs],
+                        (a, x) -> a + x) / n) AS s
+        FROM st),
+    paa AS (
+        SELECT event_type, n, n // {SAX_FRAME} AS nseg,
+               [list_reduce(
+                    [0.0] || [(x - m) / s
+                              for x in vs[g * {SAX_FRAME} + 1 :
+                                          g * {SAX_FRAME} + {SAX_FRAME}]],
+                    (a, x) -> a + x) / {SAX_FRAME}
+                for g in generate_series(0, n // {SAX_FRAME} - 1)] AS segs
+        FROM sd WHERE s > 0)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(nseg AS BIGINT) AS n_segments,
+           array_to_string(
+               [CASE WHEN q < {SAX_B1} THEN 'a'
+                     WHEN q < {SAX_B2} THEN 'b'
+                     WHEN q < {SAX_B3} THEN 'c'
+                     ELSE 'd' END for q in segs], '') AS sax_word
+    FROM paa
+    """,
+    doc="SAX (Symbolic Aggregate approXimation, Lin, Keogh, Lonardi "
+    "& Chiu, DMKD 2003) of each event type's daily revenue series: "
+    "z-normalize against the series' own mean/sigma, average over "
+    f"{SAX_FRAME}-day PAA frames, and map each frame to a 4-symbol "
+    "alphabet at the equiprobable gaussian breakpoints (-0.6745, 0, "
+    "0.6745) — the discretization that lets time series reuse the "
+    "TEXT machinery (shingle dedup, winnowing, suffix audits) for "
+    "motif mining; the symbolic companion to matrix_profile_daily. "
+    "Determinism: daily values DECIMAL-exact; mean/sigma/PAA are "
+    "fixed-order left folds over day-sorted arrays; symbol "
+    "assignment compares identical doubles against literals. Scale: "
+    "map-side daily rollup; per-type state is one bounded array.",
+)
+def sax_words_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("v")
+    )
+    series = d.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "v"))),
+            lambda x: x["v"],
+        ).alias("vs")
+    )
+    n = F.size("vs")
+    st = series.where(n >= SAX_FRAME).withColumn(
+        "m",
+        F.aggregate(F.col("vs"), F.lit(0.0), lambda a, x: a + x)
+        / F.size("vs"),
+    )
+    sd = st.withColumn(
+        "s",
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col("vs"),
+                    lambda x: (x - F.col("m")) * (x - F.col("m")),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.size("vs")
+        ),
+    ).where(F.col("s") > 0)
+    seg_mean = lambda g: (
+        F.aggregate(
+            F.transform(
+                F.slice(
+                    F.col("vs"), g * SAX_FRAME + 1, F.lit(SAX_FRAME)
+                ),
+                lambda x: (x - F.col("m")) / F.col("s"),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / SAX_FRAME
+    )
+    paa = sd.select(
+        "event_type",
+        F.size("vs").alias("n"),
+        (F.size("vs") / SAX_FRAME).cast("int").alias("nseg"),
+        F.transform(
+            F.sequence(
+                F.lit(0), (F.size("vs") / SAX_FRAME).cast("int") - 1
+            ),
+            seg_mean,
+        ).alias("segs"),
+    )
+    sym = lambda q: (
+        F.when(q < SAX_B1, "a")
+        .when(q < SAX_B2, "b")
+        .when(q < SAX_B3, "c")
+        .otherwise("d")
+    )
+    return paa.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("nseg").cast("bigint").alias("n_segments"),
+        F.array_join(F.transform(F.col("segs"), sym), "").alias("sax_word"),
+    )

@@ -531,6 +531,70 @@ def streaming_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay_events_stream(spark, sf_dir, "cusum", build, output_mode="append")
 
 
+@register(
+    "streaming_pagehinkley_replay",
+    oracle="""
+    WITH RECURSIVE r AS (
+        SELECT event_type, ts, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    f(event_type, rn, mean, m, mmin) AS (
+        SELECT event_type, rn,
+               0.0 + ((value - 0.0) / rn),
+               0.0 + ((value - (0.0 + ((value - 0.0) / rn))) - 0.5),
+               least(0.0,
+                     0.0 + ((value - (0.0 + ((value - 0.0) / rn))) - 0.5))
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.event_type, r.rn,
+               f.mean + ((r.value - f.mean) / r.rn),
+               f.m + ((r.value - (f.mean + ((r.value - f.mean) / r.rn)))
+                      - 0.5),
+               least(f.mmin,
+                     f.m + ((r.value
+                             - (f.mean + ((r.value - f.mean) / r.rn)))
+                            - 0.5))
+        FROM f JOIN r ON r.event_type = f.event_type AND r.rn = f.rn + 1
+    )
+    SELECT r.event_type AS key, r.ts, r.value,
+           f.m AS m_stat, f.mmin AS m_min,
+           ((f.m - f.mmin) > 50.0) AS alarm
+    FROM f JOIN r ON r.event_type = f.event_type AND r.rn = f.rn
+    """,
+    doc="CUSTOM STATEFUL OPERATOR value-checked on the true streaming "
+    "path: Page-Hinkley drift detection per key via "
+    "applyInPandasWithState — m accumulates deviations of the value "
+    "from its own RUNNING mean (minus tolerance delta = 0.5) and "
+    "alarms when m exceeds its running minimum by lambda = 50; "
+    "constant per-key state (n, mean, m, min m). Complements "
+    "streaming_cusum_replay, which deviates from a FIXED target — "
+    "Page-Hinkley self-calibrates, the concept-drift form used by "
+    "streaming training-data monitors (Gama et al. 2014). The full "
+    "per-row (m, min, alarm) trace is compared against a DuckDB "
+    "recursive-CTE fold replaying the identical IEEE op sequence "
+    "(including the running-mean division) in (ts, event_id) order.",
+)
+def streaming_pagehinkley_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.streaming.stateful import (
+        pagehinkley_stateful,
+    )
+
+    def build(stream, name):
+        return pagehinkley_stateful(
+            stream,
+            key_col="event_type",
+            ts_col="ts",
+            value_col="value",
+            tiebreak_col="event_id",
+        )
+
+    return _replay_events_stream(
+        spark, sf_dir, "ph", build, output_mode="append"
+    )
+
+
 from kinesis_analytics_demo_spark.operators.pipeline import (
     _sql_pipeline_ctes as _prep_ctes,
 )

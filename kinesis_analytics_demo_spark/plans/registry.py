@@ -233,6 +233,12 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "largest_remainder_quota",
     "mutual_nearest_neighbors",
     "readability_flesch_docs",
+    "sprt_purchase_rate",
+    "good_turing_counts",
+    "kneser_ney_bigram_probs",
+    "streaming_pagehinkley_replay",
+    "hurst_exponent_daily",
+    "sax_words_daily",
 ]
 
 

@@ -787,3 +787,114 @@ def spacesaving_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------- Page-Hinkley drift
+PH_DELTA = 0.5  #: magnitude tolerance
+PH_LAMBDA = 50.0  #: drift alarm threshold
+
+_PH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("m_stat", T.DoubleType()),
+        T.StructField("m_min", T.DoubleType()),
+        T.StructField("alarm", T.BooleanType()),
+    ]
+)
+
+_PH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("m", T.DoubleType()),
+        T.StructField("mmin", T.DoubleType()),
+    ]
+)
+
+
+def _make_ph_fn(
+    delta: float, lam: float, ts_col: str, value_col: str, tiebreak_col: str
+):
+    """Closure (shipped by value): the Page-Hinkley mean-increase
+    detector. State per key = (n, running mean, cumulative deviation
+    m, running min of m) — four scalars, constant size."""
+
+    def ph_fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (k,) = key
+        n, mean, m, mmin = (
+            state.get if state.exists else (0, 0.0, 0.0, 0.0)
+        )
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            state.update((n, mean, m, mmin))
+            yield pd.DataFrame(
+                columns=["key", "ts", "value", "m_stat", "m_min", "alarm"]
+            )
+            return
+        pdf = pd.concat(chunks).sort_values(
+            [ts_col, tiebreak_col], kind="mergesort"
+        )
+        m_l, mm_l, al_l = [], [], []
+        for v in pdf[value_col]:
+            v = float(v)
+            # fixed IEEE op order, mirrored by the DuckDB oracle:
+            n = n + 1
+            mean = mean + ((v - mean) / n)
+            m = m + ((v - mean) - delta)
+            mmin = min(mmin, m)
+            m_l.append(m)
+            mm_l.append(mmin)
+            al_l.append(bool((m - mmin) > lam))
+        state.update((n, mean, m, mmin))
+        yield pd.DataFrame(
+            {
+                "key": k,
+                "ts": pdf[ts_col],
+                "value": pdf[value_col],
+                "m_stat": m_l,
+                "m_min": mm_l,
+                "alarm": al_l,
+            }
+        )
+
+    return ph_fn
+
+
+def pagehinkley_stateful(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+    delta: float = PH_DELTA,
+    lam: float = PH_LAMBDA,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Page-Hinkley drift detector per key (Page 1954; the streaming
+    concept-drift form of Gama et al., "A survey on concept drift
+    adaptation", 2014): m accumulates deviations of x from its own
+    RUNNING mean minus a tolerance delta, and an alarm fires when m
+    rises more than lambda above its running minimum — an upward
+    mean-shift detector whose state never grows (four scalars per
+    key). Complements cusum_stateful, which tracks deviation from a
+    FIXED target; Page-Hinkley self-calibrates to the stream. Same
+    streaming/batch-equivalence caveat as ema_stateful: replay order
+    is event-time order."""
+    tiebreak = tiebreak_col or value_col
+    if df.isStreaming:
+        from kinesis_analytics_demo_spark.streaming.windows import ensure_event_time
+
+        df = ensure_event_time(df, ts_col)
+        if watermark is not None:
+            df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        _make_ph_fn(delta, lam, ts_col, value_col, tiebreak),
+        outputStructType=_PH_OUTPUT_SCHEMA,
+        stateStructType=_PH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -122,6 +122,13 @@ SAMPLE = [
     "largest_remainder_quota",
     "mutual_nearest_neighbors",
     "readability_flesch_docs",
+    "sprt_purchase_rate",
+    "good_turing_counts",
+    "kneser_ney_bigram_probs",
+    # (streaming_* replays are excluded: the replay source needs a
+    # single parquet FILE per table, the empty fixture writes a dir)
+    "hurst_exponent_daily",
+    "sax_words_daily",
 ]
 
 

@@ -168,6 +168,9 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         # bounded label-partition brute force (exact MNN baseline,
         # same contract as dedup_embedding_cosine)
         "mutual_nearest_neighbors",
+        "sprt_purchase_rate",  # 1-row decision-index broadcast
+        "kneser_ney_bigram_probs",  # 1-row bigram-type-count broadcast
+        "hurst_exponent_daily",  # 1-row regression-slope broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():
