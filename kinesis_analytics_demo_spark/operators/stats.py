@@ -274,3 +274,103 @@ def daily_p95_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "day", F.col("n").cast("bigint"), "p95")
     )
+
+
+# ------------------------------------- Cramer's V association strength
+@register(
+    "cramers_v_type_weekday",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               CAST(count(*) AS DECIMAL(18,0)) AS obs
+        FROM events GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(obs) AS DOUBLE) AS n FROM o),
+    rt AS (SELECT event_type, CAST(SUM(obs) AS DOUBLE) AS r FROM o GROUP BY 1),
+    ct AS (SELECT dow, CAST(SUM(obs) AS DOUBLE) AS c FROM o GROUP BY 1),
+    cells AS (
+        SELECT CAST(ROUND(POW(CAST(o.obs AS DOUBLE)
+                              - rt.r * ct.c / tot.n, 2)
+                          / (rt.r * ct.c / tot.n), 9)
+                    AS DECIMAL(28,9)) AS term
+        FROM o, tot
+        JOIN rt ON o.event_type = rt.event_type
+        JOIN ct ON o.dow = ct.dow),
+    dims AS (
+        SELECT CAST((SELECT count(*) FROM rt) AS DOUBLE) AS r,
+               CAST((SELECT count(*) FROM ct) AS DOUBLE) AS c),
+    agg AS (
+        SELECT CAST(SUM(term) AS DOUBLE) AS chi2, tot.n, dims.r, dims.c
+        FROM cells, tot, dims GROUP BY tot.n, dims.r, dims.c)
+    SELECT CAST(ROUND(chi2, 6) AS DOUBLE) AS chi_square,
+           CAST(n AS BIGINT) AS n,
+           CAST(r AS INT) AS n_rows,
+           CAST(c AS INT) AS n_cols,
+           CAST(ROUND(sqrt((chi2 / n) / LEAST(r - 1, c - 1)), 6)
+                AS DOUBLE) AS cramers_v,
+           CAST(ROUND(sqrt(GREATEST(chi2 / n
+                                    - (r - 1) * (c - 1) / (n - 1), 0.0)
+                           / LEAST(r - (r - 1) * (r - 1) / (n - 1) - 1,
+                                   c - (c - 1) * (c - 1) / (n - 1) - 1)),
+                      6) AS DOUBLE) AS cramers_v_corrected
+    FROM agg
+    """,
+    doc="Cramer's V effect size for the event_type x weekday "
+    "contingency table — the [0, 1]-normalized association strength "
+    "the raw chi-square (chisq_event_type_weekday, same cell "
+    "construction) cannot give, plus the Bergsma (2013) "
+    "bias-corrected variant that de-biases small-sample phi^2 and "
+    "the table dimensions. Per-cell terms are rounded to 9 dp and "
+    "summed in exact DECIMAL (the chi-square discipline); V is one "
+    "sqrt of exact-operand IEEE arithmetic. A uniform generator "
+    "should sit near 0. Scale: the contingency rollup map-side "
+    "combines; everything after is O(r x c) cells.",
+)
+def cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type",
+        (F.dayofweek(F.col("ts").cast("timestamp")) - 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("obs"))
+    tot = o.agg(F.sum("obs").cast("double").alias("n"))
+    rt = o.groupBy("event_type").agg(F.sum("obs").cast("double").alias("r"))
+    ct = o.groupBy("dow").agg(F.sum("obs").cast("double").alias("c"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.pow(F.col("obs").cast("double") - e, 2) / e, 9
+            )
+            .cast("decimal(28,9)")
+            .alias("term")
+        )
+    )
+    dims = rt.agg(F.count(F.lit(1)).cast("double").alias("r")).crossJoin(
+        F.broadcast(ct.agg(F.count(F.lit(1)).cast("double").alias("c")))
+    )
+    agg = (
+        cells.agg(F.sum("term").cast("double").alias("chi2"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+    )
+    phi2 = F.col("chi2") / F.col("n")
+    r, c, n = F.col("r"), F.col("c"), F.col("n")
+    phi2c = F.greatest(
+        phi2 - (r - 1) * (c - 1) / (n - 1), F.lit(0.0)
+    )
+    rc = r - (r - 1) * (r - 1) / (n - 1)
+    cc = c - (c - 1) * (c - 1) / (n - 1)
+    return agg.select(
+        F.round(F.col("chi2"), 6).cast("double").alias("chi_square"),
+        n.cast("bigint").alias("n"),
+        r.cast("int").alias("n_rows"),
+        c.cast("int").alias("n_cols"),
+        F.round(F.sqrt(phi2 / F.least(r - 1, c - 1)), 6)
+        .cast("double")
+        .alias("cramers_v"),
+        F.round(F.sqrt(phi2c / F.least(rc - 1, cc - 1)), 6)
+        .cast("double")
+        .alias("cramers_v_corrected"),
+    )

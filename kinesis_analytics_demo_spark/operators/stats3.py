@@ -446,3 +446,107 @@ def sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("bigint").alias("k_at_decision"),
         (F.round(F.col("llr"), 6).cast("double") + F.lit(0.0)).alias("llr"),
     )
+
+
+# ------------------------------------ Theil index decomposition
+@register(
+    "theil_index_by_type",
+    oracle="""
+    WITH ux AS (
+        SELECT event_type, user_id,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY event_type, user_id),
+    g AS (
+        SELECT event_type,
+               COUNT(*) AS ng,
+               SUM(x) AS sg,
+               ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 9) AS mug
+        FROM ux GROUP BY event_type),
+    tt AS (
+        SELECT SUM(ng) AS n, SUM(sg) AS st,
+               ROUND(CAST(SUM(sg) AS DOUBLE) / SUM(ng), 9) AS mu
+        FROM g),
+    term AS (
+        SELECT ux.event_type,
+               CAST(ROUND((CAST(ux.x AS DOUBLE) / g.mug)
+                          * ln(CAST(ux.x AS DOUBLE) / g.mug), 12)
+                    AS DECIMAL(28,12)) AS t
+        FROM ux JOIN g ON g.event_type = ux.event_type
+        WHERE CAST(ux.x AS DOUBLE) > 0),
+    w AS (
+        SELECT event_type, SUM(t) AS ts, COUNT(*) AS nt
+        FROM term GROUP BY event_type)
+    SELECT g.event_type,
+           CAST(g.ng AS BIGINT) AS n_users,
+           CAST(ROUND(g.mug, 6) AS DOUBLE) AS mean_value,
+           CAST(ROUND(CAST(w.ts AS DOUBLE) / w.nt, 6) AS DOUBLE) + 0.0
+               AS theil_within,
+           CAST(ROUND((CAST(g.sg AS DOUBLE) / CAST(tt.st AS DOUBLE))
+                      * ln(g.mug / tt.mu), 6) AS DOUBLE) + 0.0
+               AS between_term
+    FROM g JOIN w ON w.event_type = g.event_type, tt
+    """,
+    doc="Theil T inequality index decomposed by event type (Theil "
+    "1967): within each type, T_g = (1/n) sum (x/mu_g) ln(x/mu_g) "
+    "over per-user value totals, and the between-group contribution "
+    "s_g ln(mu_g/mu) whose sum over types is the between component "
+    "of total inequality — the decomposable complement to "
+    "gini_user_revenue / lorenz_curve_deciles (Gini does not "
+    "decompose additively; Theil does). Per-user sums are exact "
+    "DECIMAL, group means are quantized to a 9-dp grid before ln so "
+    "both engines feed identical doubles, each entropy term is "
+    "rounded to 12 dp and summed in exact DECIMAL (the "
+    "user_diversity_entropy discipline). Scale: two hash aggregates "
+    "keyed by (type, user) then type; no windows.",
+)
+def theil_index_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ux = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("x")
+    )
+    g = ux.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("x").alias("sg"),
+        F.round(
+            F.sum("x").cast("double") / F.count(F.lit(1)), 9
+        ).alias("mug"),
+    )
+    tt = g.agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("st"),
+        F.round(F.sum("sg").cast("double") / F.sum("ng"), 9).alias("mu"),
+    )
+    xr = F.col("x").cast("double") / F.col("mug")
+    term = (
+        ux.join(F.broadcast(g), "event_type")
+        .where(F.col("x").cast("double") > 0)
+        .select(
+            "event_type",
+            F.round(xr * F.log(xr), 12).cast("decimal(28,12)").alias("t"),
+        )
+    )
+    w = term.groupBy("event_type").agg(
+        F.sum("t").alias("ts"), F.count(F.lit(1)).alias("nt")
+    )
+    return (
+        g.join(w, "event_type")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "event_type",
+            F.col("ng").cast("bigint").alias("n_users"),
+            F.round(F.col("mug"), 6).cast("double").alias("mean_value"),
+            (
+                F.round(F.col("ts").cast("double") / F.col("nt"), 6)
+                .cast("double")
+                + F.lit(0.0)
+            ).alias("theil_within"),
+            (
+                F.round(
+                    (F.col("sg").cast("double") / F.col("st").cast("double"))
+                    * F.log(F.col("mug") / F.col("mu")),
+                    6,
+                ).cast("double")
+                + F.lit(0.0)
+            ).alias("between_term"),
+        )
+    )

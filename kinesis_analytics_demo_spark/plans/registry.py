@@ -239,6 +239,8 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "streaming_pagehinkley_replay",
     "hurst_exponent_daily",
     "sax_words_daily",
+    "cramers_v_type_weekday",
+    "theil_index_by_type",
 ]
 
 

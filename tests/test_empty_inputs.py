@@ -129,6 +129,8 @@ SAMPLE = [
     # single parquet FILE per table, the empty fixture writes a dir)
     "hurst_exponent_daily",
     "sax_words_daily",
+    "cramers_v_type_weekday",
+    "theil_index_by_type",
 ]
 
 

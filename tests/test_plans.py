@@ -171,6 +171,8 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "sprt_purchase_rate",  # 1-row decision-index broadcast
         "kneser_ney_bigram_probs",  # 1-row bigram-type-count broadcast
         "hurst_exponent_daily",  # 1-row regression-slope broadcast
+        "cramers_v_type_weekday",  # 1-row total/dims broadcasts
+        "theil_index_by_type",  # 1-row grand-total broadcast
     }
     offenders = {}
     for name, spec in all_queries().items():
