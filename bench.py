@@ -199,6 +199,31 @@ HEADLINE = [
     # collects and 4 persists), so local-mode scheduling latency
     # (~0.3-0.5s per sub-job) swamps the toy-scale signal — measured
     # 4.3s at sf0.1 with stage data volumes under a second total.
+    #
+    # round-6 third batch: one representative per new family —
+    # distribution comparison (KS; lorenz/theil share gini's rollup),
+    # dispersion over per-type windows (burstiness), the customer-
+    # grain triple-ntile (RFM; abc shares the lorenz profile),
+    # frequency-profile estimation (chao1; good_turing shares its
+    # vocab rollup), single-scan regex scoring (readability), and the
+    # three-key bigram LM rollup (kneser_ney). Excluded by precedent:
+    # power_iteration_top_pc (16.5s at sf0.1 — 12 localCheckpoint
+    # sub-jobs, the pagerank scheduling-latency precedent),
+    # adamic_adar_link_prediction (7.8s — the O(sum deg^2) wedge
+    # join, the market-basket precedent), mutual_nearest_neighbors
+    # (exact O(AxB) baseline, the dedup_embedding_cosine precedent),
+    # streaming_pagehinkley (replay precedent), and sprt/sax/hurst/
+    # cramers_v/theil/lorenz/isotonic/conformal/good_turing/
+    # largest_remainder/abc/shapley/user_diversity (all measured
+    # 0.4-2.0s, sharing benched families' cost profiles: global-
+    # window sweep line, acf daily rollup, chisq cells, gini rank,
+    # calibration rank, journey scan, vocab/token rollups).
+    "ks_test_purchase_view",
+    "burstiness_interevent",
+    "rfm_segmentation",
+    "chao1_vocab_estimate",
+    "readability_flesch_docs",
+    "kneser_ney_bigram_probs",
 ]
 
 
