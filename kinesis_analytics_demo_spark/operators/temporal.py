@@ -1457,7 +1457,7 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------- Hurst exponent (R/S analysis)
-HURST_SCALES = [8, 16, 32]  #: block sizes for rescaled-range analysis
+HURST_SCALES = [4, 8, 12]  #: block sizes (testdata spans 30 days)
 
 
 @register(
