@@ -339,7 +339,12 @@ def bfs_levels(edges: DataFrame, source: int) -> DataFrame:
         )
         if nxt.count() == 0:
             break
-        levels = tracked_persist(levels.unionByName(nxt))
+        # eager localCheckpoint truncates the union lineage each
+        # round (the kcore plan-growth discipline): without it the
+        # accumulated plan tree — and its multi-MB toString during
+        # analysis — OOMed a heap-starved 1g driver session after a
+        # long query sequence (round-6 full-registry sweep).
+        levels = levels.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return levels
 
