@@ -241,6 +241,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "sax_words_daily",
     "cramers_v_type_weekday",
     "theil_index_by_type",
+    "source_loo_influence",
 ]
 
 

@@ -131,6 +131,7 @@ SAMPLE = [
     "sax_words_daily",
     "cramers_v_type_weekday",
     "theil_index_by_type",
+    "source_loo_influence",
 ]
 
 

@@ -173,6 +173,7 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "hurst_exponent_daily",  # 1-row regression-slope broadcast
         "cramers_v_type_weekday",  # 1-row total/dims broadcasts
         "theil_index_by_type",  # 1-row grand-total broadcast
+        "source_loo_influence",  # 1-row totals + vocab-size broadcasts
     }
     offenders = {}
     for name, spec in all_queries().items():
