@@ -348,3 +348,27 @@ def test_round2_tpch_and_sampling_plans(spark):
 
     psplit = qs["corpus_train_split"].fn(spark, SF_MEDIUM)._jdf.queryExecution().executedPlan().toString()
     assert psplit.count("Exchange hashpartitioning") == 1
+
+
+def test_round6s3_topk_plans(spark):
+    """Round-6 session-3 scale shapes: the top-K cuts compile to
+    TakeOrderedAndProject (bounded per-partition heaps, never a
+    global sort of the candidate set)."""
+    from kinesis_analytics_demo_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name in (
+        "adamic_adar_link_prediction",
+        "kneser_ney_bigram_probs",
+    ):
+        plan = (
+            qs[name]
+            .fn(spark, SF_MEDIUM)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan, name
+    from kinesis_analytics_demo_spark.caching import release_tracked
+
+    release_tracked()
