@@ -994,3 +994,185 @@ def ranker_agreement_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0),
         ).alias("spearman_rho"),
     )
+
+
+# --------------------------------------- NDCG retrieval-quality audit
+NDCG_K = 10
+
+
+def _ndcg_oracle() -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    total = ""
+    pivots = []
+    for i, t in enumerate(BM25_QUERY_TERMS):
+        pivots.append(
+            f"max(CASE WHEN term = '{t}' THEN score END) AS s{i}"
+        )
+        piece = f"COALESCE(s{i}, 0.0)"
+        total = piece if i == 0 else f"({total} + {piece})"
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    g AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+                  / (SELECT count(*) FROM dl)) AS avgdl),
+    tfq AS (SELECT doc_id, w AS term, count(*) AS tf FROM t
+            WHERE w IN ({terms_sql}) GROUP BY doc_id, w),
+    rel AS (SELECT doc_id, count(*) AS rel FROM tfq GROUP BY doc_id),
+    dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+    s AS (SELECT tfq.doc_id, tfq.term,
+                 (ln(1.0 + ((g.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)))
+                  * ((tfq.tf * {BM25_K1 + 1.0})
+                     / (tfq.tf + ({BM25_K1} * ((1.0 - {BM25_B})
+                        + ({BM25_B} * (dl.dl / g.avgdl))))))) AS score
+          FROM tfq
+          JOIN dl ON tfq.doc_id = dl.doc_id
+          CROSS JOIN g JOIN dfq ON tfq.term = dfq.term),
+    p AS (SELECT doc_id, {', '.join(pivots)} FROM s GROUP BY doc_id),
+    ranked AS (SELECT doc_id, {total} AS bm25 FROM p
+               ORDER BY bm25 DESC, doc_id LIMIT {NDCG_K}),
+    sysr AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+             FROM ranked),
+    dcg_t AS (
+        SELECT CAST(ROUND((pow(2.0, rel.rel) - 1.0)
+                          / log2(sysr.r + 1.0), 12)
+                    AS DECIMAL(28,12)) AS term
+        FROM sysr JOIN rel ON rel.doc_id = sysr.doc_id),
+    ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id)
+                         AS r
+              FROM rel),
+    idcg_t AS (
+        SELECT CAST(ROUND((pow(2.0, rel) - 1.0) / log2(r + 1.0), 12)
+                    AS DECIMAL(28,12)) AS term
+        FROM ideal WHERE r <= {NDCG_K}),
+    agg AS (
+        SELECT (SELECT CAST(SUM(term) AS DOUBLE) FROM dcg_t) AS dcg,
+               (SELECT CAST(SUM(term) AS DOUBLE) FROM idcg_t) AS idcg,
+               (SELECT count(*) FROM rel) AS n_relevant)
+    SELECT CAST({NDCG_K} AS INT) AS k,
+           CAST(n_relevant AS BIGINT) AS n_relevant,
+           CAST(ROUND(dcg, 6) AS DOUBLE) AS dcg,
+           CAST(ROUND(idcg, 6) AS DOUBLE) AS idcg,
+           CAST(ROUND(dcg / idcg, 6) AS DOUBLE) AS ndcg
+    FROM agg
+    """
+
+
+@register(
+    "retrieval_ndcg_audit",
+    oracle=_ndcg_oracle(),
+    doc=f"NDCG@{NDCG_K} of the BM25 ranking (Jarvelin & Kekalainen "
+    "2002) against a term-coverage relevance oracle: a document's "
+    "graded relevance = how many of the fixed query's "
+    f"{len(BM25_QUERY_TERMS)} terms it contains (0-4), DCG uses the "
+    "standard (2^rel - 1)/log2(rank + 1) gains over BM25's top-"
+    f"{NDCG_K} (the bm25_search ranking verbatim), IDCG over the "
+    "relevance-ideal ordering — the retrieval-evaluation readout "
+    "that closes the loop on the BM25/TF-IDF/RRF/PRF family (is the "
+    "ranker actually putting high-coverage docs first?). Gains are "
+    "exact integers; each positional term is rounded to 12 dp and "
+    "summed in exact DECIMAL, so the 10-term sums are order-free. "
+    "Scale: everything beyond the bm25_search plan is O(K) rows "
+    "plus one posting-list relevance rollup.",
+)
+def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    g = dl.agg(
+        F.count(F.lit(1)).alias("n_len_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ).crossJoin(
+        F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    ).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_len_docs")).alias(
+            "avgdl"
+        ),
+    )
+    tfq = (
+        toks.filter(F.col("w").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    rel = tracked_persist(
+        tfq.groupBy("doc_id").agg(F.count(F.lit(1)).alias("rel"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+    )
+    norm = F.col("tf") + (
+        F.lit(BM25_K1)
+        * (
+            (F.lit(1.0) - F.lit(BM25_B))
+            + (F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    score = idf * ((F.col("tf") * F.lit(BM25_K1 + 1.0)) / norm)
+    s = (
+        tfq.join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .join(F.broadcast(dfq), "term")
+        .select("doc_id", "term", score.alias("score"))
+    )
+    pivots = [
+        F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"s{i}")
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    p = s.groupBy("doc_id").agg(*pivots)
+    total = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        piece = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+        total = piece if total is None else (total + piece)
+    ranked = (
+        p.select("doc_id", total.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(NDCG_K)
+    )
+    sysr = ranked.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r"),
+    )
+    gain = lambda: (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+    dcg_t = sysr.join(rel, "doc_id").select(
+        F.round(gain() / F.log2(F.col("r") + F.lit(1.0)), 12)
+        .cast("decimal(28,12)")
+        .alias("term")
+    )
+    ideal = rel.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rel"), F.asc("doc_id")))
+        .alias("r"),
+    ).where(F.col("r") <= NDCG_K)
+    idcg_t = ideal.select(
+        F.round(gain() / F.log2(F.col("r") + F.lit(1.0)), 12)
+        .cast("decimal(28,12)")
+        .alias("term")
+    )
+    dcg = dcg_t.agg(F.sum("term").cast("double").alias("dcg"))
+    idcg = idcg_t.agg(F.sum("term").cast("double").alias("idcg"))
+    nrel = rel.agg(F.count(F.lit(1)).alias("n_relevant"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(nrel))
+        .select(
+            F.lit(NDCG_K).cast("int").alias("k"),
+            F.col("n_relevant").cast("bigint").alias("n_relevant"),
+            F.round(F.col("dcg"), 6).cast("double").alias("dcg"),
+            F.round(F.col("idcg"), 6).cast("double").alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6)
+            .cast("double")
+            .alias("ndcg"),
+        )
+    )

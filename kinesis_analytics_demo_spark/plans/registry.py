@@ -242,6 +242,7 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "cramers_v_type_weekday",
     "theil_index_by_type",
     "source_loo_influence",
+    "retrieval_ndcg_audit",
 ]
 
 

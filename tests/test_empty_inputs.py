@@ -132,6 +132,7 @@ SAMPLE = [
     "cramers_v_type_weekday",
     "theil_index_by_type",
     "source_loo_influence",
+    "retrieval_ndcg_audit",
 ]
 
 

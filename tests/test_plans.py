@@ -174,6 +174,7 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "cramers_v_type_weekday",  # 1-row total/dims broadcasts
         "theil_index_by_type",  # 1-row grand-total broadcast
         "source_loo_influence",  # 1-row totals + vocab-size broadcasts
+        "retrieval_ndcg_audit",  # 1-row stats + dcg/idcg broadcasts
     }
     offenders = {}
     for name, spec in all_queries().items():
