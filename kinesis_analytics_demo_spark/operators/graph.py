@@ -650,8 +650,6 @@ def kcore_surviving_edges(
     "degeneracy ordering depth, not graph size; the loop raises "
     "loudly if the guard is hit. Driver work is loop control only.",
 )
-
-
 def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     b = li.select("l_orderkey", "l_partkey").distinct()

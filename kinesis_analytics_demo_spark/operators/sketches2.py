@@ -533,7 +533,7 @@ def mg_update_lambda(st, xe):
     """One Misra-Gries update as a pure JVM expression: ``st`` is the
     bit-packed LIST state, ``xe`` the incoming item. Mirrors the
     DuckDB fold in MG_ORACLE exactly."""
-    item = F.shiftright(xe, 0)  # alias for symmetry; xe is the item
+    item = xe  # the raw item; state entries below are packed, xe is not
     seen = F.exists(st, lambda e: F.shiftright(e, MG_SHIFT) == item)
     return (
         F.when(

@@ -487,8 +487,11 @@ def sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g JOIN w ON w.event_type = g.event_type, tt
     """,
     doc="Theil T inequality index decomposed by event type (Theil "
-    "1967): within each type, T_g = (1/n) sum (x/mu_g) ln(x/mu_g) "
-    "over per-user value totals, and the between-group contribution "
+    "1967): within each type, T_g averages (x/mu_g) ln(x/mu_g) over "
+    "the users with POSITIVE per-user value totals (zero-total users "
+    "contribute no entropy term and are excluded from the divisor, so "
+    "within+between reconstructs the total index only when every user "
+    "total is positive), and the between-group contribution "
     "s_g ln(mu_g/mu) whose sum over types is the between component "
     "of total inequality — the decomposable complement to "
     "gini_user_revenue / lorenz_curve_deciles (Gini does not "

@@ -197,7 +197,9 @@ NOVELTY_GRAM = 5  #: word n-gram width
 )
 def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    batch = (F.col("doc_id") / NOVELTY_BATCH_DOCS).cast("bigint")
+    # integer division on BOTH engines (oracle uses //); float-divide
+    # then cast would truncate toward zero and lose exactness guarantees
+    batch = F.expr(f"doc_id div {NOVELTY_BATCH_DOCS}")
     sh = H.shingle_hashes(F.col("text"), k=NOVELTY_GRAM)
     g = (
         docs.select(batch.alias("batch"), F.explode(sh).alias("gh"))

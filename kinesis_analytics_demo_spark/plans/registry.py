@@ -88,6 +88,7 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.stats2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.stats3  # noqa: F401
     import kinesis_analytics_demo_spark.operators.temporal  # noqa: F401
+    import kinesis_analytics_demo_spark.operators.timeseries  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.text3  # noqa: F401
@@ -108,90 +109,24 @@ def _load_all_modules() -> None:
 # items 1-2), minus the 10 lowest-value relational variants that wait
 # for round 4.
 #
-# ROUND-6 ROTATION (active): 50 slots = the 49 names staged at the
-# end of round 5 (17 TPC-H-shape relational variants, 5
-# family-duplicate variants whose production twins are green, and the
-# 27 round-5-new operators — MMR/RRF/HLL/AMS, the evaluation battery,
-# connected components, intervals/reconciliation/zone-map/join-size,
-# Gini/Holt/collocations/quantile-normalize, audio fingerprints,
-# session paths, U-shape attribution, streaming exactly-once dedup,
-# drift, covariance, BPE encode) PLUS one re-check:
-# similarity_ivf_kmeans, whose round-3 driver row predates its
-# recursive-CTE Lloyd-iteration oracle (commit c93e0fc) and was
-# recorded as no_oracle/rows-only — the upgraded oracle needs a real
-# hash row. This rotation completes registry-wide driver coverage:
-# every registered query will have at least one driver CORRECTNESS
-# row, and every query with an oracle will have a hash-checked one.
+# ROUND-7 ROTATION (active): 50 slots = 50 of the 54 operators
+# registered during round 6 (none had a driver CORRECTNESS row before
+# this round).  54 staged > 50 slots, so 4 family-twins whose siblings
+# ARE in this rotation are explicitly deferred to round 8 (per the
+# round-6 verdict's deferral guidance):
+#   - streaming_hll_rolling_replay  (batch twin hll_rolling_distinct_users
+#     is in; the replay semantics are additionally pinned by pytest)
+#   - theil_index_by_type           (effect-size sibling
+#     cramers_v_type_weekday is in)
+#   - ivf_kmeans_balance_audit      (sibling similarity_ivf_kmeans went
+#     hash-green in round 6)
+#   - ccf_view_purchase_daily       (correlation-function sibling
+#     acf_event_type_daily is in)
+# All 54 were tri-scale oracle-exact (sf0.001/0.01/0.1) before staging;
+# the 50 below get the all-50 vanilla driver-sim pre-flight this round.
 _DRIVER_PRIORITY: list[str] = [
-    # -- oracle-upgrade re-check (r3 row was no_oracle; now has a
-    #    recursive-CTE Lloyd oracle that must earn a hash match)
-    "similarity_ivf_kmeans",
-    # -- relational variants
-    "large_orders",
-    "monthly_revenue",
-    "disjunctive_filter_revenue",
-    "idle_high_balance_customers",
-    "suppliers_kept_waiting",
-    "small_qty_revenue",
-    "top_supplier_revenue",
-    "important_parts_value",
-    "order_priority_check",
-    "forecast_revenue_change",
-    "returned_item_customers",
-    "min_cost_supplier",
-    "product_profit_by_nation_year",
-    "customer_order_count_distribution",
-    "supplier_part_variety",
-    "high_volume_part_suppliers",
-    "full_outer_balance_audit",
-    # -- family-duplicate variants (production twins already green)
-    "similarity_ann_lsh_baseline",
-    "similarity_pq_adc",
-    "embedding_pq_quantization_error",
-    "daily_p95_value",
-    "profile_lineitem",
-    # -- round-5 additions (never driver-checked)
-    "concurrent_sessions_peak",
-    "bpe_encode_tokens",
-    "interval_coverage_seconds",
-    "reconcile_partition_checksums",
-    "graph_connected_components",
-    "zone_map_pruning_audit",
-    "join_size_estimate_sampled",
-    "multimodal_audio_fingerprint_pairs",
-    "anomaly_seasonal_baseline",
-    "embedding_covariance_upper",
-    "top_session_paths",
-    "attribution_position_weighted",
-    "collocation_lift_bigrams",
-    "quantile_normalize_sources",
-    "holt_forecast_event_types",
-    "gini_user_revenue",
-    "roc_auc_purchase_propensity",
-    "lift_gains_deciles",
-    "survival_km_conversion",
-    "benford_first_digit_values",
-    "similarity_topk_label_quota",
-    "similarity_mmr_diversified",
-    "hll_distinct_event_ids",
-    "ams_f2_user_events",
-    "streaming_dedup_replay",
-    "feature_drift_halves",
-    "retrieval_rrf_fusion",
-]
-
-
-#: ROUND-7 ROTATION: queries registered during round 6 that have not
-#: yet had a driver CORRECTNESS row. NEW queries MUST be APPENDED here
-#: when registered (test_registry enforces that active + staged +
-#: driver-checked covers the whole registry, and that a prior
-#: ``no_oracle`` row does not count as coverage for a query that now
-#: has an oracle).
-_DRIVER_PRIORITY_NEXT: list[str] = [
-    # -- round-6 additions
     "textrank_keywords",
     "hll_rolling_distinct_users",
-    "streaming_hll_rolling_replay",
     "theil_sen_trend_event_types",
     "calibration_bins_propensity",
     "winnowing_fingerprint_matches",
@@ -199,10 +134,8 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "langid_confusion_audit",
     "multimodal_keyframe_select",
     "retrieval_prf_expansion",
-    "ivf_kmeans_balance_audit",
     "acf_event_type_daily",
     "mann_kendall_event_types",
-    "ccf_view_purchase_daily",
     "graph_kcore_membership",
     "hill_tail_index_event_values",
     "repeated_substring_audit",
@@ -240,9 +173,23 @@ _DRIVER_PRIORITY_NEXT: list[str] = [
     "hurst_exponent_daily",
     "sax_words_daily",
     "cramers_v_type_weekday",
-    "theil_index_by_type",
     "source_loo_influence",
     "retrieval_ndcg_audit",
+]
+
+
+#: ROUND-8 ROTATION: the 4 round-6 family-twins deferred from the
+#: round-7 rotation (54 staged > 50 slots), plus any queries registered
+#: during round 7. NEW queries MUST be APPENDED here when registered
+#: (test_registry enforces that active + staged + driver-checked covers
+#: the whole registry, and that a prior ``no_oracle`` row does not
+#: count as coverage for a query that now has an oracle).
+_DRIVER_PRIORITY_NEXT: list[str] = [
+    # -- round-6 additions deferred from the round-7 rotation
+    "streaming_hll_rolling_replay",
+    "theil_index_by_type",
+    "ivf_kmeans_balance_audit",
+    "ccf_view_purchase_daily",
 ]
 
 

@@ -79,7 +79,7 @@ def test_mann_kendall_python_golden(spark):
 
 
 def test_ccf_python_golden(spark):
-    from kinesis_analytics_demo_spark.operators.temporal import (
+    from kinesis_analytics_demo_spark.operators.timeseries import (
         CCF_MAX_LAG,
         CCF_X_TYPE,
         CCF_Y_TYPE,
