@@ -182,6 +182,148 @@ def test_containment_exact_under_boilerplate_skew(spark, skew_dir, skew_con):
         release_tracked()
 
 
+def test_winnowing_exact_under_boilerplate_skew(spark, skew_dir, skew_con):
+    """Winnowing fingerprint matching against the 20%-boilerplate
+    corpus: the shared phrase's fingerprints blow the 1% df-cap and
+    must be vetoed BEFORE the pair join (else 300 docs x 300 docs of
+    boilerplate-only pairs fan out), while the 15 planted short-in-long
+    copies still surface through their rare-content fingerprints —
+    proven by parity with the quadratic DuckDB oracle on the same
+    skewed corpus."""
+    spec = all_queries()["winnowing_fingerprint_matches"]
+    try:
+        df = spec.fn(spark, skew_dir)
+        rows = df.collect()
+        planted = {
+            (r["doc_a"], r["doc_b"])
+            for r in rows
+            if r["doc_a"] < 15 and r["doc_b"] == N_DOCS + r["doc_a"]
+        }
+        assert len(planted) == 15, sorted(planted)
+        assert_matches_oracle(df, skew_con, spec.oracle)
+    finally:
+        release_tracked()
+
+
+def test_winnowing_boilerplate_fps_vetoed(spark, skew_dir):
+    """Direct audit of winnowing's df-cap: every fingerprint the
+    boilerplate phrase contributes lands in ~20% of documents, far
+    above the 1% cap, so the capped fingerprint set's max document
+    frequency stays at n_docs/100 — the candidate join's fan-out bound
+    under a hot fingerprint."""
+    from pyspark.sql import functions as F
+
+    from kinesis_analytics_demo_spark.operators.text4 import (
+        WIN_DF_CAP_INV,
+        WIN_K,
+        WIN_W,
+    )
+
+    docs = spark.read.parquet(os.path.join(skew_dir, "documents.parquet"))
+    n_docs = docs.count()
+    hs = F.expr(
+        f"transform(sequence(1, length(text) - {WIN_K} + 1), "
+        f"i -> CAST(conv(substring(md5(substring(text, i, {WIN_K})), 1, 15),"
+        f" 16, 10) AS BIGINT))"
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - WIN_W + 1),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, WIN_W)),
+        )
+    )
+    e = (
+        docs.filter(F.length("text") >= WIN_K + WIN_W - 1)
+        .select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
+    dfreq = e.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    surviving_max_df = (
+        dfreq.filter(F.lit(WIN_DF_CAP_INV) * F.col("df") <= F.lit(n_docs))
+        .agg(F.max("df").alias("m"))
+        .collect()[0]["m"]
+    )
+    hot_floor = int(N_DOCS * HOT_PHRASE_SHARE)
+    # boilerplate fps sit at df ~ hot_floor (300); the cap admits only
+    # df <= n_docs/100 (15) — two orders of magnitude below the hot df
+    assert surviving_max_df <= n_docs // WIN_DF_CAP_INV
+    assert surviving_max_df < hot_floor
+    # and the hot fingerprints really exist pre-veto (the fixture bites)
+    hot_max_df = dfreq.agg(F.max("df").alias("m")).collect()[0]["m"]
+    assert hot_max_df >= hot_floor * 0.9
+
+
+def test_suffix_audit_exact_under_boilerplate_skew(spark, skew_dir, skew_con):
+    """Repeated-substring audit on the boilerplate-heavy corpus: the
+    41-char shared phrase makes ~40 of the 16-char prefix buckets hot
+    (one suffix per phrase position per boilerplate doc), so the
+    per-bucket window sort must absorb a bucket holding ~20% of docs'
+    suffixes at that offset. Every boilerplate doc must come back
+    flagged has_cross_doc with max_repeat_len >= the phrase length,
+    and the whole result must match the DuckDB oracle exactly."""
+    from kinesis_analytics_demo_spark.operators.suffix import SFX_DEPTH
+
+    phrase = "subscribe to our newsletter for updates "
+    spec = all_queries()["repeated_substring_audit"]
+    try:
+        df = spec.fn(spark, skew_dir)
+        rows = {r["doc_id"]: r for r in df.collect()}
+        n_hot = int(N_DOCS * HOT_PHRASE_SHARE)
+        for d in range(n_hot):
+            assert d in rows, f"boilerplate doc {d} missing from audit"
+            # the phrase itself repeats across docs: the max repeat is
+            # at least the phrase (capped at the 63-char depth)
+            assert rows[d]["max_repeat_len"] >= min(len(phrase), SFX_DEPTH)
+            assert rows[d]["has_cross_doc"] == 1
+        assert_matches_oracle(df, skew_con, spec.oracle)
+    finally:
+        release_tracked()
+
+
+def test_suffix_audit_hot_bucket_bounded(spark, skew_dir):
+    """Direct audit of the prefix-bucket claim: the hot bucket (the
+    phrase's first 16 chars) holds exactly one suffix per boilerplate
+    doc — bucket size scales with OCCURRENCES of one exact 16-char
+    string, not with corpus size times phrase length. On this corpus
+    that is ~300 rows vs ~270k total suffixes (~0.1% per hot bucket):
+    the window sort stays partition-parallel under 20% boilerplate."""
+    from pyspark.sql import functions as F
+
+    from kinesis_analytics_demo_spark.operators.suffix import (
+        SFX_MIN_REPEAT,
+    )
+
+    docs = spark.read.parquet(os.path.join(skew_dir, "documents.parquet"))
+    s = (
+        docs.filter(F.length("text") >= SFX_MIN_REPEAT)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
+            "text",
+        )
+        .filter(F.length("text") - F.col("pos") + 1 >= SFX_MIN_REPEAT)
+        .select(
+            F.substring(
+                F.col("text").substr(F.col("pos"), F.lit(SFX_MIN_REPEAT)),
+                1,
+                SFX_MIN_REPEAT,
+            ).alias("bucket")
+        )
+    )
+    sizes = s.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    stats = sizes.agg(
+        F.max("n").alias("mx"), F.sum("n").alias("total")
+    ).collect()[0]
+    n_hot = int(N_DOCS * HOT_PHRASE_SHARE)
+    # hottest bucket == one suffix per boilerplate doc (plus organic
+    # collisions), a vanishing share of the total suffix volume
+    assert stats["mx"] >= n_hot * 0.9
+    assert stats["mx"] <= stats["total"] * 0.01, (
+        stats["mx"],
+        stats["total"],
+    )
+
+
 def test_containment_hot_shingles_vetoed(spark, skew_dir):
     """Direct audit of the df-cap: every shingle of the boilerplate
     phrase exceeds the 2% document-frequency cap on this corpus, so
