@@ -69,20 +69,30 @@ HEADLINE = [
     "range_frame_trailing_revenue",
     # two-level hop decomposition (the 480-pane sliding scale fix)
     "sliding_window_min_twolevel",
-    # training-run boundary + deterministic sketches
-    "decontamination_ngram_overlap",
+    # training-run boundary + deterministic sketches.
+    # decontamination_ngram_overlap retired round 7 (decontamination
+    # family stays benched via decontamination_minhash; the exact
+    # n-gram variant shares its gram-hash rollup profile) and
+    # approx_distinct_kmv retired round 7 (distinct-count-sketch
+    # family benched via hll_distinct_event_ids) — both under the
+    # one-row-per-family discipline as the set grew past the 0.85 s/q
+    # hygiene bar; both remain correctness-graded like every
+    # registered query.
     "pack_sequences",
-    "approx_distinct_kmv",
     # corpus audit + retention (round-2 additions)
     "text_boilerplate_ngrams",
     "dedup_keep_best_quality",
     "corpus_sample_exact_k",
     # TPC-H adaptations Q4/Q6/Q10
     "returned_item_customers",
-    # round-3 additions: PQ compression ANN, span/chunk-level dedup,
-    # the C4 rule battery, and two of the new TPC-H shapes
-    "similarity_pq_adc_rerank",
-    "dedup_repeated_ngram_spans",
+    # round-3 additions: the C4 rule battery and two of the new TPC-H
+    # shapes. similarity_pq_adc_rerank retired round 7: the composed
+    # production stack similarity_ivfpq_adc_rerank (IVF pruning + the
+    # SAME PQ ADC + rerank) stays benched and strictly contains it.
+    # dedup_repeated_ngram_spans retired round 7: the ExactSubstr
+    # family's benched representative is now the char-level
+    # repeated_substring_audit (same Lee-et-al lineage, heavier
+    # construction); the word-n-gram twin stays correctness-graded.
     "text_c4_filters",
     "product_profit_by_nation_year",
     "customer_order_count_distribution",

@@ -680,18 +680,30 @@ def attribution_position_weighted(
 
 
 # ------------------------------- difference-in-differences estimator
+#: assignment window: users with an error in the FIRST 5% of event
+#: time are "treated". At the global-median window every test-scale
+#: user has at least one error (all SFs: control cohort empty, the
+#: estimator degenerates to zero rows); the early-exposure window
+#: splits the cohorts at every SF (sf0.001 10/15, sf0.01 72/150,
+#: sf0.1 729/1500) and is the cleaner design anyway — assignment
+#: strictly precedes (almost all of) the pre-period it is compared
+#: against, so treatment can't proxy for pre-period outcome volume.
+DID_ASSIGN_Q = 0.05
+
+
 @register(
     "did_error_impact",
-    oracle="""
+    oracle=f"""
     WITH b AS (
         SELECT user_id, event_type, value,
                -- whole-second truncation matches Spark's ts->long cast
                CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
         FROM events),
-    med AS (SELECT quantile_cont(es, 0.5) AS m FROM b),
+    med AS (SELECT quantile_cont(es, 0.5) AS m,
+                   quantile_cont(es, {DID_ASSIGN_Q}) AS a FROM b),
     treated AS (
         SELECT DISTINCT user_id FROM b, med
-        WHERE event_type = 'error' AND es <= med.m),
+        WHERE event_type = 'error' AND es <= med.a),
     u AS (
         SELECT b.user_id,
                MAX(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -723,10 +735,11 @@ def attribution_position_weighted(
          (SELECT * FROM g WHERE grp = 0) c
     """,
     doc="Difference-in-differences causal estimate of error exposure "
-    "on purchase revenue: users are assigned to treatment by PRE-"
-    "period behavior only (any 'error' event before the global "
-    "median event time — assignment can't leak post-period "
-    "outcomes), per-user purchase revenue is totaled in each period "
+    "on purchase revenue: users are assigned to treatment by EARLY "
+    "behavior only (any 'error' event in the first 5% of global "
+    "event time — assignment can't leak post-period outcomes and "
+    "barely overlaps the pre-period it is differenced against), "
+    "per-user purchase revenue is totaled in each period "
     "(zero-filled — non-purchasers stay in their cohort), and DiD = "
     "(post_T - pre_T) - (post_C - pre_C) cancels both the group "
     "level difference and the common time trend — the standard "
@@ -749,10 +762,13 @@ def did_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_analytics_demo_spark.caching import tracked_persist
 
     b = tracked_persist(b)
-    med = b.agg(F.percentile("es", 0.5).alias("m"))
+    med = b.agg(
+        F.percentile("es", 0.5).alias("m"),
+        F.percentile("es", DID_ASSIGN_Q).alias("a"),
+    )
     bm = b.crossJoin(F.broadcast(med))
     treated = (
-        bm.filter((F.col("event_type") == "error") & (F.col("es") <= F.col("m")))
+        bm.filter((F.col("event_type") == "error") & (F.col("es") <= F.col("a")))
         .select("user_id")
         .distinct()
         .withColumn("is_t", F.lit(1))
