@@ -373,3 +373,48 @@ def test_round6s3_topk_plans(spark):
     from kinesis_analytics_demo_spark.caching import release_tracked
 
     release_tracked()
+
+
+def test_winnowing_and_suffix_plan_shapes(spark):
+    """Round-7 pins for the two round-6 text paths' scale claims.
+
+    winnowing: the fingerprint table is persisted and reused (the md5
+    k-gram compute must run once, not once per consumer) and nothing
+    in the plan funnels through a single partition. suffix audit: the
+    per-bucket window sort is hash-partitioned on the 16-char prefix —
+    an ``Exchange SinglePartition`` under the Window would mean the
+    whole corpus-suffix sort serializes onto one task (the exact
+    failure mode the prefix-bucket construction exists to prevent)."""
+    from kinesis_analytics_demo_spark.caching import release_tracked
+    from kinesis_analytics_demo_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    try:
+        wp = (
+            qs["winnowing_fingerprint_matches"]
+            .fn(spark, SF_MEDIUM)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InMemoryTableScan" in wp  # persisted fp tables engaged
+        # the candidate pair join is hash-partitioned on the
+        # fingerprint (the df-capped equi-join, never a broadcast of
+        # raw docs). SinglePartition / BroadcastNestedLoopJoin DO
+        # appear — both belong to the 1-row n_docs stat that feeds
+        # the df-cap (the allowlisted broadcast-cross idiom audited
+        # registry-wide above), not to the data path.
+        assert "hashpartitioning(fp" in wp
+
+        sp = (
+            qs["repeated_substring_audit"]
+            .fn(spark, SF_MEDIUM)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" in sp
+        assert "Exchange SinglePartition" not in sp
+        assert "Exchange hashpartitioning" in sp
+    finally:
+        release_tracked()
