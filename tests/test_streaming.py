@@ -1139,3 +1139,80 @@ def test_stateful_spacesaving_two_batch_equals_batch(spark, tmp_path):
     finally:
         release_tracked()
     assert got == exp
+
+
+def test_stateful_hll_rolling_two_batch_equals_batch(spark, tmp_path):
+    """Rolling-HLL daily-sketch stage with the replay split into TWO
+    time-ordered micro-batches: the streaming tumbling-day register
+    aggregate (complete mode) must be batch-boundary-free — register
+    max is associative/commutative — so the finalized trailing-window
+    estimates equal the batch hll_rolling_distinct_users exactly.
+    This is the pinned replay check for streaming_hll_rolling_replay
+    (deferred from the round-7 driver rotation; its batch twin gets
+    the driver row)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from kinesis_analytics_demo_spark.caching import release_tracked
+    from kinesis_analytics_demo_spark.operators.sketches2 import (
+        hll_rolling_from_daily,
+        hll_user_register_cols,
+    )
+    from kinesis_analytics_demo_spark.plans.registry import get_query
+    from kinesis_analytics_demo_spark.session import read_table
+    from kinesis_analytics_demo_spark.streaming.windows import (
+        ensure_event_time,
+    )
+    from tests.conftest import SF_SMALL
+
+    pdf = pd.read_parquet(SF_SMALL + "/events.parquet").sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    stage = tmp_path / "ev_stream"
+    stage.mkdir()
+    half = len(pdf) // 2
+    pq.write_table(
+        pa.Table.from_pandas(pdf.iloc[:half]), str(stage / "events_a.parquet")
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf.iloc[half:]), str(stage / "events_b.parquet")
+    )
+    stream = create_stream_source(
+        spark, "file-parquet", path=str(stage), max_files_per_trigger=1
+    )
+    s = ensure_event_time(stream, "ts")
+    reg, rho = hll_user_register_cols()
+    r = s.select(F.window("ts", "1 day").alias("win"), reg, rho)
+    agg = r.groupBy("win", "reg").agg(F.max("rho").alias("mj"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hllroll_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 2, "replay must span at least two micro-batches"
+    daily = spark.table("hllroll_probe").select(
+        F.to_date(F.col("win.start")).alias("day"), "reg", "mj"
+    )
+    ev = read_table(spark, SF_SMALL, "events")
+    try:
+        got = sorted(
+            tuple(r) for r in hll_rolling_from_daily(daily, ev).collect()
+        )
+        exp = sorted(
+            tuple(r)
+            for r in get_query("hll_rolling_distinct_users")
+            .fn(spark, SF_SMALL)
+            .collect()
+        )
+    finally:
+        release_tracked()
+    assert got == exp
