@@ -824,10 +824,13 @@ GT_MAX_R = 10  #: frequency classes reported
 @register(
     "good_turing_counts",
     oracle=f"""
-    WITH t AS (
-        SELECT unnest(string_split_regex(text, '\\s+')) AS w
-        FROM documents),
-    cf AS (SELECT w, COUNT(*) AS tf FROM t GROUP BY w),
+    WITH w AS (
+        SELECT string_split_regex(text, '\\s+') AS ws FROM documents),
+    t AS (
+        SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        FROM (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i
+              FROM w)),
+    cf AS (SELECT g, COUNT(*) AS tf FROM t GROUP BY g),
     ff AS (SELECT tf AS r, COUNT(*) AS fr FROM cf GROUP BY tf),
     tot AS (
         SELECT r, fr,
@@ -843,26 +846,45 @@ GT_MAX_R = 10  #: frequency classes reported
     FROM tot a LEFT JOIN ff b ON b.r = a.r + 1
     WHERE a.r <= {GT_MAX_R}
     """,
-    doc=f"Good-Turing frequency smoothing (Good 1953) over the corpus "
-    "vocabulary: for each observed frequency class r <= "
+    doc=f"Good-Turing frequency smoothing (Good 1953) over corpus "
+    "word TRIGRAMS — the Katz-backoff setting (n-gram counts, not "
+    f"unigram vocab): for each observed frequency class r <= "
     f"{GT_MAX_R}, the adjusted count r* = (r+1) * f_(r+1) / f_r and "
     "the smoothed probability r*/N — the unseen-mass machinery "
     "behind Katz backoff, and the companion diagnostic to "
-    "chao1_vocab_estimate (both read the frequency-of-frequencies "
-    "profile). Classes whose successor class is empty report r* = 0 "
-    "(the raw turing estimate; production smoothers fit a power law "
-    "over the gaps — Gale & Sampson 1995). Exact integer counts, "
-    "one final double expression per row. Scale: vocab rollup "
-    "map-side combines; the f-of-f profile is O(max frequency) "
-    "rows — effectively constant.",
+    "chao1_vocab_estimate. Trigrams, because the synthetic corpus "
+    "draws from a ~31-word vocabulary where EVERY unigram occurs "
+    "26+ times at every SF — the unigram f-of-f profile has no "
+    "low-frequency classes at all (an empty, untestable readout), "
+    "while the trigram profile has a genuine Zipf tail (f1 ~ 9.4k "
+    "at sf0.001). Classes whose successor class is empty report "
+    "r* = 0 (the raw Turing estimate; production smoothers fit a "
+    "power law over the gaps — Gale & Sampson 1995). Exact integer "
+    "counts, one final double expression per row. Scale: the "
+    "trigram rollup map-side combines; the f-of-f profile is "
+    "O(max frequency) rows — effectively constant.",
 )
 def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from kinesis_analytics_demo_spark.functions import hashing as H
 
     docs = _t(spark, sf_dir, "documents")
-    t = docs.select(F.explode(H.words(F.col("text"))).alias("w"))
-    cf = t.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    ws = H.words(F.col("text"))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("ws"), i),
+            F.element_at(F.col("ws"), i + 1),
+            F.element_at(F.col("ws"), i + 2),
+        ),
+    )
+    t = (
+        docs.select(ws.alias("ws"))
+        .filter(F.size("ws") >= 3)  # sequence(1, n<=0) would descend
+        .select(F.explode(tri).alias("g"))
+    )
+    cf = t.groupBy("g").agg(F.count(F.lit(1)).alias("tf"))
     ff = cf.groupBy(F.col("tf").alias("r")).agg(
         F.count(F.lit(1)).alias("fr")
     )
