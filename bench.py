@@ -214,8 +214,9 @@ HEADLINE = [
     # distribution comparison (KS; lorenz/theil share gini's rollup),
     # dispersion over per-type windows (burstiness), the customer-
     # grain triple-ntile (RFM; abc shares the lorenz profile),
-    # frequency-profile estimation (chao1; good_turing shares its
-    # vocab rollup), single-scan regex scoring (readability), and the
+    # frequency-profile estimation (chao1; good_turing — trigram
+    # counts since round 7 — shares kneser_ney's n-gram rollup
+    # profile), single-scan regex scoring (readability), and the
     # three-key bigram LM rollup (kneser_ney). Excluded by precedent:
     # power_iteration_top_pc (16.5s at sf0.1 — 12 localCheckpoint
     # sub-jobs, the pagerank scheduling-latency precedent),
