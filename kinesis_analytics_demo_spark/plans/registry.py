@@ -109,88 +109,86 @@ def _load_all_modules() -> None:
 # items 1-2), minus the 10 lowest-value relational variants that wait
 # for round 4.
 #
-# ROUND-7 ROTATION (active): 50 slots = 50 of the 54 operators
-# registered during round 6 (none had a driver CORRECTNESS row before
-# this round).  54 staged > 50 slots, so 4 family-twins whose siblings
-# ARE in this rotation are explicitly deferred to round 8 (per the
-# round-6 verdict's deferral guidance):
-#   - streaming_hll_rolling_replay  (batch twin hll_rolling_distinct_users
-#     is in; the replay semantics are additionally pinned by pytest)
-#   - theil_index_by_type           (effect-size sibling
-#     cramers_v_type_weekday is in)
-#   - ivf_kmeans_balance_audit      (sibling similarity_ivf_kmeans went
-#     hash-green in round 6)
-#   - ccf_view_purchase_daily       (correlation-function sibling
-#     acf_event_type_daily is in)
-# All 54 were tri-scale oracle-exact (sf0.001/0.01/0.1) before staging;
-# the 50 below get the all-50 vanilla driver-sim pre-flight this round.
+# ROUND-8 ROTATION (active): registry-wide driver coverage completes
+# this round and the free slots restore driver-grade RECENCY (round-7
+# verdict item 1).  50 slots =
+#   (a) the 4 round-6 family-twins deferred from the round-7 rotation
+#       (first-ever driver rows; they complete cumulative coverage),
+#   (b) the 11 reference-surface rows from SURVEY §2 (candlestick /
+#       sliding-window / projection / UDF-UDTF-UDAF), last
+#       driver-checked in rounds 3-4,
+#   (c) the 20 queries implemented in modules the round-7 diff touched
+#       (analytics/graph/sketches2/stats3/temporal-split/timeseries/
+#       text4) whose last driver row predates that diff,
+#   (d) 15 oldest-recency regression re-checks (r2-era): the TPC-H
+#       flagships, the dedup family core, corpus pipeline, multimodal
+#       decode, text battery heads, sessionization.
+# All 50 get the all-50 vanilla driver-sim pre-flight before the
+# driver runs (sf0.001 AND sf0.01, per the round-6/7 staple).
 _DRIVER_PRIORITY: list[str] = [
-    "textrank_keywords",
-    "hll_rolling_distinct_users",
-    "theil_sen_trend_event_types",
-    "calibration_bins_propensity",
-    "winnowing_fingerprint_matches",
-    "ngram_novelty_decay",
-    "langid_confusion_audit",
-    "multimodal_keyframe_select",
-    "retrieval_prf_expansion",
-    "acf_event_type_daily",
-    "mann_kendall_event_types",
-    "graph_kcore_membership",
-    "hill_tail_index_event_values",
-    "repeated_substring_audit",
-    "heavy_hitters_spacesaving",
-    "streaming_spacesaving_replay",
-    "woe_iv_feature_screening",
-    "matrix_profile_daily",
-    "gd_quality_classifier_train",
-    "bitmap_type_overlap",
-    "incremental_agg_maintenance",
-    "did_error_impact",
-    "markov_attribution_removal",
-    "stratified_kfold_assignment",
-    "markov_next_event_accuracy",
-    "ranker_agreement_tau",
-    "ks_test_purchase_view",
-    "lorenz_curve_deciles",
-    "burstiness_interevent",
-    "user_diversity_entropy",
-    "shapley_attribution_exact",
-    "adamic_adar_link_prediction",
-    "isotonic_calibration_pava",
-    "power_iteration_top_pc",
-    "rfm_segmentation",
-    "abc_classification_parts",
-    "conformal_interval_event_values",
-    "chao1_vocab_estimate",
-    "largest_remainder_quota",
-    "mutual_nearest_neighbors",
-    "readability_flesch_docs",
-    "sprt_purchase_rate",
-    "good_turing_counts",
-    "kneser_ney_bigram_probs",
-    "streaming_pagehinkley_replay",
-    "hurst_exponent_daily",
-    "sax_words_daily",
-    "cramers_v_type_weekday",
-    "source_loo_influence",
-    "retrieval_ndcg_audit",
-]
-
-
-#: ROUND-8 ROTATION: the 4 round-6 family-twins deferred from the
-#: round-7 rotation (54 staged > 50 slots), plus any queries registered
-#: during round 7. NEW queries MUST be APPENDED here when registered
-#: (test_registry enforces that active + staged + driver-checked covers
-#: the whole registry, and that a prior ``no_oracle`` row does not
-#: count as coverage for a query that now has an oracle).
-_DRIVER_PRIORITY_NEXT: list[str] = [
-    # -- round-6 additions deferred from the round-7 rotation
+    # -- (a) deferred twins: first driver rows, complete coverage
     "streaming_hll_rolling_replay",
     "theil_index_by_type",
     "ivf_kmeans_balance_audit",
     "ccf_view_purchase_daily",
+    # -- (b) reference surface (SURVEY §2), last driver rows r3-r4
+    "candlestick_tumbling",
+    "candlestick_tumbling_tiebroken",
+    "sliding_window_min",
+    "sliding_window_min_fluent",
+    "sliding_window_min_twolevel",
+    "json_ingest_projection",
+    "projection_rename",
+    "select_star",
+    "udf_vector_norms",
+    "udtf_word_chunks",
+    "udaf_value_spread",
+    # -- (c) residents of round-7-diff modules, last driver row < r7
+    "asof_join_events",
+    "resample_ffill_events",
+    "funnel_view_click_purchase",
+    "range_join_events",
+    "pagerank_trade_graph",
+    "graph_triangle_count",
+    "heavy_hitters_cms",
+    "cohort_retention",
+    "anomaly_zscore_events",
+    "bloom_filter_semijoin",
+    "attribution_last_touch",
+    "graph_bfs_levels",
+    "anomaly_seasonal_baseline",
+    "attribution_position_weighted",
+    "graph_connected_components",
+    "hll_distinct_event_ids",
+    "ams_f2_user_events",
+    "concurrent_sessions_peak",
+    "interval_coverage_seconds",
+    "holt_forecast_event_types",
+    # -- (d) oldest-recency re-checks (all r2-era driver rows)
+    "pricing_summary",
+    "shipping_priority",
+    "regional_revenue",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_minhash_clusters",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine_bucketed",
+    "corpus_prep_pipeline",
+    "corpus_train_split",
+    "multimodal_decode_pipeline",
+    "text_lang_id",
+    "text_fingerprint",
+    "sessionize_events",
 ]
+
+
+#: ROUND-9 ROTATION: queries registered during round 8. NEW queries
+#: MUST be APPENDED here when registered (test_registry enforces that
+#: active + staged + driver-checked covers the whole registry, and
+#: that a prior ``no_oracle`` row does not count as coverage for a
+#: query that now has an oracle).
+_DRIVER_PRIORITY_NEXT: list[str] = []
 
 
 def all_queries() -> dict[str, QuerySpec]:
