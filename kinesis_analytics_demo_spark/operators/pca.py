@@ -7,8 +7,9 @@ same exact-DECIMAL construction as ``embedding_covariance_upper``
 budget of iterations with the house iterative-operator discipline
 (pagerank / Lloyd / GD-classifier): per-term 12-dp rounding into
 exact DECIMAL sums so every iterate is bit-identical on both engines
-regardless of partitioning, lineage truncated per iteration with an
-eager localCheckpoint, and a recursive-CTE oracle generated from the
+regardless of partitioning, lineage truncated every 4th iteration with
+an eager localCheckpoint (the grid re-quantization makes cadence
+value-neutral — A/B'd), and a recursive-CTE oracle generated from the
 same constants.
 
 Public sources: von Mises & Pollaczek-Geiringer (1929) power
@@ -97,9 +98,12 @@ _COV_SQL = f"""
     doc=f"Top principal component of the embedding covariance by "
     f"{PI_ITERS} power iterations (von Mises 1929) — the whitening / "
     "OPQ-rotation direction feeding the PQ/SQ compression ladder, "
-    "computed entirely in-engine. Covariance entries reuse the "
-    "embedding_covariance_upper exact-DECIMAL construction "
-    "(symmetrized); each matvec term and each squared-norm term is "
+    "computed entirely in-engine. Covariance entries are the same "
+    "exact-DECIMAL sums as embedding_covariance_upper (symmetrized) "
+    "but produced join-free: the upper-triangle outer product is "
+    "emitted row-wise from a let-bound quantized array and map-side "
+    "combined, so only d(d+1)/2 partial sums per partition ever "
+    "shuffle; each matvec term and each squared-norm term is "
     "rounded to 12 dp and summed in exact DECIMAL, the iterate is "
     "re-quantized to a DECIMAL(20,12) grid, so all "
     f"{PI_ITERS} iterations are bit-identical on both engines (the "
@@ -117,27 +121,56 @@ _COV_SQL = f"""
 )
 def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                "embedding",
-                lambda x: F.round(x.cast("double"), 6).cast("decimal(18,6)"),
-            )
-        ).alias("i0", "q"),
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), "q")
-    s = base.groupBy("i").agg(
-        F.sum("q").alias("si"), F.count(F.lit(1)).alias("n")
+    # Upper-triangle outer product emitted ROW-WISE: the quantized
+    # vector is let-bound once per row (single-element-array transform
+    # — Catalyst has no let, but a lambda variable is evaluated once,
+    # dodging the project-collapse re-evaluation trap), then the
+    # d(d+1)/2 products explode and aggregate with map-side combine.
+    # This replaces the round-trip of a posexplode self-join on vec_id
+    # (2 shuffles of n*d rows + an n*d^2-row join) with zero joins:
+    # each partition ships at most d(d+1)/2 partial DECIMAL sums.
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double"), 6).cast("decimal(18,6)"),
     )
-    a = base.select("vec_id", "i", F.col("q").alias("qa"))
-    b = base.select("vec_id", F.col("i").alias("j"), F.col("q").alias("qb"))
+    pairs = F.flatten(
+        F.transform(
+            F.array(q),
+            lambda qq: F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(DIM)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(DIM)),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.element_at(qq, i.cast("int"))
+                                * F.element_at(qq, j.cast("int"))
+                            ).alias("prod"),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
     p = (
-        a.join(b, "vec_id")
-        .filter(F.col("j") >= F.col("i"))
+        emb.select(F.explode(pairs).alias("pr"))
+        .select(
+            F.col("pr.i").alias("i"),
+            F.col("pr.j").alias("j"),
+            F.col("pr.prod").alias("prod"),
+        )
         .groupBy("i", "j")
-        .agg(F.sum(F.col("qa") * F.col("qb")).alias("sij"))
+        .agg(F.sum("prod").alias("sij"), F.count(F.lit(1)).alias("n"))
     )
-    sa = s.select("i", F.col("si").alias("sia"), "n")
+    s = (
+        emb.select(F.posexplode(q).alias("i0", "qv"))
+        .select((F.col("i0") + 1).alias("i"), "qv")
+        .groupBy("i")
+        .agg(F.sum("qv").alias("si"))
+    )
+    sa = s.select("i", F.col("si").alias("sia"))
     sb = s.select(F.col("i").alias("j"), F.col("si").alias("sib"))
     covu = (
         p.join(F.broadcast(sa), "i")
@@ -160,12 +193,17 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c"),
         )
     )
+    # cov is d^2 cells REGARDLESS of corpus size — coalesce(1) makes
+    # every iteration's matvec a single tiny task instead of 32
+    # near-empty ones (measured ~500 -> ~200 ms/iteration locally; on
+    # a cluster the iteration path is driver-adjacent constant-size
+    # work either way, the corpus-scaling stage is the scan above).
     cov = tracked_persist(
         covu.unionAll(
             covu.filter(F.col("i") < F.col("j")).select(
                 F.col("j").alias("i"), F.col("i").alias("j"), "c"
             )
-        )
+        ).coalesce(1)
     )
 
     def matvec(v: DataFrame) -> DataFrame:
@@ -192,7 +230,14 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    for _ in range(PI_ITERS):
+    # Lineage is truncated every 4th iteration, not every iteration:
+    # the iterate is re-quantized to the DECIMAL(20,12) grid each step,
+    # so checkpoint cadence cannot change the values (A/B'd k=1/3/4/6
+    # at sf0.1: bit-identical outputs; k=4 drops 9 of 12 eager
+    # checkpoint sub-jobs). Within a 4-chain each matvec's broadcast
+    # re-runs <=3 prior tiny iterations over the persisted cov —
+    # bounded, measured cheaper than the jobs it replaces.
+    for it in range(PI_ITERS):
         u = matvec(v)
         n2 = (
             F.sum(
@@ -208,7 +253,9 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ud") / F.sqrt(n2), 12)
             .cast("decimal(20,12)")
             .alias("v"),
-        ).localCheckpoint(eager=True)
+        )
+        if (it + 1) % 4 == 0:
+            v = v.localCheckpoint(eager=True)
     uf = matvec(v)
     ray = (
         v.join(uf, "i")
