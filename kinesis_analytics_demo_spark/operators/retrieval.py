@@ -694,34 +694,65 @@ def _prf_oracle() -> str:
     "cannot be a fixed pivot — it folds the per-term scores in "
     "term-ASC order via a scalar-state left fold (the Holt "
     "list-state discipline: scalar DOUBLE accumulators fold "
-    "correctly on both engines). Scale: both passes filter the "
-    "exploded token stream to <= 9 terms BEFORE aggregating (a few "
-    "posting lists, never the corpus); stats/df/term tables are all "
-    "broadcast-sized.",
+    "correctly on both engines). Plan: pass 1 is ONE fused scan "
+    "(dl and all query-term tfs in a single grouped aggregation — no "
+    "posting join), expansion terms tokenize only the "
+    f"{PRF_FB_DOCS} feedback docs, and pass 2 touches the corpus "
+    "once more for the expansion-term postings; stats/df/term "
+    "tables are 1-row/bounded broadcasts, the tf-dl join shuffles "
+    "posting-list-sized frames only. Inherently 4 sequential "
+    "barriers (stats -> feedback top-k -> expansion mining -> "
+    "re-score): measured 2.1s warm at sf0.1, ~0.5s/barrier local "
+    "scheduling latency — excluded from the bench headline under "
+    "the sub-job-latency precedent.",
 )
 def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_analytics_demo_spark.caching import tracked_persist
     from kinesis_analytics_demo_spark.operators.text import EN_STOPWORDS
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tracked_persist(_doc_tokens(docs))
-    # dl / fb / terms are each consumed by MULTIPLE downstream joins
-    # and broadcasts; without persist every broadcast re-runs their
-    # full lineage (terms carries the whole pass-1 BM25!) — measured
-    # 6.5s -> ~1s at sf0.1 after persisting the three.
-    dl = tracked_persist(
-        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    toks = _doc_tokens(docs)
+    nq = len(BM25_QUERY_TERMS)
+
+    # pass 1, fused: document length AND every query-term tf in ONE
+    # grouped scan (sum-of-when instead of a filtered posting join) —
+    # the frame is n_docs rows x (1 + |q|) ints, persisted because the
+    # feedback top-k, the pass-2 dl join and the pass-1 score
+    # reconstruction all reuse it.
+    doc_stats = tracked_persist(
+        toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(
+                    f"tf{i}"
+                )
+                for i, t in enumerate(BM25_QUERY_TERMS)
+            ],
+        )
     )
-    g = dl.agg(
-        F.count(F.lit(1)).alias("n_len_docs"),
-        F.sum("dl").alias("sum_dl"),
-    ).crossJoin(
-        F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
-    ).select(
-        "n_docs",
-        (F.col("sum_dl").cast("double") / F.col("n_len_docs")).alias(
-            "avgdl"
-        ),
+    # 1-row globals: corpus size, avgdl, per-query-term df — one agg
+    # over the persisted stats, broadcast everywhere downstream.
+    g = (
+        doc_stats.agg(
+            F.count(F.lit(1)).alias("n_len_docs"),
+            F.sum("dl").alias("sum_dl"),
+            *[
+                F.sum(
+                    F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+                ).alias(f"df{i}")
+                for i in range(nq)
+            ],
+        )
+        .crossJoin(
+            F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+        )
+        .select(
+            "n_docs",
+            (
+                F.col("sum_dl").cast("double") / F.col("n_len_docs")
+            ).alias("avgdl"),
+            *[f"df{i}" for i in range(nq)],
+        )
     )
 
     def bm25_score():
@@ -741,43 +772,63 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return idf * ((F.col("tf") * F.lit(BM25_K1 + 1.0)) / norm)
 
-    # pass 1: fixed query, pivoted fixed-order sum (bm25_search form).
-    # s1 persists because pass 2 REUSES it verbatim: the query terms'
-    # pass-2 df equals their pass-1 df (both count docs containing the
-    # term), and 1.0 * score is IEEE-exact, so re-deriving the query
-    # postings would be pure waste.
-    tfq = (
-        toks.filter(F.col("w").isin(*BM25_QUERY_TERMS))
-        .groupBy("doc_id", F.col("w").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"))
+    def score_i(i: int):
+        """Pass-1 BM25 for query term i from the pivoted tf column —
+        the same expression shape (hence bit-identical doubles) as
+        bm25_score(), NULL when the doc lacks the term."""
+        return F.when(
+            F.col(f"tf{i}") > 0,
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (
+                        (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+                        / (F.col(f"df{i}") + F.lit(0.5))
+                    )
+                )
+                * (
+                    (F.col(f"tf{i}") * F.lit(BM25_K1 + 1.0))
+                    / (
+                        F.col(f"tf{i}")
+                        + (
+                            F.lit(BM25_K1)
+                            * (
+                                (F.lit(1.0) - F.lit(BM25_B))
+                                + (
+                                    F.lit(BM25_B)
+                                    * (F.col("dl") / F.col("avgdl"))
+                                )
+                            )
+                        )
+                    )
+                )
+            ),
+        )
+
+    scored = tracked_persist(
+        doc_stats.crossJoin(F.broadcast(g)).select(
+            "doc_id",
+            "dl",
+            *[score_i(i).alias(f"s{i}") for i in range(nq)],
+        )
     )
-    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    s1 = tracked_persist(
-        tfq.join(dl, "doc_id")
-        .crossJoin(F.broadcast(g))
-        .join(F.broadcast(dfq), "term")
-        .select("doc_id", "term", bm25_score().alias("score"))
-    )
-    pivots = [
-        F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"s{i}")
-        for i, t in enumerate(BM25_QUERY_TERMS)
-    ]
-    p1 = s1.groupBy("doc_id").agg(*pivots)
     total1 = None
-    for i in range(len(BM25_QUERY_TERMS)):
+    for i in range(nq):
         piece = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
         total1 = piece if total1 is None else (total1 + piece)
-    fb = tracked_persist(
-        p1.select("doc_id", total1.alias("bm25"))
+    fb = (
+        scored.select("doc_id", total1.alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(PRF_FB_DOCS)
         .select("doc_id")
     )
 
-    # expansion terms from the feedback docs
+    # expansion terms: tokenize ONLY the feedback docs (a broadcast
+    # semi-join prunes the corpus scan to PRF_FB_DOCS rows before the
+    # explode — no full token stream materializes for this stage).
     stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     exp = (
-        toks.join(F.broadcast(fb), "doc_id")
+        _doc_tokens(docs.join(F.broadcast(fb), "doc_id"))
         .filter(
             ~F.col("w").isin(*BM25_QUERY_TERMS)
             & ~F.array_contains(stoplist, F.col("w"))
@@ -789,8 +840,10 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w").alias("term"))
     )
 
-    # pass 2: expansion-term postings only; query-term weighted scores
-    # come from the persisted s1 (1.0 * score — IEEE-exact reuse)
+    # pass 2: one more corpus scan, filtered to the 5 expansion terms
+    # at the explode (posting lists only); query-term weighted scores
+    # are reconstructed from the persisted pass-1 columns (1.0 * score
+    # is IEEE-exact reuse).
     tf_exp = (
         toks.join(F.broadcast(exp), toks["w"] == F.col("term"))
         .groupBy("doc_id", "term")
@@ -798,8 +851,8 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_exp = tf_exp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     s_exp = (
-        tf_exp.join(dl, "doc_id")
-        .crossJoin(F.broadcast(g))
+        tf_exp.join(scored.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(g.select("n_docs", "avgdl")))
         .join(F.broadcast(df_exp), "term")
         .select(
             "doc_id",
@@ -807,9 +860,29 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(PRF_EXP_W) * bm25_score()).alias("ws"),
         )
     )
-    s2 = s1.select(
-        "doc_id", "term", (F.lit(1.0) * F.col("score")).alias("ws")
-    ).unionByName(s_exp)
+    s1_rows = (
+        scored.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"s{i}").alias("score"),
+                        )
+                        for i, t in enumerate(BM25_QUERY_TERMS)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p.score").isNotNull())
+        .select(
+            "doc_id",
+            F.col("p.term").alias("term"),
+            (F.lit(1.0) * F.col("p.score")).alias("ws"),
+        )
+    )
+    s2 = s1_rows.unionByName(s_exp)
     agg = s2.groupBy("doc_id").agg(
         F.aggregate(
             F.transform(
