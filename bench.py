@@ -205,10 +205,12 @@ HEADLINE = [
     "heavy_hitters_spacesaving",
     # retrieval_prf_expansion is registered + correctness-graded but
     # NOT benched: like pagerank/BFS, it is a sequential multi-sub-job
-    # operator (two retrieval passes + feedback mining = ~6 broadcast
-    # collects and 4 persists), so local-mode scheduling latency
-    # (~0.3-0.5s per sub-job) swamps the toy-scale signal — measured
-    # 4.3s at sf0.1 with stage data volumes under a second total.
+    # operator. Round 8 fused pass 1 into one grouped scan and pruned
+    # the feedback tokenize (3.1s -> 2.1s warm at sf0.1); the
+    # remaining ~2s is 4 inherently sequential barriers (stats ->
+    # feedback top-k -> expansion mining -> re-score) at ~0.5s
+    # local-mode scheduling latency each — still swamps the
+    # toy-scale data volumes (under a second total).
     #
     # round-6 third batch: one representative per new family —
     # distribution comparison (KS; lorenz/theil share gini's rollup),
@@ -218,8 +220,10 @@ HEADLINE = [
     # counts since round 7 — shares kneser_ney's n-gram rollup
     # profile), single-scan regex scoring (readability), and the
     # three-key bigram LM rollup (kneser_ney). Excluded by precedent:
-    # power_iteration_top_pc (16.5s at sf0.1 — 12 localCheckpoint
-    # sub-jobs, the pagerank scheduling-latency precedent),
+    # power_iteration_top_pc (round 8 rebuilt the covariance
+    # join-free and checkpoints every 4th iteration: 17.2s -> 12.7s
+    # cold / 2.9s warm at sf0.1, but 12 sequential matvec sub-jobs
+    # remain — the pagerank scheduling-latency precedent),
     # adamic_adar_link_prediction (7.8s — the O(sum deg^2) wedge
     # join, the market-basket precedent), mutual_nearest_neighbors
     # (exact O(AxB) baseline, the dedup_embedding_cosine precedent),
