@@ -188,7 +188,10 @@ _DRIVER_PRIORITY: list[str] = [
 #: active + staged + driver-checked covers the whole registry, and
 #: that a prior ``no_oracle`` row does not count as coverage for a
 #: query that now has an oracle).
-_DRIVER_PRIORITY_NEXT: list[str] = []
+_DRIVER_PRIORITY_NEXT: list[str] = [
+    # -- round-8 additions
+    "mutual_nearest_neighbors_bucketed",
+]
 
 
 def all_queries() -> dict[str, QuerySpec]:
