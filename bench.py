@@ -152,7 +152,12 @@ HEADLINE = [
     # timed noop save of the (tiny) result measures nothing. The wall
     # bar scales with the set: <= ~0.85 s/query average at sf0.1
     # (60 queries -> ~50 s), judged against plan audits first.
-    "label_knn_disagreement",
+    # label_knn_disagreement (the exact O(sample x N) audit) left the
+    # headline in round 8 after the full-headline 10x smoke measured
+    # it at 77x wall for 10x data — its IVF-candidate twin is the
+    # benched scale path, the exact query remains correctness-graded
+    # (the dedup_embedding_cosine precedent).
+    "label_knn_disagreement_bucketed",
     "inverted_index_incremental_merge",
     "multimodal_scene_changes",
     # round-4 third batch: entity resolution, skyline selection,

@@ -260,9 +260,10 @@ _EMB_DIM = 64
     "Learning-style mislabel signal): for a deterministic 10% audit "
     "sample, the fraction of the 10 nearest neighbors (exact cosine, "
     "vec_id tiebreak) carrying a DIFFERENT label; >=80% flags a "
-    "suspect. The audit sample broadcasts against one corpus scan; "
-    "at production scale the neighbor stage composes with the IVF "
-    "candidate generator (similarity_ivf) instead of brute force.",
+    "suspect. The audit sample broadcasts against one corpus scan. "
+    "This is the labeled exact O(sample x N) baseline (77x wall for "
+    "10x data in the round-8 smoke) — the benched scale path is "
+    "label_knn_disagreement_bucketed (IVF candidate lists).",
 )
 def label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_analytics_demo_spark.functions import vectors as V
@@ -281,6 +282,127 @@ def label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = (
         pairs.select(
+            "qid",
+            "qlabel",
+            F.col("label").alias("nlabel"),
+            "vec_id",
+            V.cosine(F.col("embedding"), F.col("qe")).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+    )
+    dis = F.sum(F.when(F.col("nlabel") != F.col("qlabel"), 1).otherwise(0))
+    return top.groupBy(
+        F.col("qid").alias("vec_id"), F.col("qlabel").alias("label")
+    ).agg(
+        dis.cast("bigint").alias("n_disagree"),
+        F.round(dis / float(KNN_K), 4).alias("frac_disagree"),
+        (dis >= KNN_SUSPECT_FRAC * KNN_K).alias("suspect"),
+    )
+
+
+KNN_NPROBE = 3  #: coarse lists probed per audited vector
+
+
+@register(
+    "label_knn_disagreement_bucketed",
+    oracle=f"""
+    WITH cent AS (
+        SELECT min(vec_id) AS cid FROM embeddings GROUP BY label
+    ),
+    centv AS (
+        SELECT c.cid, e.embedding AS cv
+        FROM cent c JOIN embeddings e ON e.vec_id = c.cid
+    ),
+    assign AS (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {V.sql_cosine('e.embedding', 'c.cv', _EMB_DIM)} DESC, c.cid)
+                   AS crank
+        FROM embeddings e, centv c
+    ),
+    lists AS (SELECT vec_id, label, embedding, cid FROM assign
+              WHERE crank = 1),
+    q AS (SELECT vec_id, embedding, label, cid FROM assign
+          WHERE vec_id % {KNN_SAMPLE_MOD} = 0 AND crank <= {KNN_NPROBE}),
+    nn AS (
+        SELECT q.vec_id, q.label, e.label AS nlabel,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {V.sql_cosine('e.embedding', 'q.embedding', _EMB_DIM)} DESC,
+                            e.vec_id) AS rnk
+        FROM q JOIN lists e ON e.cid = q.cid AND e.vec_id != q.vec_id),
+    top AS (SELECT vec_id, label, nlabel FROM nn WHERE rnk <= {KNN_K})
+    SELECT vec_id, label,
+           CAST(sum(CASE WHEN nlabel != label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_disagree,
+           ROUND(sum(CASE WHEN nlabel != label THEN 1 ELSE 0 END)
+                 / {KNN_K}.0, 4) AS frac_disagree,
+           (sum(CASE WHEN nlabel != label THEN 1 ELSE 0 END)
+            >= {KNN_SUSPECT_FRAC} * {KNN_K}) AS suspect
+    FROM top GROUP BY vec_id, label
+    """,
+    doc="Scale-path default for the kNN label-noise audit: the "
+    "neighbor stage composes with the IVF coarse lists exactly as "
+    "label_knn_disagreement's docstring prescribes — every vector "
+    f"sits in its top-1 centroid list, each audited vector probes "
+    f"its {KNN_NPROBE} nearest lists, and the 10-NN disagreement "
+    "readout runs on probed-list candidates only, so per-query work "
+    "is O(nprobe x list), never O(N). The round-8 sf1-equivalent "
+    "smoke measured the exact twin at 77x wall for 10x data (the "
+    "quadratic candidate stage); this variant is the benched "
+    "headline path, the exact twin stays registered as the labeled "
+    "quadratic oracle baseline (the dedup_embedding_cosine / "
+    "mutual_nearest_neighbors_bucketed contract). Candidate "
+    "dedup-free by construction: lists are crank=1 (disjoint), so a "
+    "neighbor appears at most once per probed query.",
+)
+def label_knn_disagreement_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cids = (
+        emb.groupBy("label").agg(F.min("vec_id").alias("cid")).select("cid")
+    )
+    cent = cids.join(emb, F.col("cid") == F.col("vec_id")).select(
+        "cid", F.col("embedding").alias("cv")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "cid",
+            V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("csim"), F.col("cid")
+                )
+            ),
+        )
+    )
+    lists = assign.filter(F.col("crank") == 1).select(
+        "vec_id", "label", "embedding", "cid"
+    )
+    q = assign.filter(
+        (F.col("vec_id") % KNN_SAMPLE_MOD == 0)
+        & (F.col("crank") <= KNN_NPROBE)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+        "cid",
+    )
+    cand = lists.join(F.broadcast(q), "cid").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("vec_id"))
+    top = (
+        cand.select(
             "qid",
             "qlabel",
             F.col("label").alias("nlabel"),

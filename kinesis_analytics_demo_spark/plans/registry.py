@@ -191,6 +191,7 @@ _DRIVER_PRIORITY: list[str] = [
 _DRIVER_PRIORITY_NEXT: list[str] = [
     # -- round-8 additions
     "mutual_nearest_neighbors_bucketed",
+    "label_knn_disagreement_bucketed",
 ]
 
 
