@@ -168,6 +168,11 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         # bounded label-partition brute force (exact MNN baseline,
         # same contract as dedup_embedding_cosine)
         "mutual_nearest_neighbors",
+        # the two round-8 IVF-bucketed scale twins: broadcast
+        # one-centroid-per-label assign x corpus (the similarity_ivf
+        # shape); candidate stage is a cid equi-join, never O(N^2)
+        "mutual_nearest_neighbors_bucketed",
+        "label_knn_disagreement_bucketed",
         "sprt_purchase_rate",  # 1-row decision-index broadcast
         "kneser_ney_bigram_probs",  # 1-row bigram-type-count broadcast
         "hurst_exponent_daily",  # 1-row regression-slope broadcast
@@ -416,5 +421,45 @@ def test_winnowing_and_suffix_plan_shapes(spark):
         assert "Window" in sp
         assert "Exchange SinglePartition" not in sp
         assert "Exchange hashpartitioning" in sp
+    finally:
+        release_tracked()
+
+
+def test_bucketed_twin_plan_shapes(spark):
+    """Round-8 pins for the two IVF-bucketed scale twins.
+
+    Both replace a labeled exact O(N^2) baseline; the pin asserts the
+    candidate stage really is list-bucketed: the only nested-loop in
+    the plan is the bounded one-centroid-per-label broadcast assign
+    (the similarity_ivf shape), the candidate join is a cid equi-join
+    (MNN: shuffle-keyed on cid; kNN audit: the tiny probe set
+    broadcasts), and nothing funnels the corpus through a single
+    partition."""
+    from kinesis_analytics_demo_spark.caching import release_tracked
+
+    qs = all_queries()
+    try:
+        mp = (
+            qs["mutual_nearest_neighbors_bucketed"]
+            .fn(spark, SF_MEDIUM)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # candidate pair join co-partitions both sides on the list id
+        assert "hashpartitioning(cid" in mp
+        assert "Exchange SinglePartition" not in mp
+
+        kp = (
+            qs["label_knn_disagreement_bucketed"]
+            .fn(spark, SF_MEDIUM)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # probed-query side broadcasts into a cid equi-join; the
+        # corpus side never shuffles for candidate generation
+        assert "BroadcastHashJoin" in kp
+        assert "Exchange SinglePartition" not in kp
     finally:
         release_tracked()
