@@ -458,8 +458,19 @@ def test_bucketed_twin_plan_shapes(spark):
             .toString()
         )
         # probed-query side broadcasts into a cid equi-join; the
-        # corpus side never shuffles for candidate generation
+        # corpus side never shuffles for candidate generation. The
+        # adaptive-K centroid draw funnels through SinglePartition
+        # only for the 1-row corpus count (the allowlisted stats
+        # idiom, duplicated in the plan tree once per consumer of
+        # the persisted assign frame); every such exchange must sit
+        # directly on a partial count, never on corpus rows.
         assert "BroadcastHashJoin" in kp
-        assert "Exchange SinglePartition" not in kp
+        lines = kp.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                assert "partial_count" in lines[i + 1], lines[i : i + 2]
+        # the 10-NN window over candidates is keyed by the audited
+        # vector id — the shape that spreads probe work across tasks
+        assert "hashpartitioning(qid" in kp
     finally:
         release_tracked()
