@@ -36,6 +36,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_analytics_demo_spark.functions import hashing as H
 from kinesis_analytics_demo_spark.functions import vectors as V
 from kinesis_analytics_demo_spark.plans.registry import register
 from kinesis_analytics_demo_spark.session import read_table as _t
@@ -1289,7 +1290,8 @@ def mutual_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MNN_NPROBE = 3  #: coarse lists probed per side (see recall note below)
+MNN_NPROBE = 5  #: coarse lists probed per side — the recall dial (below)
+MNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
 
 _MNN_BCOS = V.sql_cosine("ea.embedding", "eb.embedding", DIM)
 
@@ -1297,19 +1299,25 @@ _MNN_BCOS = V.sql_cosine("ea.embedding", "eb.embedding", DIM)
 @register(
     "mutual_nearest_neighbors_bucketed",
     oracle=f"""
-    WITH cent AS (
-        SELECT min(vec_id) AS cid FROM embeddings GROUP BY label
+    WITH sel AS (
+        SELECT n, k, ({MNN_SEL_GRID} * k + n - 1) // n AS thr
+        FROM (SELECT count(*) AS n,
+                     greatest(CAST(floor(sqrt(
+                         CAST((count(*) * 9) // 100 AS DOUBLE))) AS BIGINT),
+                         1) AS k
+              FROM embeddings)
     ),
-    centv AS (
-        SELECT c.cid, e.embedding AS cv
-        FROM cent c JOIN embeddings e ON e.vec_id = c.cid
+    cent AS (
+        SELECT e.vec_id AS cid, e.embedding AS cv
+        FROM embeddings e, sel s
+        WHERE ({H.sql_md5_long("e.vec_id::VARCHAR")} % {MNN_SEL_GRID}) < s.thr
     ),
     assign AS (
         SELECT e.vec_id, e.label, e.embedding, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY {V.sql_cosine('e.embedding', 'c.cv', DIM)} DESC, c.cid)
                    AS crank
-        FROM embeddings e, centv c
+        FROM embeddings e, cent c
     ),
     a AS (SELECT vec_id AS a_id, cid FROM assign
           WHERE label = {MNN_LABEL_A} AND crank <= {MNN_NPROBE}),
@@ -1337,37 +1345,62 @@ _MNN_BCOS = V.sql_cosine("ea.embedding", "eb.embedding", DIM)
     FROM ab JOIN ba ON ba.a_id = ab.a_id AND ba.b_id = ab.b_id
     """,
     doc=f"Scale-path default for MNN seed-pair mining: both label "
-    f"partitions are coarse-quantized onto the IVF centroid lists "
-    f"(one deterministic representative per label, the "
-    f"similarity_ivf construction) with each side probing its "
-    f"{MNN_NPROBE} nearest lists; candidate pairs must share a "
-    "probed list, and the mutual top-1 check runs only on "
-    "candidates. Measured recall vs the exact twin on the "
-    "near-isotropic synthetic corpus (the HARD case for coarse "
-    "quantization): 0.885 / 0.957 / 0.851 at sf0.001/0.01/0.1 with "
-    "precision 0.85-1.0 — nprobe=3 of 10 toy lists probes 30% of "
-    "the space; at 100 TB with sqrt(N) k-means centroids the same "
-    "nprobe probes a vanishing fraction and per-pair work is "
-    "O(list^2), never O(|A| x |B|). Candidate sims are computed "
-    "once per (a,b) via DISTINCT (the cosine is deterministic, so "
-    "multi-list duplicates are bit-identical on both engines); the "
-    "mutual check is the exact twin's two WindowGroupLimit passes + "
-    "hash join, shuffle-keyed by vector id. The exact "
-    "mutual_nearest_neighbors stays registered as the labeled "
-    "quadratic oracle baseline (the dedup_embedding_cosine / "
-    "_bucketed contract).",
+    "partitions coarse-quantize onto K = "
+    "max(1, floor(sqrt((9n) div 100))) IVF lists — the argmin of "
+    "assign(nK) + probe(nprobe^2 |A||B| / K) work for the two "
+    f"n/10-sized sides — with each side probing its {MNN_NPROBE} "
+    "nearest lists; candidate pairs must share a probed list, and "
+    "the mutual top-1 check runs only on candidates, so total work "
+    "is O(n^1.5), never O(|A| x |B|). Centroids are drawn "
+    "deterministically on both engines (vec_id md5 mod "
+    f"{MNN_SEL_GRID} under ceil(grid*K/n) — no global sort, no "
+    "trained state; IVF-flat seeding), and the n x K assign frame "
+    "is persisted so its cosines run once. Measured vs the exact "
+    "twin on the near-isotropic synthetic corpus (the HARD case "
+    "for data-point quantization): recall 1.0 / 1.0 / 0.979 at "
+    "sf0.001/0.01/0.1 and 0.807 on the 10x 20k-vector corpus; "
+    "nprobe is the recall dial (0.47 / 0.81 / 0.98 at nprobe "
+    "3/5/8, numpy-audited at 10x). At these toy scales the exact "
+    "broadcast cross join is still the FASTER plan (11.4s vs 25s "
+    "at 10x — candidate work 2.7M rows vs 4M, but across more "
+    "stages); the bucketed path exists for the asymptotics, "
+    "projected ~4x less work at 100x and widening as n^1.5 vs "
+    "n^2. Candidate sims are computed once per (a,b) via DISTINCT "
+    "(the cosine is deterministic, so multi-list duplicates are "
+    "bit-identical on both engines); the mutual check is the exact "
+    "twin's two WindowGroupLimit passes + hash join, shuffle-keyed "
+    "by vector id. The exact mutual_nearest_neighbors stays "
+    "registered as the labeled quadratic oracle baseline (the "
+    "dedup_embedding_cosine / _bucketed contract).",
 )
 def mutual_nearest_neighbors_bucketed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
     emb = _t(spark, sf_dir, "embeddings")
-    cids = (
-        emb.groupBy("label").agg(F.min("vec_id").alias("cid")).select("cid")
+    sel = (
+        emb.agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.greatest(
+                F.floor(F.sqrt(F.expr("CAST((n * 9) div 100 AS DOUBLE)"))),
+                F.lit(1).cast("bigint"),
+            ).alias("k"),
+        )
+        .select(F.expr(f"({MNN_SEL_GRID} * k + n - 1) div n").alias("thr"))
     )
-    cent = cids.join(emb, F.col("cid") == F.col("vec_id")).select(
-        "cid", F.col("embedding").alias("cv")
+    cent = (
+        emb.crossJoin(F.broadcast(sel))
+        .filter(
+            H.md5_long(F.col("vec_id").cast("string")) % MNN_SEL_GRID
+            < F.col("thr")
+        )
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     )
-    assign = (
+    # both label-side probe sets consume assign — persist so the
+    # n x K assign cosines run once
+    assign = tracked_persist(
         emb.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
