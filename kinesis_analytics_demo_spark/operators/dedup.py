@@ -677,6 +677,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------- bucketed (sub-quadratic) embedding dedup
 NEAR_DUP_NPROBE = 2
+#: target max probed-list size. The 10 per-label centroids alone put
+#: ALL corpus growth into list size — the round-8 100x probe crashed
+#: a python worker materializing a 40k-member list's 13 GB sims
+#: matrix. Above ~20k vectors, extra centroids are drawn
+#: deterministically (vec_id md5-mod-grid threshold, the round-8
+#: adaptive-K rule) so lists stay ~LIST_CAP and total verify work is
+#: O(n * LIST_CAP) — linear in corpus size. At every test SF
+#: (n <= 2000) the extra draw is empty and results are bit-identical
+#: to the original 10-list construction.
+NEAR_DUP_LIST_CAP = 4096
+DEDUP_SEL_GRID = 4096  #: md5 grid for the deterministic extra-centroid draw
 
 
 def _list_pair_sims(threshold: float):
@@ -686,12 +697,18 @@ def _list_pair_sims(threshold: float):
     order == the DuckDB oracle's list_sum). One matrix product per
     list instead of materializing candidate PAIRS through a shuffle
     (the pair-row form shipped ~N^2*nprobe^2/2k rows x 2 embeddings
-    through Arrow — 7x slower at sf0.1)."""
+    through Arrow — 7x slower at sf0.1). The row dimension is
+    CHUNKED (1024 rows per block) so per-task scratch stays ~33 MB
+    per array regardless of list size — before chunking, a 40k-member
+    list materialized a 13 GB sims matrix and crashed the python
+    worker (found by the round-8 100x probe); chunking changes no
+    arithmetic (the j-fold order per pair is identical)."""
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
 
+        BLK = 1024
         for pdf in batches:
             out_a, out_b, out_s = [], [], []
             for _, row in pdf.iterrows():
@@ -700,17 +717,24 @@ def _list_pair_sims(threshold: float):
                 A = np.stack(
                     [np.asarray(v["embedding"], dtype=np.float64) for v in cell]
                 )
-                dots = np.zeros((len(ids), len(ids)))
-                nrm = np.zeros(len(ids))
+                n = len(ids)
+                nrm = np.zeros(n)
                 for j in range(A.shape[1]):  # LTR accumulation == fold order
-                    dots += A[:, j][:, None] * A[None, :, j]
                     nrm += A[:, j] * A[:, j]
-                sims = dots / (np.sqrt(nrm)[:, None] * np.sqrt(nrm)[None, :])
-                ia, ib = np.meshgrid(ids, ids, indexing="ij")
-                mask = (ia < ib) & (sims >= threshold)
-                out_a.append(ia[mask])
-                out_b.append(ib[mask])
-                out_s.append(sims[mask])
+                rt = np.sqrt(nrm)
+                for i0 in range(0, n, BLK):
+                    blk = A[i0 : i0 + BLK]
+                    dots = np.zeros((blk.shape[0], n))
+                    for j in range(A.shape[1]):
+                        dots += blk[:, j][:, None] * A[None, :, j]
+                    sims = dots / (rt[i0 : i0 + BLK][:, None] * rt[None, :])
+                    ia, ib = np.meshgrid(
+                        ids[i0 : i0 + BLK], ids, indexing="ij"
+                    )
+                    mask = (ia < ib) & (sims >= threshold)
+                    out_a.append(ia[mask])
+                    out_b.append(ib[mask])
+                    out_s.append(sims[mask])
             yield pd.DataFrame(
                 {
                     "vec_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
@@ -795,7 +819,21 @@ def _sql_bucketed_pair_ctes(prefix: str = "") -> str:
     also embed the minhash CTE chain, whose names would otherwise
     collide on ``cand``/``assign``."""
     p = prefix
-    return f"""{p}cent AS (SELECT min(vec_id) AS cid FROM embeddings GROUP BY label),
+    return f"""{p}sel AS (
+        SELECT n, ({DEDUP_SEL_GRID} * k + n - 1) // n AS thr
+        FROM (SELECT count(*) AS n,
+                     greatest(((count(*) * {NEAR_DUP_NPROBE}
+                                + {NEAR_DUP_LIST_CAP - 1})
+                               // {NEAR_DUP_LIST_CAP}) - 10, 0) AS k
+              FROM embeddings)
+    ),
+    {p}cent AS (
+        SELECT min(vec_id) AS cid FROM embeddings GROUP BY label
+        UNION
+        SELECT e.vec_id FROM embeddings e, {p}sel s
+        WHERE ({H.sql_md5_long("e.vec_id::VARCHAR")}
+               % {DEDUP_SEL_GRID}) < s.thr
+    ),
     {p}centv AS (
         SELECT c.cid, e.embedding AS cv
         FROM {p}cent c JOIN embeddings e ON e.vec_id = c.cid
@@ -833,15 +871,49 @@ def _sql_bucketed_pair_ctes(prefix: str = "") -> str:
     doc="Embedding near-dup, SUB-QUADRATIC default path: IVF-list "
     "blocking (deterministic label centroids, nprobe=2) restricts the "
     "exact-cosine verify to vectors sharing a probed list — "
-    "~N^2*nprobe^2/(2k) candidate pairs instead of N^2/2, O(N^1.5) "
-    "with k~sqrt(N) centroids in production. The exact all-pairs "
-    "query (dedup_embedding_cosine) is the small-scale oracle twin.",
+    "~N^2*nprobe^2/(2k) candidate pairs instead of N^2/2. The "
+    "centroid count GROWS with the corpus: above ~20k vectors, "
+    "extra centroids are drawn by the deterministic md5-mod-grid "
+    "rule so probed lists stay ~4096 members and total verify work "
+    "is O(N * list_cap) — linear; at every test SF the extra draw "
+    "is empty and the construction is the original 10 per-label "
+    "representatives (results bit-identical). The round-8 100x probe "
+    "motivated this: fixed 10 lists put a 40k-member list's 13 GB "
+    "sims matrix in one python worker (crash); capped lists + the "
+    "chunked kernel run the same corpus in bounded memory. The exact "
+    "all-pairs query (dedup_embedding_cosine) is the small-scale "
+    "oracle twin.",
 )
 def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
+    base = (
+        emb.groupBy("label").agg(F.min("vec_id").alias("cid")).select("cid")
+    )
+    sel = (
+        emb.agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.greatest(
+                F.expr(
+                    f"((n * {NEAR_DUP_NPROBE} + {NEAR_DUP_LIST_CAP - 1})"
+                    f" div {NEAR_DUP_LIST_CAP}) - 10"
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("k"),
+        )
+        .select(F.expr(f"({DEDUP_SEL_GRID} * k + n - 1) div n").alias("thr"))
+    )
+    extra = (
+        emb.crossJoin(F.broadcast(sel))
+        .filter(
+            H.md5_long(F.col("vec_id").cast("string")) % DEDUP_SEL_GRID
+            < F.col("thr")
+        )
+        .select(F.col("vec_id").alias("cid"))
+    )
     cent = (
-        emb.groupBy("label")
-        .agg(F.min("vec_id").alias("cid"))
+        base.unionByName(extra)
+        .distinct()
         .join(emb, F.col("cid") == F.col("vec_id"))
         .select("cid", F.col("embedding").alias("cv"))
     )
