@@ -309,16 +309,20 @@ KNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
     "label_knn_disagreement_bucketed",
     oracle=f"""
     WITH sel AS (
-        SELECT n, k, ({KNN_SEL_GRID} * k + n - 1) // n AS thr
+        SELECT n, k, ({KNN_SEL_GRID} * k + n - 1) // greatest(n, 1) AS thr,
+               mn
         FROM (SELECT count(*) AS n,
-                     CAST(floor(sqrt(CAST((count(*) * 3) // 10 AS DOUBLE)))
-                          AS BIGINT) AS k
+                     greatest(CAST(floor(sqrt(
+                         CAST((count(*) * 3) // 10 AS DOUBLE)))
+                         AS BIGINT), 1) AS k,
+                     min(vec_id) AS mn
               FROM embeddings)
     ),
     cent AS (
         SELECT e.vec_id AS cid, e.embedding AS cv
         FROM embeddings e, sel s
         WHERE ({H.sql_md5_long("e.vec_id::VARCHAR")} % {KNN_SEL_GRID}) < s.thr
+           OR e.vec_id = s.mn
     ),
     assign AS (
         SELECT e.vec_id, e.label, e.embedding, c.cid,
@@ -368,7 +372,11 @@ KNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
     "the assign stays a bounded broadcast. The exact twin remains "
     "registered as the labeled quadratic oracle baseline (the "
     "dedup_embedding_cosine / mutual_nearest_neighbors_bucketed "
-    "contract). Candidate dedup-free by construction: lists are "
+    "contract). The candidate stage is a PLAIN cid equi-join — the "
+    "probe set is 10% of the corpus and may never carry a broadcast "
+    "hint (it grows linearly with n); AQE upgrades it to a broadcast "
+    "at runtime only when the measured sample is small. Candidate "
+    "dedup-free by construction: lists are "
     "crank=1 (disjoint), so a neighbor appears at most once per "
     "probed query. Measured: oracle parity green at "
     "sf0.001/0.01/0.1 AND the 10x corpus; suspect-set agreement vs "
@@ -384,21 +392,43 @@ def label_knn_disagreement_bucketed(
     from kinesis_analytics_demo_spark.caching import tracked_persist
 
     emb = _t(spark, sf_dir, "embeddings")
+    # mn = fallback centroid (min vec_id): the probabilistic md5 draw
+    # can come up empty for small non-empty corpora, silently emptying
+    # the audit (ADVICE r8). Riding mn on the same 1-row stats agg
+    # keeps the plan's only SinglePartition exchange on the partial
+    # count (the pinned allowlisted idiom).
     sel = (
-        emb.agg(F.count(F.lit(1)).alias("n"))
+        emb.agg(
+            F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("mn")
+        )
         .select(
             "n",
-            F.floor(
-                F.sqrt(F.expr("CAST((n * 3) div 10 AS DOUBLE)"))
+            "mn",
+            # k >= 1 floor (the MNN sibling's rule): without it n <= 3
+            # gives k=0 -> thr=0 -> empty centroid draw -> a silently
+            # empty audit while the exact twin returns rows (ADVICE r8)
+            F.greatest(
+                F.floor(F.sqrt(F.expr("CAST((n * 3) div 10 AS DOUBLE)"))),
+                F.lit(1).cast("bigint"),
             ).alias("k"),
         )
-        .select(F.expr(f"({KNN_SEL_GRID} * k + n - 1) div n").alias("thr"))
+        # greatest(n, 1): empty corpus -> empty result, not ANSI
+        # div-by-zero (ADVICE r8)
+        .select(
+            F.expr(
+                f"({KNN_SEL_GRID} * k + n - 1) div greatest(n, 1)"
+            ).alias("thr"),
+            "mn",
+        )
     )
     cent = (
         emb.crossJoin(F.broadcast(sel))
         .filter(
-            H.md5_long(F.col("vec_id").cast("string")) % KNN_SEL_GRID
-            < F.col("thr")
+            (
+                H.md5_long(F.col("vec_id").cast("string")) % KNN_SEL_GRID
+                < F.col("thr")
+            )
+            | (F.col("vec_id") == F.col("mn"))
         )
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     )
@@ -435,9 +465,14 @@ def label_knn_disagreement_bucketed(
         F.col("label").alias("qlabel"),
         "cid",
     )
-    cand = lists.join(F.broadcast(q), "cid").filter(
-        F.col("vec_id") != F.col("qid")
-    )
+    # NO broadcast hint on q: the audit sample is 10% of the corpus x
+    # nprobe (embeddings included) — it grows LINEARLY with the corpus
+    # and cannot broadcast at the 100 TB target. A plain cid equi-join
+    # co-partitions both sides on the list id (the MNN twin's shape);
+    # AQE is still free to pick a broadcast at runtime when the actual
+    # sample is small, which is the size-gate the scale contract wants
+    # (VERDICT r8 item 2).
+    cand = lists.join(q, "cid").filter(F.col("vec_id") != F.col("qid"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("vec_id"))
     top = (
         cand.select(

@@ -776,6 +776,13 @@ def embedding_near_dup_bucketed(
     """
     from pyspark.sql import Window, types as T
 
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    # the centroid frame feeds TWO consumers — the n_lists count
+    # action below and the broadcast assign — and with the adaptive
+    # draw it is a full corpus scan + md5 filter; persist so that
+    # lineage runs once (ADVICE r8).
+    centroids = tracked_persist(centroids)
     member = (
         emb.crossJoin(F.broadcast(centroids))
         .select(
@@ -820,7 +827,7 @@ def _sql_bucketed_pair_ctes(prefix: str = "") -> str:
     collide on ``cand``/``assign``."""
     p = prefix
     return f"""{p}sel AS (
-        SELECT n, ({DEDUP_SEL_GRID} * k + n - 1) // n AS thr
+        SELECT n, ({DEDUP_SEL_GRID} * k + n - 1) // greatest(n, 1) AS thr
         FROM (SELECT count(*) AS n,
                      greatest(((count(*) * {NEAR_DUP_NPROBE}
                                 + {NEAR_DUP_LIST_CAP - 1})
@@ -901,7 +908,14 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
                 F.lit(0).cast("bigint"),
             ).alias("k"),
         )
-        .select(F.expr(f"({DEDUP_SEL_GRID} * k + n - 1) div n").alias("thr"))
+        # greatest(n, 1): an empty embeddings table must yield an empty
+        # result, not an ANSI div-by-zero (DuckDB's // 0 -> NULL quietly
+        # filters everything; Spark 4 ANSI mode throws) — ADVICE r8.
+        .select(
+            F.expr(
+                f"({DEDUP_SEL_GRID} * k + n - 1) div greatest(n, 1)"
+            ).alias("thr")
+        )
     )
     extra = (
         emb.crossJoin(F.broadcast(sel))

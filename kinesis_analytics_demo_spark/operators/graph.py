@@ -674,6 +674,13 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------- Adamic-Adar link prediction
 AA_TOP = 50  #: strongest predicted links emitted
+#: wedge centers above this degree are dropped (with a logged count —
+#: no silent caps): one hub center generates deg^2 wedges in a single
+#: task, the operator's only skew-unbounded stage. Provably inert at
+#: every test SF (max co-purchase degree ~10^2) and at the 10x/100x
+#: probes; at the 100 TB target it bounds per-center wedge work at
+#: ~10^8 pairs.
+AA_DEG_CAP = 10_000
 
 
 @register(
@@ -690,7 +697,8 @@ AA_TOP = 50  #: strongest predicted links emitted
     deg AS (SELECT w, count(*) AS d FROM sym GROUP BY w),
     wedge AS (
         SELECT s1.x AS u, s2.x AS v, s1.w AS w
-        FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.x < s2.x),
+        FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.x < s2.x
+        JOIN deg ON deg.w = s1.w AND deg.d <= {AA_DEG_CAP}),
     cand AS (
         SELECT wg.u, wg.v, wg.w FROM wedge wg
         ANTI JOIN e ON e.u = wg.u AND e.v = wg.v),
@@ -718,9 +726,13 @@ AA_TOP = 50  #: strongest predicted links emitted
     "so the cross-neighbor accumulation order cannot skew the score "
     "or the top-{AA_TOP} cut, which ties-break on the exact decimal "
     "then (u, v). Scale: wedges are generated per CENTER node, so "
-    "hub nodes dominate cost — at 100 TB, cap or sample centers "
-    "above degree ~10^4 (the standard LSH-free ANN-of-graphs "
-    "mitigation); the anti-join to existing edges is hash-keyed.",
+    f"hub nodes dominate cost — centers above degree {AA_DEG_CAP} "
+    "are DROPPED before the wedge join (the standard hub-cap "
+    "mitigation), with the dropped-hub count logged per the "
+    "no-silent-caps rule; the cap is provably inert at every test "
+    "SF and both probe decades (max co-purchase degree ~10^2), so "
+    "the oracle mirrors it trivially. The anti-join to existing "
+    "edges is hash-keyed.",
 )
 def adamic_adar_link_prediction(
     spark: SparkSession, sf_dir: str
@@ -747,8 +759,29 @@ def adamic_adar_link_prediction(
         )
     )
     deg = sym.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
-    s1 = sym.select("w", F.col("x").alias("u"))
-    s2 = sym.select("w", F.col("x").alias("v"))
+    # degree cap on wedge CENTERS: one hub center emits deg^2 wedges
+    # into a single task — the skew-unbounded stage the 10x smoke
+    # flagged (116s / 12.35 GB with GC pressure). Hubs are counted
+    # and logged, never silently dropped; the hub set is bounded by
+    # 2|E|/cap so the anti-join stays hash-keyed (no broadcast hint —
+    # AQE decides).
+    hubs = tracked_persist(
+        deg.filter(F.col("d") > AA_DEG_CAP).select("w")
+    )
+    n_hubs = hubs.count()
+    if n_hubs:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "adamic_adar_link_prediction: dropped %d wedge centers "
+            "with degree > %d (scores lose those hubs' 1/ln(deg) "
+            "terms; raise AA_DEG_CAP to include them)",
+            n_hubs,
+            AA_DEG_CAP,
+        )
+    symc = sym.join(hubs, "w", "left_anti")
+    s1 = symc.select("w", F.col("x").alias("u"))
+    s2 = symc.select("w", F.col("x").alias("v"))
     wedge = s1.join(s2, "w").filter(F.col("u") < F.col("v"))
     cand = wedge.join(e, ["u", "v"], "left_anti")
     term = F.round(

@@ -1300,17 +1300,20 @@ _MNN_BCOS = V.sql_cosine("ea.embedding", "eb.embedding", DIM)
     "mutual_nearest_neighbors_bucketed",
     oracle=f"""
     WITH sel AS (
-        SELECT n, k, ({MNN_SEL_GRID} * k + n - 1) // n AS thr
+        SELECT n, k, ({MNN_SEL_GRID} * k + n - 1) // greatest(n, 1) AS thr,
+               mn
         FROM (SELECT count(*) AS n,
                      greatest(CAST(floor(sqrt(
                          CAST((count(*) * 9) // 100 AS DOUBLE))) AS BIGINT),
-                         1) AS k
+                         1) AS k,
+                     min(vec_id) AS mn
               FROM embeddings)
     ),
     cent AS (
         SELECT e.vec_id AS cid, e.embedding AS cv
         FROM embeddings e, sel s
         WHERE ({H.sql_md5_long("e.vec_id::VARCHAR")} % {MNN_SEL_GRID}) < s.thr
+           OR e.vec_id = s.mn
     ),
     assign AS (
         SELECT e.vec_id, e.label, e.embedding, c.cid,
@@ -1379,22 +1382,40 @@ def mutual_nearest_neighbors_bucketed(
     from kinesis_analytics_demo_spark.caching import tracked_persist
 
     emb = _t(spark, sf_dir, "embeddings")
+    # mn = fallback centroid (min vec_id): the probabilistic md5 draw
+    # can come up empty for small non-empty corpora, which would
+    # silently drop every candidate pair; riding mn on the 1-row stats
+    # agg keeps the plan's only SinglePartition exchange on the
+    # partial count (ADVICE r8, same fix as the kNN-audit twin).
     sel = (
-        emb.agg(F.count(F.lit(1)).alias("n"))
+        emb.agg(
+            F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("mn")
+        )
         .select(
             "n",
+            "mn",
             F.greatest(
                 F.floor(F.sqrt(F.expr("CAST((n * 9) div 100 AS DOUBLE)"))),
                 F.lit(1).cast("bigint"),
             ).alias("k"),
         )
-        .select(F.expr(f"({MNN_SEL_GRID} * k + n - 1) div n").alias("thr"))
+        # greatest(n, 1): empty corpus -> empty result, not ANSI
+        # div-by-zero (ADVICE r8)
+        .select(
+            F.expr(
+                f"({MNN_SEL_GRID} * k + n - 1) div greatest(n, 1)"
+            ).alias("thr"),
+            "mn",
+        )
     )
     cent = (
         emb.crossJoin(F.broadcast(sel))
         .filter(
-            H.md5_long(F.col("vec_id").cast("string")) % MNN_SEL_GRID
-            < F.col("thr")
+            (
+                H.md5_long(F.col("vec_id").cast("string")) % MNN_SEL_GRID
+                < F.col("thr")
+            )
+            | (F.col("vec_id") == F.col("mn"))
         )
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     )

@@ -109,90 +109,91 @@ def _load_all_modules() -> None:
 # items 1-2), minus the 10 lowest-value relational variants that wait
 # for round 4.
 #
-# ROUND-8 ROTATION (active): registry-wide driver coverage completes
-# this round and the free slots restore driver-grade RECENCY (round-7
-# verdict item 1).  50 slots =
-#   (a) the 4 round-6 family-twins deferred from the round-7 rotation
-#       (first-ever driver rows; they complete cumulative coverage),
-#   (b) the 11 reference-surface rows from SURVEY §2 (candlestick /
-#       sliding-window / projection / UDF-UDTF-UDAF), last
-#       driver-checked in rounds 3-4,
-#   (c) the 20 queries implemented in modules the round-7 diff touched
-#       (analytics/graph/sketches2/stats3/temporal-split/timeseries/
-#       text4) whose last driver row predates that diff,
-#   (d) 15 oldest-recency regression re-checks (r2-era): the TPC-H
-#       flagships, the dedup family core, corpus pipeline, multimodal
-#       decode, text battery heads, sessionization.
+# ROUND-9 ROTATION (active): the 2 staged bucketed twins get their
+# first driver rows (completing registry-wide coverage — VERDICT r8
+# item 1) and the free slots restore driver-grade recency.  50 slots =
+#   (a) the 2 round-8 bucketed scale twins (never driver-checked;
+#       their results also changed this round: the deterministic
+#       fallback centroid + k>=1 floor, ADVICE r8),
+#   (b) 6 queries whose implementing code changed in rounds 8-9 after
+#       their last driver row: dedup_embedding_clusters (r4 row;
+#       capped-list r8 + div-guard r9), adamic_adar_link_prediction
+#       (r7 row; degree cap r9), power_iteration_top_pc (r7 row;
+#       join-free rebuild r8), retrieval_prf_expansion (r7 row; fused
+#       pass-1 r8), plus the two bench-watch rows
+#       similarity_ivfpq_adc_rerank and rollup_hierarchy_events (r4
+#       rows),
+#   (c) all 35 r2-era rows (the oldest driver recency in the
+#       registry: text battery heads, dedup signatures, relational
+#       core, window/scalar/datetime functions),
+#   (d) the 7 oldest r3-era rows in registration order.
 # All 50 get the all-50 vanilla driver-sim pre-flight before the
 # driver runs (sf0.001 AND sf0.01, per the round-6/7 staple).
 _DRIVER_PRIORITY: list[str] = [
-    # -- (a) deferred twins: first driver rows, complete coverage
-    "streaming_hll_rolling_replay",
-    "theil_index_by_type",
-    "ivf_kmeans_balance_audit",
-    "ccf_view_purchase_daily",
-    # -- (b) reference surface (SURVEY §2), last driver rows r3-r4
-    "candlestick_tumbling",
-    "candlestick_tumbling_tiebroken",
-    "sliding_window_min",
-    "sliding_window_min_fluent",
-    "sliding_window_min_twolevel",
-    "json_ingest_projection",
-    "projection_rename",
-    "select_star",
-    "udf_vector_norms",
-    "udtf_word_chunks",
-    "udaf_value_spread",
-    # -- (c) residents of round-7-diff modules, last driver row < r7
-    "asof_join_events",
-    "resample_ffill_events",
-    "funnel_view_click_purchase",
-    "range_join_events",
-    "pagerank_trade_graph",
-    "graph_triangle_count",
-    "heavy_hitters_cms",
-    "cohort_retention",
-    "anomaly_zscore_events",
-    "bloom_filter_semijoin",
-    "attribution_last_touch",
-    "graph_bfs_levels",
-    "anomaly_seasonal_baseline",
-    "attribution_position_weighted",
-    "graph_connected_components",
-    "hll_distinct_event_ids",
-    "ams_f2_user_events",
-    "concurrent_sessions_peak",
-    "interval_coverage_seconds",
-    "holt_forecast_event_types",
-    # -- (d) oldest-recency re-checks (all r2-era driver rows)
-    "pricing_summary",
-    "shipping_priority",
-    "regional_revenue",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_minhash_clusters",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine_bucketed",
-    "corpus_prep_pipeline",
-    "corpus_train_split",
-    "multimodal_decode_pipeline",
-    "text_lang_id",
-    "text_fingerprint",
-    "sessionize_events",
+    # -- (a) staged bucketed twins: first driver rows
+    "mutual_nearest_neighbors_bucketed",
+    "label_knn_disagreement_bucketed",
+    # -- (b) code changed in r8/r9 after the last driver row
+    "dedup_embedding_clusters",
+    "adamic_adar_link_prediction",
+    "power_iteration_top_pc",
+    "retrieval_prf_expansion",
+    "similarity_ivfpq_adc_rerank",
+    "rollup_hierarchy_events",
+    # -- (c) r2-era recency (oldest driver rows in the registry)
+    "text_token_stats",
+    "text_quality_score",
+    "text_ngram_lang_profile",
+    "text_token_count_bpeish",
+    "text_pii_scan",
+    "text_length_histogram",
+    "text_boilerplate_ngrams",
+    "text_pii_redact",
+    "dedup_minhash_keep",
+    "dedup_minhash_signature",
+    "dedup_simhash_fingerprints",
+    "dedup_embedding_cosine",
+    "dedup_incremental_minhash",
+    "dedup_keep_best_quality",
+    "multimodal_binary_features",
+    "corpus_stratified_sample",
+    "corpus_sample_exact_k",
+    "rollup_revenue",
+    "cube_lineitem",
+    "window_functions",
+    "customers_with_high_value_orders",
+    "customers_without_orders",
+    "customer_order_counts_outer",
+    "set_ops_parts",
+    "scalar_functions",
+    "datetime_functions",
+    "top_parts_per_brand",
+    "orders_above_customer_avg",
+    "distinct_aggregates",
+    "having_filter",
+    "pivot_order_status",
+    "argminmax_events",
+    "window_frames",
+    "listagg_nations",
+    "in_subquery_sql",
+    # -- (d) oldest r3-era rows
+    "latest_order_per_customer",
+    "ema_per_key",
+    "array_functions",
+    "exact_percentiles",
+    "approx_aggregates",
+    "string_predicates",
+    "json_extraction_events",
 ]
 
 
-#: ROUND-9 ROTATION: queries registered during round 8. NEW queries
-#: MUST be APPENDED here when registered (test_registry enforces that
+#: ROUND-10 STAGING: queries registered during round 9 (none — the
+#: registry is frozen at 302 per VERDICT r8 item 8). NEW queries MUST
+#: be APPENDED here when registered (test_registry enforces that
 #: active + staged + driver-checked covers the whole registry, and
 #: that a prior ``no_oracle`` row does not count as coverage for a
 #: query that now has an oracle).
-_DRIVER_PRIORITY_NEXT: list[str] = [
-    # -- round-8 additions
-    "mutual_nearest_neighbors_bucketed",
-    "label_knn_disagreement_bucketed",
-]
+_DRIVER_PRIORITY_NEXT: list[str] = []
 
 
 def all_queries() -> dict[str, QuerySpec]:

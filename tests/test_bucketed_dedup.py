@@ -77,11 +77,28 @@ def test_bucketed_plan_has_no_quadratic_stage(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     # the only nested loops are the O(N*k) broadcast centroid cross
-    # and the 1-row adaptive-draw stats broadcast (round 8), both with
-    # the TINY side broadcast
-    bnlj = plan.count("BroadcastNestedLoopJoin")
-    assert bnlj <= 2
-    assert plan.count("IdentityBroadcastMode") >= bnlj
+    # and the 1-row adaptive-draw stats broadcast (round 8). The
+    # centroid frame is persisted (ADVICE r8 — its count action and
+    # the member assign share one materialization), and the
+    # InMemoryRelation node re-prints the cached lineage, so the
+    # stats-broadcast BNLJ can appear several times TEXTUALLY;
+    # classify each occurrence instead of counting: a conditioned
+    # BNLJ must be the md5-threshold adaptive draw (its pushed
+    # condition contains the md5 conv()), and at most one
+    # condition-free Cross may exist — the centroid assign.
+    bnlj_lines = [
+        ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln
+    ]
+    assert bnlj_lines
+    free_cross = 0
+    for ln in bnlj_lines:
+        cond = ln.split("Cross", 1)[1] if "Cross" in ln else ""
+        if cond.strip(" ,"):
+            assert "conv(" in cond, ln  # the 1-row md5-draw stats join
+        else:
+            free_cross += 1
+    assert free_cross <= 1  # the O(N*k) broadcast centroid assign
+    assert plan.count("IdentityBroadcastMode") >= len(bnlj_lines)
     # verify runs as per-list matrix kernels (one mapInPandas), fed by
     # a hash-partitioned collect_list — no pair-row join anywhere
     assert plan.count("MapInPandas") == 1

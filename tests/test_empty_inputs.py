@@ -133,6 +133,14 @@ SAMPLE = [
     "theil_index_by_type",
     "source_loo_influence",
     "retrieval_ndcg_audit",
+    # round-9: the adaptive-centroid bucketed twins — their 1-row
+    # stats agg divides by the corpus count, which an empty table
+    # turned into an ANSI div-by-zero before the greatest(n, 1)
+    # guard (ADVICE r8)
+    "dedup_embedding_cosine_bucketed",
+    "dedup_embedding_clusters",
+    "mutual_nearest_neighbors_bucketed",
+    "label_knn_disagreement_bucketed",
 ]
 
 

@@ -431,11 +431,26 @@ def test_bucketed_twin_plan_shapes(spark):
     Both replace a labeled exact O(N^2) baseline; the pin asserts the
     candidate stage really is list-bucketed: the only nested-loop in
     the plan is the bounded one-centroid-per-label broadcast assign
-    (the similarity_ivf shape), the candidate join is a cid equi-join
-    (MNN: shuffle-keyed on cid; kNN audit: the tiny probe set
-    broadcasts), and nothing funnels the corpus through a single
-    partition."""
+    (the similarity_ivf shape), the candidate join is a PLAIN cid
+    equi-join on both twins (never a broadcast hint — the kNN audit's
+    probe set is 10% of the corpus and grows linearly; AQE may still
+    upgrade it at runtime), and nothing funnels the corpus through a
+    single partition."""
     from kinesis_analytics_demo_spark.caching import release_tracked
+
+    def assert_single_partitions_are_stats_only(plan: str) -> None:
+        # SinglePartition exchanges may carry only the 1-row corpus
+        # stats agg that sizes the adaptive centroid draw (its partial
+        # aggregate prints on the child line, guarded for the
+        # exchange-is-last-line case — ADVICE r8)
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                assert i + 1 < len(lines), (
+                    "Exchange SinglePartition is the plan's last line "
+                    "— no child to classify: " + line
+                )
+                assert "partial_count" in lines[i + 1], lines[i : i + 2]
 
     qs = all_queries()
     try:
@@ -446,13 +461,9 @@ def test_bucketed_twin_plan_shapes(spark):
             .executedPlan()
             .toString()
         )
-        # candidate pair join co-partitions both sides on the list id;
-        # SinglePartition exchanges may carry only the 1-row corpus
-        # count that sizes the adaptive centroid draw
+        # candidate pair join co-partitions both sides on the list id
         assert "hashpartitioning(cid" in mp
-        for i, line in enumerate(mp.splitlines()):
-            if "Exchange SinglePartition" in line:
-                assert "partial_count" in mp.splitlines()[i + 1]
+        assert_single_partitions_are_stats_only(mp)
 
         kp = (
             qs["label_knn_disagreement_bucketed"]
@@ -461,18 +472,15 @@ def test_bucketed_twin_plan_shapes(spark):
             .executedPlan()
             .toString()
         )
-        # probed-query side broadcasts into a cid equi-join; the
-        # corpus side never shuffles for candidate generation. The
-        # adaptive-K centroid draw funnels through SinglePartition
-        # only for the 1-row corpus count (the allowlisted stats
-        # idiom, duplicated in the plan tree once per consumer of
-        # the persisted assign frame); every such exchange must sit
-        # directly on a partial count, never on corpus rows.
-        assert "BroadcastHashJoin" in kp
-        lines = kp.splitlines()
-        for i, line in enumerate(lines):
-            if "Exchange SinglePartition" in line:
-                assert "partial_count" in lines[i + 1], lines[i : i + 2]
+        # the candidate join carries NO broadcast hint (the probe set
+        # grows linearly with the corpus — VERDICT r8 item 2): the
+        # static plan co-partitions both sides on cid, the same shape
+        # as the MNN twin; AQE may still swap in a broadcast at
+        # runtime when the measured sample is tiny, which is the
+        # intended size gate. The adaptive-K centroid draw funnels
+        # through SinglePartition only for the 1-row corpus stats agg.
+        assert "hashpartitioning(cid" in kp
+        assert_single_partitions_are_stats_only(kp)
         # the 10-NN window over candidates is keyed by the audited
         # vector id — the shape that spreads probe work across tasks
         assert "hashpartitioning(qid" in kp
