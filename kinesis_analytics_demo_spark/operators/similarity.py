@@ -877,603 +877,8 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int"))
     )
 
-
-# ------------------------------------------ diversified retrieval
-LABEL_QUOTA = 2  #: max neighbors per label in the diversified top-k
-
-
-@register(
-    "similarity_topk_label_quota",
-    oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM embeddings WHERE vec_id < {N_QUERIES}),
-    sims AS (
-        SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
-               {V.sql_cosine('e.embedding', 'q.qv', DIM)} AS sim
-        FROM embeddings e, q
-        WHERE e.vec_id != q.query_id),
-    lr AS (
-        SELECT *,
-               row_number() OVER (PARTITION BY query_id, label
-                                  ORDER BY sim DESC, neighbor_id)
-                   AS label_rank
-        FROM sims),
-    capped AS (
-        SELECT query_id, neighbor_id, label, sim,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY sim DESC, neighbor_id) AS rank
-        FROM lr WHERE label_rank <= {LABEL_QUOTA})
-    SELECT query_id, neighbor_id, label,
-           CAST(ROUND(sim, 6) AS DOUBLE) AS sim,
-           CAST(rank AS INT) AS rank
-    FROM capped WHERE rank <= {TOP_K}
-    """,
-    doc="Diversified top-k by per-label quota: exact cosine "
-    "neighbors, but at most 2 per label reach the final top-10 — "
-    "the cheap, fully-declarative diversity guarantee (quota "
-    "filtering), complementing the greedy relevance-diversity "
-    "trade-off of similarity_mmr_diversified. Two stacked "
-    "row_number windows (within-label cap, then global rank among "
-    "survivors), both WindowGroupLimit-prunable; the corpus is "
-    "scanned once against the broadcast query set and never "
-    "shuffles raw vectors beyond the per-query candidate stream.",
-)
-def similarity_topk_label_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    sims = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "label",
-            V.cosine(F.col("embedding"), F.col("qv")).alias("sim"),
-        )
-    )
-    wl = Window.partitionBy("query_id", "label").orderBy(
-        F.desc("sim"), "neighbor_id"
-    )
-    wg = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
-    return (
-        sims.withColumn("label_rank", F.row_number().over(wl))
-        .filter(F.col("label_rank") <= LABEL_QUOTA)
-        .withColumn("rank", F.row_number().over(wg))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "label",
-            F.round("sim", 6).cast("double").alias("sim"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
-
-
-MMR_LAMBDA = 0.7  #: relevance weight; 1-lambda penalizes redundancy
-MMR_CAND = 20  #: relevance-ranked candidate pool per query
-MMR_K = 5  #: diversified picks per query
-
-_MMR_SEL_T = (
-    "array<struct<neighbor_id:bigint,sim:double,norm:double,"
-    "emb:array<double>,mmr:double>>"
-)
-
-
-_MMR_L = repr(MMR_LAMBDA)
-_MMR_1L = repr(1 - MMR_LAMBDA)  #: the exact double Spark's F.lit(1 - 0.7) uses
-
-@register(
-    "similarity_mmr_diversified",
-    # The greedy selection IS SQL-expressible after all: a recursive
-    # CTE carries the picked-id list and a LATERAL argmax picks the
-    # next candidate — pairwise candidate cosines are precomputed (a
-    # bounded 20x20-per-query table), so each step is one correlated
-    # MAX over the picked set. Doubly verified: this oracle at the
-    # driver plus the pure-Python golden in tests/test_mmr.py.
-    oracle=f"""
-    WITH RECURSIVE q AS (
-        SELECT vec_id AS query_id, embedding AS qv
-        FROM embeddings WHERE vec_id < {N_QUERIES}),
-    sims AS (
-        SELECT q.query_id, e.vec_id AS nid, e.embedding AS emb,
-               {V.sql_cosine('e.embedding', 'q.qv', DIM)} AS rel
-        FROM embeddings e, q
-        WHERE e.vec_id != q.query_id),
-    cands AS (
-        SELECT query_id, nid, emb, rel FROM (
-            SELECT *, row_number() OVER (PARTITION BY query_id
-                          ORDER BY rel DESC, nid) AS r
-            FROM sims) WHERE r <= {MMR_CAND}),
-    pairs AS (
-        SELECT a.query_id, a.nid AS a, b.nid AS b,
-               {V.sql_cosine('a.emb', 'b.emb', DIM)} AS s
-        FROM cands a JOIN cands b
-          ON a.query_id = b.query_id AND a.nid != b.nid),
-    rec AS (
-        SELECT query_id, 1 AS k, nid, rel,
-               {_MMR_L}::DOUBLE * rel AS mmr, [nid] AS picks
-        FROM (SELECT query_id, nid, rel,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY rel DESC, nid) AS r
-              FROM cands) WHERE r = 1
-        UNION ALL
-        SELECT s.query_id, s.k + 1, b.nid, b.rel, b.mmr,
-               list_append(s.picks, b.nid)
-        FROM rec s, LATERAL (
-            SELECT c.nid, c.rel,
-                   {_MMR_L}::DOUBLE * c.rel
-                   - {_MMR_1L}::DOUBLE * (
-                       SELECT MAX(p.s) FROM pairs p
-                       WHERE p.query_id = s.query_id AND p.a = c.nid
-                         AND list_contains(s.picks, p.b)) AS mmr
-            FROM cands c
-            WHERE c.query_id = s.query_id
-              AND NOT list_contains(s.picks, c.nid)
-            ORDER BY mmr DESC, c.nid LIMIT 1) b
-        WHERE s.k < {MMR_K})
-    SELECT query_id, CAST(k AS INT) AS select_rank, nid AS neighbor_id,
-           CAST(ROUND(rel, 6) AS DOUBLE) AS relevance,
-           CAST(ROUND(mmr, 6) AS DOUBLE) AS mmr_score
-    FROM rec
-    """,
-    doc="Maximal Marginal Relevance (Carbonell & Goldstein 1998) "
-    "diversified top-5: from each query's top-20 cosine candidates, "
-    "greedily pick argmax of lambda*relevance - "
-    "(1-lambda)*max_sim_to_already_selected. The dedup-aware "
-    "retrieval step for training-data curation: near-duplicate "
-    "candidates cannibalize each other's marginal score, so the "
-    "final 5 cover distinct regions. Plan: the candidate pool is the "
-    "same broadcast-query brute-force scan as similarity_cosine_topk "
-    "(WindowGroupLimit caps it at 20 rows/query); the greedy loop "
-    "then runs INSIDE one row per query as a fixed-order aggregate() "
-    "fold over collected candidate structs — no driver collect, no "
-    "per-iteration shuffles, and at 100 TB the only scan-scale work "
-    "is the candidate generation. Ties on the MMR score break to the "
-    "smallest neighbor_id via the negated-id struct-max trick.",
-)
-def similarity_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    sims = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            V.cosine(F.col("embedding"), F.col("qv")).alias("sim"),
-            V.norm(F.col("embedding")).alias("norm"),
-            F.transform("embedding", lambda x: x.cast("double")).alias(
-                "emb"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
-    cand = sims.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= MMR_CAND
-    )
-    pools = cand.groupBy("query_id").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct("rank", "neighbor_id", "sim", "norm", "emb")
-            )
-        ).alias("arr")
-    )
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def _step(sel, _):
-        remaining = F.filter(
-            F.col("arr"),
-            lambda c: ~F.exists(
-                sel, lambda s: s["neighbor_id"] == c["neighbor_id"]
-            ),
-        )
-        scored = F.transform(
-            remaining,
-            lambda c: F.struct(
-                (
-                    F.lit(MMR_LAMBDA) * c["sim"]
-                    - F.lit(1 - MMR_LAMBDA)
-                    * F.coalesce(
-                        F.array_max(
-                            F.transform(
-                                sel,
-                                lambda s: _dot(c["emb"], s["emb"])
-                                / (c["norm"] * s["norm"]),
-                            )
-                        ),
-                        F.lit(0.0),
-                    )
-                ).alias("mmr"),
-                (-c["neighbor_id"]).alias("negid"),
-                c["neighbor_id"].alias("neighbor_id"),
-                c["sim"].alias("sim"),
-                c["norm"].alias("norm"),
-                c["emb"].alias("emb"),
-            ),
-        )
-        best = F.array_max(scored)
-        # Pool exhausted (fewer than MMR_K candidates): stop growing
-        # instead of appending a null-field struct each remaining step
-        # — matches the recursive-CTE oracle, which terminates early
-        # and emits fewer than MMR_K rows for degenerate pools.
-        return F.when(
-            F.size(remaining) > 0,
-            F.concat(
-                sel,
-                F.array(
-                    F.struct(
-                        best["neighbor_id"].alias("neighbor_id"),
-                        best["sim"].alias("sim"),
-                        best["norm"].alias("norm"),
-                        best["emb"].alias("emb"),
-                        best["mmr"].alias("mmr"),
-                    )
-                ),
-            ),
-        ).otherwise(sel)
-
-    selected = F.aggregate(
-        F.sequence(F.lit(1), F.lit(MMR_K)),
-        F.expr(f"CAST(array() AS {_MMR_SEL_T})"),
-        _step,
-    )
-    out = pools.select(
-        "query_id", F.posexplode(selected).alias("pos", "s")
-    )
-    return out.select(
-        "query_id",
-        (F.col("pos") + 1).cast("int").alias("select_rank"),
-        F.col("s.neighbor_id").alias("neighbor_id"),
-        F.round(F.col("s.sim"), 6).cast("double").alias("relevance"),
-        F.round(F.col("s.mmr"), 6).cast("double").alias("mmr_score"),
-    )
-
-
-# ------------------------------------- IVF list-balance audit
-@register(
-    "ivf_kmeans_balance_audit",
-    oracle=f"""{_KM_TRAIN_SQL},
-    sz AS (SELECT cid, count(*) AS n FROM lists GROUP BY cid)
-    SELECT CAST(count(*) AS BIGINT) AS n_lists,
-           CAST(SUM(n) AS BIGINT) AS n_vectors,
-           CAST(MIN(n) AS BIGINT) AS min_list,
-           CAST(MAX(n) AS BIGINT) AS max_list,
-           CAST(ROUND(CAST(count(*) * SUM(CAST(n AS DECIMAL(19,0))
-                                          * CAST(n AS DECIMAL(19,0)))
-                           AS DOUBLE)
-                / (CAST(SUM(n) AS DOUBLE) * SUM(n)), 6) AS DOUBLE)
-               AS imbalance_factor
-    FROM sz
-    """,
-    doc="IVF coarse-list balance audit over the TRAINED k-means "
-    "quantizer (same Lloyd training CTE as similarity_ivf_kmeans, "
-    "shared verbatim): list-size min/max and the imbalance factor "
-    "phi = K * sum(sz^2) / N^2 (Jegou et al.'s probe-cost variance "
-    "measure — phi = 1 is perfectly balanced; expected probe cost "
-    "scales with phi). THE operational readout before shipping an "
-    "IVF index at 100 TB: a hot list turns nprobe into a scan. "
-    "Integer-exact: sz^2 sums in DECIMAL(19,0) products, one final "
-    "division chain; assignment/training reuse the broadcast-"
-    "centroid argmax (one corpus scan per Lloyd iteration, lists "
-    "never shuffle raw vectors for the audit itself).",
-)
-def ivf_kmeans_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    cent = kmeans_centroids(emb)
-    assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "cid",
-            V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
-        )
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.desc("csim"), F.col("cid")
-                )
-            ),
-        )
-        .filter(F.col("crank") == 1)
-    )
-    sz = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
-    nd = F.col("n").cast("decimal(19,0)")
-    return sz.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
-        F.sum("n").cast("bigint").alias("n_vectors"),
-        F.min("n").cast("bigint").alias("min_list"),
-        F.max("n").cast("bigint").alias("max_list"),
-        F.round(
-            (F.count(F.lit(1)) * F.sum(nd * nd)).cast("double")
-            / (F.sum("n").cast("double") * F.sum("n")),
-            6,
-        )
-        .cast("double")
-        .alias("imbalance_factor"),
-    )
-
-
-# --------------------------- mutual nearest neighbors (alignment)
-MNN_LABEL_A = 0  #: "source space" partition
-MNN_LABEL_B = 1  #: "target space" partition
-
-_MNN_COS = V.sql_cosine("a.embedding", "b.embedding", DIM)
-
-
-@register(
-    "mutual_nearest_neighbors",
-    oracle=f"""
-    WITH sim AS (
-        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-               {_MNN_COS} AS sim
-        FROM embeddings a JOIN embeddings b
-          ON a.label = {MNN_LABEL_A} AND b.label = {MNN_LABEL_B}),
-    ab AS (
-        SELECT a_id, b_id, sim FROM (
-            SELECT a_id, b_id, sim,
-                   row_number() OVER (PARTITION BY a_id
-                                      ORDER BY sim DESC, b_id) AS rk
-            FROM sim) WHERE rk = 1),
-    ba AS (
-        SELECT a_id, b_id FROM (
-            SELECT a_id, b_id,
-                   row_number() OVER (PARTITION BY b_id
-                                      ORDER BY sim DESC, a_id) AS rk
-            FROM sim) WHERE rk = 1)
-    SELECT ab.a_id, ab.b_id,
-           CAST(ROUND(ab.sim, 6) AS DOUBLE) AS sim
-    FROM ab JOIN ba ON ba.a_id = ab.a_id AND ba.b_id = ab.b_id
-    """,
-    doc=f"Mutual nearest neighbors between the label-{MNN_LABEL_A} "
-    f"and label-{MNN_LABEL_B} embedding partitions: a pair (a, b) "
-    "survives only when b is a's cosine top-1 in B AND a is b's "
-    "top-1 in A — the standard high-precision seed-pair criterion "
-    "for unsupervised embedding-space alignment (Artetxe et al. "
-    "2018; used for bitext mining and cross-encoder distillation "
-    "pair selection). Ties break (sim DESC, id) under a total "
-    "order. This is the labeled exact O(|A| x |B|) baseline, same "
-    "contract as dedup_embedding_cosine — the scale-path DEFAULT is "
-    "mutual_nearest_neighbors_bucketed (IVF coarse lists, measured "
-    "recall 0.85-0.96); the mutual check itself is two "
-    "WindowGroupLimit row_number passes + one hash self-join, "
-    "shuffle-keyed by vector id.",
-)
-def mutual_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    a = emb.where(F.col("label") == MNN_LABEL_A).select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
-    )
-    b = emb.where(F.col("label") == MNN_LABEL_B).select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
-    )
-    sim = a.crossJoin(F.broadcast(b)).select(
-        "a_id",
-        "b_id",
-        V.cosine(F.col("ea"), F.col("eb")).alias("sim"),
-    )
-    ab = (
-        sim.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("a_id").orderBy(F.desc("sim"), "b_id")
-            ),
-        )
-        .where(F.col("rk") == 1)
-        .select("a_id", "b_id", "sim")
-    )
-    ba = (
-        sim.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("b_id").orderBy(F.desc("sim"), "a_id")
-            ),
-        )
-        .where(F.col("rk") == 1)
-        .select("a_id", "b_id")
-    )
-    return ab.join(ba, ["a_id", "b_id"]).select(
-        "a_id",
-        "b_id",
-        F.round(F.col("sim"), 6).cast("double").alias("sim"),
-    )
-
-
-MNN_NPROBE = 5  #: coarse lists probed per side — the recall dial (below)
-MNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
-
-_MNN_BCOS = V.sql_cosine("ea.embedding", "eb.embedding", DIM)
-
-
-@register(
-    "mutual_nearest_neighbors_bucketed",
-    oracle=f"""
-    WITH sel AS (
-        SELECT n, k, ({MNN_SEL_GRID} * k + n - 1) // greatest(n, 1) AS thr,
-               mn
-        FROM (SELECT count(*) AS n,
-                     greatest(CAST(floor(sqrt(
-                         CAST((count(*) * 9) // 100 AS DOUBLE))) AS BIGINT),
-                         1) AS k,
-                     min(vec_id) AS mn
-              FROM embeddings)
-    ),
-    cent AS (
-        SELECT e.vec_id AS cid, e.embedding AS cv
-        FROM embeddings e, sel s
-        WHERE ({H.sql_md5_long("e.vec_id::VARCHAR")} % {MNN_SEL_GRID}) < s.thr
-           OR e.vec_id = s.mn
-    ),
-    assign AS (
-        SELECT e.vec_id, e.label, e.embedding, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY {V.sql_cosine('e.embedding', 'c.cv', DIM)} DESC, c.cid)
-                   AS crank
-        FROM embeddings e, cent c
-    ),
-    a AS (SELECT vec_id AS a_id, cid FROM assign
-          WHERE label = {MNN_LABEL_A} AND crank <= {MNN_NPROBE}),
-    b AS (SELECT vec_id AS b_id, cid FROM assign
-          WHERE label = {MNN_LABEL_B} AND crank <= {MNN_NPROBE}),
-    sim AS (
-        SELECT DISTINCT a.a_id, b.b_id, {_MNN_BCOS} AS sim
-        FROM a JOIN b USING (cid)
-        JOIN embeddings ea ON ea.vec_id = a.a_id
-        JOIN embeddings eb ON eb.vec_id = b.b_id),
-    ab AS (
-        SELECT a_id, b_id, sim FROM (
-            SELECT a_id, b_id, sim,
-                   row_number() OVER (PARTITION BY a_id
-                                      ORDER BY sim DESC, b_id) AS rk
-            FROM sim) WHERE rk = 1),
-    ba AS (
-        SELECT a_id, b_id FROM (
-            SELECT a_id, b_id,
-                   row_number() OVER (PARTITION BY b_id
-                                      ORDER BY sim DESC, a_id) AS rk
-            FROM sim) WHERE rk = 1)
-    SELECT ab.a_id, ab.b_id,
-           CAST(ROUND(ab.sim, 6) AS DOUBLE) AS sim
-    FROM ab JOIN ba ON ba.a_id = ab.a_id AND ba.b_id = ab.b_id
-    """,
-    doc=f"Scale-path default for MNN seed-pair mining: both label "
-    "partitions coarse-quantize onto K = "
-    "max(1, floor(sqrt((9n) div 100))) IVF lists — the argmin of "
-    "assign(nK) + probe(nprobe^2 |A||B| / K) work for the two "
-    f"n/10-sized sides — with each side probing its {MNN_NPROBE} "
-    "nearest lists; candidate pairs must share a probed list, and "
-    "the mutual top-1 check runs only on candidates, so total work "
-    "is O(n^1.5), never O(|A| x |B|). Centroids are drawn "
-    "deterministically on both engines (vec_id md5 mod "
-    f"{MNN_SEL_GRID} under ceil(grid*K/n) — no global sort, no "
-    "trained state; IVF-flat seeding), and the n x K assign frame "
-    "is persisted so its cosines run once. Measured vs the exact "
-    "twin on the near-isotropic synthetic corpus (the HARD case "
-    "for data-point quantization): recall 1.0 / 1.0 / 0.979 at "
-    "sf0.001/0.01/0.1 and 0.807 on the 10x 20k-vector corpus; "
-    "nprobe is the recall dial (0.47 / 0.81 / 0.98 at nprobe "
-    "3/5/8, numpy-audited at 10x). At these toy scales the exact "
-    "broadcast cross join is still the FASTER plan (11.4s vs 25s "
-    "at 10x — candidate work 2.7M rows vs 4M, but across more "
-    "stages); the bucketed path exists for the asymptotics, "
-    "projected ~4x less work at 100x and widening as n^1.5 vs "
-    "n^2. Candidate sims are computed once per (a,b) via DISTINCT "
-    "(the cosine is deterministic, so multi-list duplicates are "
-    "bit-identical on both engines); the mutual check is the exact "
-    "twin's two WindowGroupLimit passes + hash join, shuffle-keyed "
-    "by vector id. The exact mutual_nearest_neighbors stays "
-    "registered as the labeled quadratic oracle baseline (the "
-    "dedup_embedding_cosine / _bucketed contract).",
-)
-def mutual_nearest_neighbors_bucketed(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from kinesis_analytics_demo_spark.caching import tracked_persist
-
-    emb = _t(spark, sf_dir, "embeddings")
-    # mn = fallback centroid (min vec_id): the probabilistic md5 draw
-    # can come up empty for small non-empty corpora, which would
-    # silently drop every candidate pair; riding mn on the 1-row stats
-    # agg keeps the plan's only SinglePartition exchange on the
-    # partial count (ADVICE r8, same fix as the kNN-audit twin).
-    sel = (
-        emb.agg(
-            F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("mn")
-        )
-        .select(
-            "n",
-            "mn",
-            F.greatest(
-                F.floor(F.sqrt(F.expr("CAST((n * 9) div 100 AS DOUBLE)"))),
-                F.lit(1).cast("bigint"),
-            ).alias("k"),
-        )
-        # greatest(n, 1): empty corpus -> empty result, not ANSI
-        # div-by-zero (ADVICE r8)
-        .select(
-            F.expr(
-                f"({MNN_SEL_GRID} * k + n - 1) div greatest(n, 1)"
-            ).alias("thr"),
-            "mn",
-        )
-    )
-    cent = (
-        emb.crossJoin(F.broadcast(sel))
-        .filter(
-            (
-                H.md5_long(F.col("vec_id").cast("string")) % MNN_SEL_GRID
-                < F.col("thr")
-            )
-            | (F.col("vec_id") == F.col("mn"))
-        )
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    )
-    # both label-side probe sets consume assign — persist so the
-    # n x K assign cosines run once
-    assign = tracked_persist(
-        emb.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "label",
-            "embedding",
-            "cid",
-            V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
-        )
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.desc("csim"), F.col("cid")
-                )
-            ),
-        )
-    )
-    a = assign.filter(
-        (F.col("label") == MNN_LABEL_A) & (F.col("crank") <= MNN_NPROBE)
-    ).select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"), "cid")
-    b = assign.filter(
-        (F.col("label") == MNN_LABEL_B) & (F.col("crank") <= MNN_NPROBE)
-    ).select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"), "cid")
-    sim = (
-        a.join(b, "cid")
-        .select(
-            "a_id", "b_id", V.cosine(F.col("ea"), F.col("eb")).alias("sim")
-        )
-        .distinct()
-    )
-    ab = (
-        sim.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("a_id").orderBy(F.desc("sim"), "b_id")
-            ),
-        )
-        .where(F.col("rk") == 1)
-        .select("a_id", "b_id", "sim")
-    )
-    ba = (
-        sim.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("b_id").orderBy(F.desc("sim"), "a_id")
-            ),
-        )
-        .where(F.col("rk") == 1)
-        .select("a_id", "b_id")
-    )
-    return ab.join(ba, ["a_id", "b_id"]).select(
-        "a_id",
-        "b_id",
-        F.round(F.col("sim"), 6).cast("double").alias("sim"),
-    )
+# Diversified retrieval, the IVF list-balance audit, and the MNN
+# family (exact + bucketed scale twin) moved to ``similarity2.py`` in
+# round 9 (module size cap). ``registry._load_all_modules`` imports
+# that module immediately after this one, preserving the pre-split
+# registration order exactly.

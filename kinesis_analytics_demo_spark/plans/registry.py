@@ -80,6 +80,11 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.rollup  # noqa: F401
     import kinesis_analytics_demo_spark.operators.rp  # noqa: F401
     import kinesis_analytics_demo_spark.operators.similarity  # noqa: F401
+    # similarity2 MUST import immediately after similarity: it holds
+    # the tail of the pre-split file (diversified retrieval, balance
+    # audit, MNN family), so this position preserves the exact
+    # pre-split registration order.
+    import kinesis_analytics_demo_spark.operators.similarity2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sketches  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sketches2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.sq  # noqa: F401

@@ -13,11 +13,11 @@ import os
 import duckdb
 import pytest
 
-from kinesis_analytics_demo_spark.operators.similarity import (
+from kinesis_analytics_demo_spark.operators.similarity import N_QUERIES
+from kinesis_analytics_demo_spark.operators.similarity2 import (
     MMR_CAND,
     MMR_K,
     MMR_LAMBDA,
-    N_QUERIES,
 )
 from kinesis_analytics_demo_spark.plans.registry import all_queries
 from tests.conftest import SF_SMALL, SF_MEDIUM
