@@ -301,7 +301,15 @@ def label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KNN_NPROBE = 3  #: coarse lists probed per audited vector
+#: MINIMUM coarse lists probed per audited vector. The effective
+#: nprobe is ADAPTIVE — max(KNN_NPROBE, ceil(0.6 * sqrt(K))) — the
+#: same rule (and rationale) as the MNN twin's 1.2*sqrt(K): a fixed
+#: probe count over a sqrt(n)-growing list count covers a shrinking
+#: fraction of the space (fixed np=3 suspect-recall vs the numpy
+#: exact audit measured 0.879 at 100x). The rule keeps np=3 at every
+#: test SF (K <= 24 — results and driver rows unchanged) and gives
+#: np=6 at 10x / np=10 at 100x.
+KNN_NPROBE = 3
 KNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
 
 
@@ -310,6 +318,9 @@ KNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
     oracle=f"""
     WITH sel AS (
         SELECT n, k, ({KNN_SEL_GRID} * k + n - 1) // greatest(n, 1) AS thr,
+               greatest({KNN_NPROBE},
+                        CAST(ceil(0.6 * sqrt(CAST(k AS DOUBLE)))
+                             AS BIGINT)) AS np,
                mn
         FROM (SELECT count(*) AS n,
                      greatest(CAST(floor(sqrt(
@@ -333,8 +344,8 @@ KNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
     ),
     lists AS (SELECT vec_id, label, embedding, cid FROM assign
               WHERE crank = 1),
-    q AS (SELECT vec_id, embedding, label, cid FROM assign
-          WHERE vec_id % {KNN_SAMPLE_MOD} = 0 AND crank <= {KNN_NPROBE}),
+    q AS (SELECT vec_id, embedding, label, cid FROM assign, sel
+          WHERE vec_id % {KNN_SAMPLE_MOD} = 0 AND crank <= sel.np),
     nn AS (
         SELECT q.vec_id, q.label, e.label AS nlabel,
                row_number() OVER (
@@ -356,7 +367,14 @@ KNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
     "neighbor stage composes with IVF coarse lists exactly as "
     "label_knn_disagreement's docstring prescribes — every vector "
     f"sits in its top-1 centroid list, each audited vector probes "
-    f"its {KNN_NPROBE} nearest lists, and the 10-NN disagreement "
+    f"its np = max({KNN_NPROBE}, ceil(0.6*sqrt(K))) nearest lists "
+    "(ADAPTIVE, round 9 — np=3 at every test SF, 6 at 10x, 10 at "
+    "100x; vs a full numpy exact audit at 100x the adaptive np "
+    "buys suspect-precision 0.745 -> 0.798 and 20% lower "
+    "n_disagree error over fixed np=3, at 2.4x wall — recall "
+    "0.885, bounded by the crank=1 candidate lists, still ~18x "
+    "cheaper than the exact twin there; at 10x it removes both "
+    "of fixed-np's false-positive suspects), and the 10-NN "
     "readout runs on probed-list candidates only. The centroid "
     "count ADAPTS to corpus size: K = floor(sqrt((3n) div 10)) "
     "centroids, the argmin of total work assign(nK) + "
@@ -418,6 +436,12 @@ def label_knn_disagreement_bucketed(
             F.expr(
                 f"({KNN_SEL_GRID} * k + n - 1) div greatest(n, 1)"
             ).alias("thr"),
+            # adaptive probe count (see KNN_NPROBE note): np = 3 at
+            # every test SF, 6 at 10x, 10 at 100x
+            F.greatest(
+                F.lit(KNN_NPROBE).cast("bigint"),
+                F.ceil(F.lit(0.6) * F.sqrt(F.col("k").cast("double"))),
+            ).alias("np"),
             "mn",
         )
     )
@@ -437,11 +461,13 @@ def label_knn_disagreement_bucketed(
     # cosines run once
     assign = tracked_persist(
         emb.crossJoin(F.broadcast(cent))
+        .crossJoin(F.broadcast(sel.select("np")))
         .select(
             "vec_id",
             "label",
             "embedding",
             "cid",
+            "np",
             V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
         )
         .withColumn(
@@ -458,7 +484,7 @@ def label_knn_disagreement_bucketed(
     )
     q = assign.filter(
         (F.col("vec_id") % KNN_SAMPLE_MOD == 0)
-        & (F.col("crank") <= KNN_NPROBE)
+        & (F.col("crank") <= F.col("np"))
     ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
