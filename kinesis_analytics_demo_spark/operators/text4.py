@@ -36,6 +36,18 @@ from kinesis_analytics_demo_spark.session import read_table as _t
 WIN_K = 8  #: character k-gram width
 WIN_W = 8  #: winnowing window (guarantee: any match >= K+W-1 chars shares a fp)
 WIN_DF_CAP_INV = 100  #: veto fingerprints in > 1% of documents
+#: ABSOLUTE df veto alongside the relative 1% one (round 9): a purely
+#: relative cap grows with the corpus — at the 100x probe (500k docs)
+#: it admitted df=5,000 fingerprints (replica-tag common-word grams)
+#: whose pair fan-out is df^2 each: measured sum(df^2) under the
+#: relative cap alone was 48.5e9 pair rows, which spilled ~70 GB of
+#: shuffle and filled the disk. df <= 200 bounds the same sum to 78e6
+#: (DuckDB-measured on the probe corpus). The relative cap is the
+#: tighter one below 20k docs, so every test SF is bit-unchanged; a
+#: fingerprint in >200 documents is boilerplate that localizes
+#: nothing (the MOSS frequent-fingerprint veto, Schleimer et al.
+#: 2003 §4).
+WIN_DF_ABS_CAP = 200
 WIN_MIN_SHARED = 5  #: report pairs sharing at least this many fps
 
 
@@ -62,7 +74,8 @@ WIN_MIN_SHARED = 5  #: report pairs sharing at least this many fps
     cap AS (
         SELECT e.doc_id, e.fp
         FROM e JOIN df USING (fp), nd
-        WHERE {WIN_DF_CAP_INV} * df.df <= nd.n_docs),
+        WHERE {WIN_DF_CAP_INV} * df.df <= nd.n_docs
+          AND df.df <= {WIN_DF_ABS_CAP}),
     sz AS (SELECT doc_id, count(*) AS n FROM cap GROUP BY doc_id)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS shared,
@@ -86,8 +99,13 @@ WIN_MIN_SHARED = 5  #: report pairs sharing at least this many fps
     f"sharing >= {WIN_MIN_SHARED} capped fingerprints are reported "
     "with the containment-style overlap ratio — the plagiarism/"
     "near-copy detector that LOCALIZES matches where MinHash only "
-    "estimates global Jaccard. Fingerprints in > 1% of docs are "
-    "df-vetoed before the pair join (the containment fan-out bound); "
+    "estimates global Jaccard. Fingerprints in > 1% of docs OR > "
+    f"{WIN_DF_ABS_CAP} docs absolute are df-vetoed before the pair "
+    "join (the containment fan-out bound; the absolute veto is the "
+    "MOSS frequent-fingerprint rule and caps pair work at "
+    f"O(n_fps * {WIN_DF_ABS_CAP}^2) regardless of corpus size — the "
+    "100x probe measured the relative-only cap admitting 48.5e9 "
+    "pair rows); "
     "selection itself is one in-document higher-order expression, no "
     "UDFs, no shuffle until the fingerprint equi-join.",
 )
@@ -118,7 +136,10 @@ def winnowing_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame
     cap = tracked_persist(
         e.join(dfreq, "fp")
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.lit(WIN_DF_CAP_INV) * F.col("df") <= F.col("n_docs"))
+        .filter(
+            (F.lit(WIN_DF_CAP_INV) * F.col("df") <= F.col("n_docs"))
+            & (F.col("df") <= WIN_DF_ABS_CAP)
+        )
         .select("doc_id", "fp")
     )
     sz = cap.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
