@@ -438,6 +438,19 @@ AF_WIN = 8  #: energy window/hop (non-overlapping)
 AF_BUCKET = 1024  #: energy quantization for fingerprint robustness
 AF_MIN_SHARED = 3  #: pairs must share >= this many fingerprints
 AF_DF_CAP_INV = 50  #: boilerplate veto, same rate as containment dedup
+#: ABSOLUTE df veto alongside the relative 2% one (round 9, the
+#: winnowing lesson): the constellation hash space is COARSE by
+#: design (quantized energy pair + peak delta — 5,542 distinct fps
+#: across the 500k-doc 100x probe corpus), so a purely relative cap
+#: admits huge buckets as the corpus grows: at 100x it allowed
+#: df=10,000 fps and the pair join planned sum(df^2) = 10.7e9 rows
+#: (measured — ~45 GB shuffle spill, 1 GB single-task allocations,
+#: 857s). df <= 200 bounds the same sum to 19.3e6. The relative cap
+#: stays the tighter bound below 10k docs, so every test SF is
+#: bit-unchanged; a fingerprint in >200 clips is a quantization
+#: artifact, not a match (the Shazam landmark-pruning rationale,
+#: Wang 2003 §2.2).
+AF_DF_ABS_CAP = 200
 
 AUDIO_SCHEMA = T.StructType(
     [
@@ -502,7 +515,8 @@ def _make_audio_energy_kernel():
     nd AS (SELECT count(*) AS n FROM documents),
     cap AS (SELECT fp.doc_id, fp.h
             FROM fp JOIN df USING (h), nd
-            WHERE {AF_DF_CAP_INV} * df.c <= nd.n)
+            WHERE {AF_DF_CAP_INV} * df.c <= nd.n
+              AND df.c <= {AF_DF_ABS_CAP})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS n_shared
     FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -518,8 +532,12 @@ def _make_audio_energy_kernel():
     "production = soundfile + RMS windows); everything after is "
     "codegen column expressions + one hash-keyed self-join over the "
     "df-capped fingerprint table — the same banded-join shape as "
-    "minhash LSH, so raw audio never shuffles and per-fingerprint "
-    "fan-out is bounded by the df-cap at any corpus size.",
+    "minhash LSH, so raw audio never shuffles. The veto is "
+    f"min(2% of clips, {AF_DF_ABS_CAP} absolute): the absolute arm "
+    "is what actually bounds per-fingerprint fan-out at any corpus "
+    "size (a relative-only cap admitted 10.7e9 pair rows at the "
+    "100x probe — the coarse constellation hash space concentrates "
+    "df as the corpus grows).",
 )
 def multimodal_audio_fingerprint_pairs(
     spark: SparkSession, sf_dir: str
@@ -570,7 +588,10 @@ def multimodal_audio_fingerprint_pairs(
     cap = (
         fp.join(dfreq, "h")
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.lit(AF_DF_CAP_INV) * F.col("c") <= F.col("n"))
+        .filter(
+            (F.lit(AF_DF_CAP_INV) * F.col("c") <= F.col("n"))
+            & (F.col("c") <= AF_DF_ABS_CAP)
+        )
         .select("doc_id", "h")
     )
     a = cap.select(F.col("doc_id").alias("doc_a"), "h")
