@@ -298,7 +298,14 @@ def _make_phash_kernel():
     "LSH banding (pigeonhole: hamming <= 3 implies a shared chunk, "
     "recall 1.0 by construction) -> exact bit_count(xor) verify on "
     "candidates only. The oracle brute-forces all pairs; the Spark "
-    "plan never does — candidates come from the chunk equi-join.",
+    "plan never does — candidates come from the chunk equi-join. "
+    "Scale note (r9, measured 104s at the 100x probe / 500k docs): "
+    "the 2^15 chunk space is FIXED, so candidate pairs grow "
+    "n^2/2^15 per band — fine through 100x, but at ~10^7+ images "
+    "widen the hash (256-bit pHash, 4x64-bit bands) or switch to "
+    "multi-index hashing (Norouzi et al. 2012) so the bucket space "
+    "grows with the corpus, exactly like the embedding twins' "
+    "adaptive centroid draw.",
 )
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
