@@ -415,7 +415,10 @@ def label_knn_disagreement_bucketed(
     # the audit (ADVICE r8). Riding mn on the same 1-row stats agg
     # keeps the plan's only SinglePartition exchange on the partial
     # count (the pinned allowlisted idiom).
-    sel = (
+    # persisted (ADVICE r9): sel feeds two independent broadcasts
+    # (full sel into the centroid draw, sel.np into assign) — without
+    # the persist each broadcast re-runs the full-corpus count scan
+    sel = tracked_persist(
         emb.agg(
             F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("mn")
         )

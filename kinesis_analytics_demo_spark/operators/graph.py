@@ -765,6 +765,17 @@ def adamic_adar_link_prediction(
     # and logged, never silently dropped; the hub set is bounded by
     # 2|E|/cap so the anti-join stays hash-keyed (no broadcast hint —
     # AQE decides).
+    #
+    # BUILD-TIME ACTION (deliberate, ADVICE r9): the hubs.count()
+    # below runs a Spark job at DataFrame-CONSTRUCTION time so the
+    # dropped-hub warning can fire before any action on the result.
+    # It materializes the tracked_persist'ed hub frame, which the
+    # anti-join then reuses from cache — execution pays nothing
+    # twice; only plan-only consumers (explain / plan-shape tests)
+    # pay the one degree aggregation. A lazy alternative
+    # (df.observe + a listener) would delay the warning to after the
+    # first action and needs a JVM-side QueryExecutionListener, so
+    # the eager-but-cached form is kept on purpose.
     hubs = tracked_persist(
         deg.filter(F.col("d") > AA_DEG_CAP).select("w")
     )

@@ -569,7 +569,10 @@ def mutual_nearest_neighbors_bucketed(
     # silently drop every candidate pair; riding mn on the 1-row stats
     # agg keeps the plan's only SinglePartition exchange on the
     # partial count (ADVICE r8, same fix as the kNN-audit twin).
-    sel = (
+    # persisted (ADVICE r9): sel feeds two independent broadcasts
+    # (full sel into the centroid draw, sel.np into assign) — without
+    # the persist each broadcast re-runs the full-corpus count scan
+    sel = tracked_persist(
         emb.agg(
             F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("mn")
         )

@@ -114,85 +114,82 @@ def _load_all_modules() -> None:
 # items 1-2), minus the 10 lowest-value relational variants that wait
 # for round 4.
 #
-# ROUND-9 ROTATION (active): the 2 staged bucketed twins get their
-# first driver rows (completing registry-wide coverage — VERDICT r8
-# item 1) and the free slots restore driver-grade recency.  50 slots =
-#   (a) the 2 round-8 bucketed scale twins (never driver-checked;
-#       their results also changed this round: the deterministic
-#       fallback centroid + k>=1 floor, ADVICE r8),
-#   (b) 6 queries whose implementing code changed in rounds 8-9 after
-#       their last driver row: dedup_embedding_clusters (r4 row;
-#       capped-list r8 + div-guard r9), adamic_adar_link_prediction
-#       (r7 row; degree cap r9), power_iteration_top_pc (r7 row;
-#       join-free rebuild r8), retrieval_prf_expansion (r7 row; fused
-#       pass-1 r8), plus the two bench-watch rows
-#       similarity_ivfpq_adc_rerank and rollup_hierarchy_events (r4
-#       rows),
-#   (c) all 35 r2-era rows (the oldest driver recency in the
-#       registry: text battery heads, dedup signatures, relational
-#       core, window/scalar/datetime functions),
-#   (d) the 7 oldest r3-era rows in registration order.
+# ROUND-10 ROTATION (active; VERDICT r9 item 1): changed code gets a
+# fresh driver row, then the oldest recency cohort.  50 slots =
+#   (a) the 3 queries whose implementing code changed in round 9
+#       AFTER their last driver row: winnowing_fingerprint_matches
+#       (r7 row; text4.py absolute df<=200 veto),
+#       multimodal_audio_fingerprint_pairs (r6 row; multimodal.py
+#       same veto), dedup_embedding_cosine_bucketed (r8 row; dedup.py
+#       ANSI/persist/k-floor hardening) — all three changes are
+#       corpus-size-gated and provably inert at sf0.01 (pre-flight df
+#       distributions in README round-10 notes),
+#   (b) all 29 r3-era rows (the oldest driver recency left after the
+#       r9 rotation re-certified the r2 cohort): relational variants,
+#       the similarity_cosine/IVF/LSH heads, KMV family, corpus-prep
+#       ops, and the five r3-era streaming replays,
+#   (c) the 18 oldest r4-era rows in registration order (CDC/SCD2,
+#       CEP, market basket, PQ codes, retrieval heads).
 # All 50 get the all-50 vanilla driver-sim pre-flight before the
 # driver runs (sf0.001 AND sf0.01, per the round-6/7 staple).
 _DRIVER_PRIORITY: list[str] = [
-    # -- (a) staged bucketed twins: first driver rows
-    "mutual_nearest_neighbors_bucketed",
-    "label_knn_disagreement_bucketed",
-    # -- (b) code changed in r8/r9 after the last driver row
-    "dedup_embedding_clusters",
-    "adamic_adar_link_prediction",
-    "power_iteration_top_pc",
-    "retrieval_prf_expansion",
-    "similarity_ivfpq_adc_rerank",
-    "rollup_hierarchy_events",
-    # -- (c) r2-era recency (oldest driver rows in the registry)
-    "text_token_stats",
-    "text_quality_score",
-    "text_ngram_lang_profile",
-    "text_token_count_bpeish",
-    "text_pii_scan",
-    "text_length_histogram",
-    "text_boilerplate_ngrams",
-    "text_pii_redact",
-    "dedup_minhash_keep",
-    "dedup_minhash_signature",
-    "dedup_simhash_fingerprints",
-    "dedup_embedding_cosine",
-    "dedup_incremental_minhash",
-    "dedup_keep_best_quality",
-    "multimodal_binary_features",
-    "corpus_stratified_sample",
-    "corpus_sample_exact_k",
-    "rollup_revenue",
-    "cube_lineitem",
-    "window_functions",
-    "customers_with_high_value_orders",
-    "customers_without_orders",
-    "customer_order_counts_outer",
-    "set_ops_parts",
-    "scalar_functions",
-    "datetime_functions",
-    "top_parts_per_brand",
-    "orders_above_customer_avg",
-    "distinct_aggregates",
-    "having_filter",
-    "pivot_order_status",
-    "argminmax_events",
-    "window_frames",
-    "listagg_nations",
-    "in_subquery_sql",
-    # -- (d) oldest r3-era rows
-    "latest_order_per_customer",
-    "ema_per_key",
-    "array_functions",
-    "exact_percentiles",
-    "approx_aggregates",
-    "string_predicates",
-    "json_extraction_events",
+    # -- (a) code changed in r9 after the last driver row
+    "winnowing_fingerprint_matches",
+    "multimodal_audio_fingerprint_pairs",
+    "dedup_embedding_cosine_bucketed",
+    # -- (b) r3-era recency (oldest driver rows in the registry)
+    "unpivot_part_metrics",
+    "nation_pair_volume",
+    "market_share",
+    "promo_revenue_pct",
+    "skewed_agg_salted",
+    "skewed_join_salted",
+    "grouping_sets_revenue",
+    "range_frame_trailing_revenue",
+    "similarity_cosine_topk",
+    "similarity_ivf",
+    "similarity_ann_lsh_multiprobe",
+    "similarity_ann_lsh",
+    "similarity_incremental_assign",
+    "approx_distinct_kmv",
+    "kmv_source_overlap",
+    "text_repetition_gopher",
+    "doc_chunks_fixed",
+    "vocab_top_tokens",
+    "length_quantile_filter",
+    "vocab_oov_rate",
+    "decontamination_ngram_overlap",
+    "corpus_mix_temperature",
+    "shuffle_deterministic",
+    "pack_sequences",
+    "streaming_candlestick_replay",
+    "streaming_sliding_replay",
+    "streaming_interval_join_replay",
+    "streaming_sessionize_replay",
+    "streaming_ema_replay",
+    # -- (c) oldest r4-era rows, registration order
+    "cdc_upsert_latest",
+    "scd2_event_type_intervals",
+    "streaming_cdc_upsert_replay",
+    "scd2_incremental_apply",
+    "cep_click_error_no_purchase",
+    "cep_rising_streaks",
+    "event_transition_matrix",
+    "market_basket_part_pairs",
+    "dedup_hybrid_clusters",
+    "data_quality_expectations",
+    "zorder_key_events",
+    "doc_lm_cross_entropy",
+    "embedding_pq_codes",
+    "similarity_pq_adc_rerank",
+    "window_rank_battery",
+    "tfidf_top_terms",
+    "bm25_search",
+    "inverted_index_postings",
 ]
 
 
-#: ROUND-10 STAGING: queries registered during round 9 (none — the
+#: ROUND-11 STAGING: queries registered during round 10 (none — the
 #: registry is frozen at 302 per VERDICT r8 item 8). NEW queries MUST
 #: be APPENDED here when registered (test_registry enforces that
 #: active + staged + driver-checked covers the whole registry, and

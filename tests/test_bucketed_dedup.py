@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 import random
+import re
 
 from pyspark.sql import functions as F
 
@@ -92,10 +93,23 @@ def test_bucketed_plan_has_no_quadratic_stage(spark):
     assert bnlj_lines
     free_cross = 0
     for ln in bnlj_lines:
-        cond = ln.split("Cross", 1)[1] if "Cross" in ln else ""
-        if cond.strip(" ,"):
+        # parse join type + condition independently of each other
+        # (ADVICE r9: splitting on the literal 'Cross' classified a
+        # conditioned Inner BNLJ as the condition-free cross) —
+        # format: "BroadcastNestedLoopJoin Build<Side>, <Type>[, (cond)]"
+        m = re.search(
+            r"BroadcastNestedLoopJoin Build(?:Left|Right), (\w+)"
+            r"(?:, (\(.*\)))?\s*$",
+            ln,
+        )
+        assert m, ln
+        jtype, cond = m.group(1), (m.group(2) or "").strip()
+        if cond:
             assert "conv(" in cond, ln  # the 1-row md5-draw stats join
         else:
+            # the one allowed condition-free nested loop must really
+            # be the Cross centroid assign, not an unconditioned Inner
+            assert jtype == "Cross", ln
             free_cross += 1
     assert free_cross <= 1  # the O(N*k) broadcast centroid assign
     assert plan.count("IdentityBroadcastMode") >= len(bnlj_lines)
