@@ -124,12 +124,19 @@ def _load_all_modules() -> None:
 #       ANSI/persist/k-floor hardening) — all three changes are
 #       corpus-size-gated and provably inert at sf0.01 (pre-flight df
 #       distributions in README round-10 notes),
+#   (a2) the 2 bucketed twins whose 1-row stats frame gained a
+#       tracked_persist THIS round (ADVICE r9: sel fed two
+#       independent broadcasts, re-running the corpus count scan) —
+#       plan-only, parity re-verified at sf0.001/0.01, but changed
+#       code gets a fresh row,
 #   (b) all 29 r3-era rows (the oldest driver recency left after the
 #       r9 rotation re-certified the r2 cohort): relational variants,
 #       the similarity_cosine/IVF/LSH heads, KMV family, corpus-prep
 #       ops, and the five r3-era streaming replays,
-#   (c) the 18 oldest r4-era rows in registration order (CDC/SCD2,
-#       CEP, market basket, PQ codes, retrieval heads).
+#   (c) the 16 oldest r4-era rows in registration order (CDC/SCD2,
+#       CEP, market basket, PQ codes, retrieval heads); bm25_search
+#       and inverted_index_postings yield their slots to (a2) and
+#       lead the r11 slate.
 # All 50 get the all-50 vanilla driver-sim pre-flight before the
 # driver runs (sf0.001 AND sf0.01, per the round-6/7 staple).
 _DRIVER_PRIORITY: list[str] = [
@@ -137,6 +144,9 @@ _DRIVER_PRIORITY: list[str] = [
     "winnowing_fingerprint_matches",
     "multimodal_audio_fingerprint_pairs",
     "dedup_embedding_cosine_bucketed",
+    # -- (a2) code changed in r10 (sel persist, ADVICE r9)
+    "mutual_nearest_neighbors_bucketed",
+    "label_knn_disagreement_bucketed",
     # -- (b) r3-era recency (oldest driver rows in the registry)
     "unpivot_part_metrics",
     "nation_pair_volume",
@@ -184,8 +194,6 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_pq_adc_rerank",
     "window_rank_battery",
     "tfidf_top_terms",
-    "bm25_search",
-    "inverted_index_postings",
 ]
 
 
