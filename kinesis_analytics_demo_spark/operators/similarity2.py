@@ -19,6 +19,8 @@ Sections:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -448,17 +450,32 @@ def mutual_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: MINIMUM coarse lists probed per side. The effective nprobe is
-#: ADAPTIVE — max(MNN_NPROBE, ceil(1.2 * sqrt(K))) — because a fixed
-#: probe count over a sqrt(n)-growing list count covers a shrinking
-#: fraction of the space: measured recall vs the exact twin slid
-#: 0.979 (sf0.1, K=13, np=5) -> 0.785 (10x, K=42) -> 0.688 (100x,
-#: K=134) under fixed np=5, and the round-8 dial audit (0.47/0.81/
-#: 0.98 at np 3/5/8 at 10x) shows the knob works. ceil(1.2*sqrt(K))
-#: keeps np=5 at every test SF (K <= 13 — results and driver rows
-#: unchanged) and gives np=8 at 10x / np=14 at 100x. Probe work per
-#: side grows as np^2/K ~ constant-with-n per pair, total O(n^1.5)
-#: preserved up to the log-free 1.2*sqrt factor.
+#: ADAPTIVE — max(MNN_NPROBE, ceil(MNN_NP_COEF * sqrt(K))) — because
+#: a fixed probe count over a sqrt(n)-growing list count covers a
+#: shrinking fraction of the space: measured recall vs the exact twin
+#: slid 0.979 (sf0.1, K=13, np=5) -> 0.785 (10x, K=42) -> 0.688
+#: (100x, K=134) under fixed np=5, and the round-8 dial audit
+#: (0.47/0.81/0.98 at np 3/5/8 at 10x) shows the knob works.
 MNN_NPROBE = 5
+#: Coefficient of the adaptive probe rule np = max(MNN_NPROBE,
+#: ceil(coef * sqrt(K))), chosen from the MEASURED 100x recall/wall
+#: frontier (round 10; full exact-numpy ground truth, 8,550 true
+#: pairs at 200k vectors): np 5/8/10/12/14 -> recall 0.688/0.907/
+#: 0.965/0.988/0.997 at wall 263/445/604/830/1198s. The round-9
+#: default 1.2 (np=14) ran past the knee — a 2x wall premium over
+#: np=10 for the last ~0.03 recall; 0.86 lands np=10, the knee the
+#: round-9 verdict asked for (~0.95 recall at half the cost). At 10x
+#: (K=42) the default gives np=6 -> recall 0.859 on the 135-pair
+#: exact set (np 5/6/7/8 -> 0.785/0.859/0.933/0.970; wall is nearly
+#: FLAT there, 25-42s — probe cost only dominates from ~10^5 vectors
+#: up, exactly where the knee calibration was measured). Recall-
+#: critical callers set SPARK_GRAFT_MNN_NP_COEF=1.2 to restore the
+#: round-9 maximal-recall point. Any coefficient in [0.69, 1.38]
+#: keeps np=5 at every test SF (the MNN_NPROBE floor binds for
+#: K <= 13), so driver rows are bit-identical across the whole dial
+#: range; the oracle SQL embeds the same value at import, so both
+#: engines always agree.
+MNN_NP_COEF = float(os.environ.get("SPARK_GRAFT_MNN_NP_COEF", "0.86"))
 MNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
 
 _MNN_BCOS = V.sql_cosine("ea.embedding", "eb.embedding", DIM)
@@ -470,7 +487,7 @@ _MNN_BCOS = V.sql_cosine("ea.embedding", "eb.embedding", DIM)
     WITH sel AS (
         SELECT n, k, ({MNN_SEL_GRID} * k + n - 1) // greatest(n, 1) AS thr,
                greatest({MNN_NPROBE},
-                        CAST(ceil(1.2 * sqrt(CAST(k AS DOUBLE)))
+                        CAST(ceil({MNN_NP_COEF} * sqrt(CAST(k AS DOUBLE)))
                              AS BIGINT)) AS np,
                mn
         FROM (SELECT count(*) AS n,
@@ -523,18 +540,21 @@ _MNN_BCOS = V.sql_cosine("ea.embedding", "eb.embedding", DIM)
     "max(1, floor(sqrt((9n) div 100))) IVF lists — the argmin of "
     "assign(nK) + probe(nprobe^2 |A||B| / K) work for the two "
     "n/10-sized sides — with each side probing its np = "
-    f"max({MNN_NPROBE}, ceil(1.2*sqrt(K))) nearest lists (ADAPTIVE, "
-    "round 9: a fixed probe count over sqrt(n) lists covers a "
-    "shrinking fraction of the space — fixed np=5 recall slid "
-    "0.979/0.785/0.688 at sf0.1/10x/100x; the adaptive rule keeps "
-    "np=5 at every test SF and measures 0.970 at 10x (np=8, wall "
-    "30.5s) and 0.997 at 100x (np=14, wall 1198s — at par with the "
-    "projected exact-twin cost at 200k vectors, the documented "
-    "crossover; np^2/K is constant in n so the O(n^1.5) asymptote "
-    "pulls ahead from there)); "
+    f"max({MNN_NPROBE}, ceil({MNN_NP_COEF}*sqrt(K))) nearest lists "
+    "(ADAPTIVE, round 9: a fixed probe count over sqrt(n) lists "
+    "covers a shrinking fraction of the space — fixed np=5 recall "
+    "slid 0.979/0.785/0.688 at sf0.1/10x/100x; the coefficient was "
+    "then set AT THE MEASURED 100x FRONTIER KNEE in round 10: np "
+    "5/8/10/12/14 -> recall 0.688/0.907/0.965/0.988/0.997 at wall "
+    "263/445/604/830/1198s, so the default 0.86 -> np=10 buys "
+    "0.965 recall at HALF the maximal-recall wall, and the bucketed "
+    "path is now ~2x cheaper than the exact twin already at 200k "
+    "vectors — the crossover moved below the measured range; np^2/K "
+    "is constant in n so the O(n^1.5) asymptote holds; the dial is "
+    "SPARK_GRAFT_MNN_NP_COEF, 1.2 restores maximal recall); "
     "candidate pairs must share a probed list, and "
     "the mutual top-1 check runs only on candidates, so total work "
-    "is O(n^1.5) up to the sqrt-log-free 1.2*sqrt(K) probe factor, "
+    "is O(n^1.5) up to the sqrt-log-free coef*sqrt(K) probe factor, "
     "never O(|A| x |B|). Centroids are drawn "
     "deterministically on both engines (vec_id md5 mod "
     f"{MNN_SEL_GRID} under ceil(grid*K/n) — no global sort, no "
@@ -590,11 +610,14 @@ def mutual_nearest_neighbors_bucketed(
             F.expr(
                 f"({MNN_SEL_GRID} * k + n - 1) div greatest(n, 1)"
             ).alias("thr"),
-            # adaptive probe count (see MNN_NPROBE note): np = 5 at
-            # every test SF, 8 at 10x, 14 at 100x
+            # adaptive probe count (see MNN_NP_COEF note): np = 5 at
+            # every test SF; at the default coefficient, 6 at 10x
+            # and 10 at 100x (the measured frontier knee)
             F.greatest(
                 F.lit(MNN_NPROBE).cast("bigint"),
-                F.ceil(F.lit(1.2) * F.sqrt(F.col("k").cast("double"))),
+                F.ceil(
+                    F.lit(MNN_NP_COEF) * F.sqrt(F.col("k").cast("double"))
+                ),
             ).alias("np"),
             "mn",
         )
