@@ -40,6 +40,8 @@ with order-insensitive aggregates.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -302,14 +304,20 @@ def label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: MINIMUM coarse lists probed per audited vector. The effective
-#: nprobe is ADAPTIVE — max(KNN_NPROBE, ceil(0.6 * sqrt(K))) — the
-#: same rule (and rationale) as the MNN twin's 1.2*sqrt(K): a fixed
-#: probe count over a sqrt(n)-growing list count covers a shrinking
-#: fraction of the space (fixed np=3 suspect-recall vs the numpy
-#: exact audit measured 0.879 at 100x). The rule keeps np=3 at every
-#: test SF (K <= 24 — results and driver rows unchanged) and gives
-#: np=6 at 10x / np=10 at 100x.
+#: nprobe is ADAPTIVE — max(KNN_NPROBE, ceil(KNN_NP_COEF * sqrt(K)))
+#: — the same rule (and rationale) as the MNN twin's coef*sqrt(K): a
+#: fixed probe count over a sqrt(n)-growing list count covers a
+#: shrinking fraction of the space (fixed np=3 suspect-recall vs the
+#: numpy exact audit measured 0.879 at 100x). The rule keeps np=3 at
+#: every test SF (K <= 24 — results and driver rows unchanged) and
+#: gives np=6 at 10x / np=10 at 100x at the 0.6 coefficient.
 KNN_NPROBE = 3
+#: Coefficient of the adaptive probe rule, configurable like the MNN
+#: twin's SPARK_GRAFT_MNN_NP_COEF (the oracle SQL embeds the same
+#: value at import, so both engines always agree). Any coefficient in
+#: (0, 0.61] keeps np=3 at every test SF (the KNN_NPROBE floor binds
+#: for K <= 24) — driver rows bit-identical across the dial range.
+KNN_NP_COEF = float(os.environ.get("SPARK_GRAFT_KNN_NP_COEF", "0.6"))
 KNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
 
 
@@ -319,7 +327,7 @@ KNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
     WITH sel AS (
         SELECT n, k, ({KNN_SEL_GRID} * k + n - 1) // greatest(n, 1) AS thr,
                greatest({KNN_NPROBE},
-                        CAST(ceil(0.6 * sqrt(CAST(k AS DOUBLE)))
+                        CAST(ceil({KNN_NP_COEF} * sqrt(CAST(k AS DOUBLE)))
                              AS BIGINT)) AS np,
                mn
         FROM (SELECT count(*) AS n,
@@ -367,7 +375,7 @@ KNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
     "neighbor stage composes with IVF coarse lists exactly as "
     "label_knn_disagreement's docstring prescribes — every vector "
     f"sits in its top-1 centroid list, each audited vector probes "
-    f"its np = max({KNN_NPROBE}, ceil(0.6*sqrt(K))) nearest lists "
+    f"its np = max({KNN_NPROBE}, ceil({KNN_NP_COEF}*sqrt(K))) nearest lists "
     "(ADAPTIVE, round 9 — np=3 at every test SF, 6 at 10x, 10 at "
     "100x; vs a full numpy exact audit at 100x the adaptive np "
     "buys suspect-precision 0.745 -> 0.798 and 20% lower "
@@ -439,11 +447,14 @@ def label_knn_disagreement_bucketed(
             F.expr(
                 f"({KNN_SEL_GRID} * k + n - 1) div greatest(n, 1)"
             ).alias("thr"),
-            # adaptive probe count (see KNN_NPROBE note): np = 3 at
-            # every test SF, 6 at 10x, 10 at 100x
+            # adaptive probe count (see KNN_NP_COEF note): np = 3 at
+            # every test SF; at the 0.6 coefficient, 6 at 10x and 10
+            # at 100x
             F.greatest(
                 F.lit(KNN_NPROBE).cast("bigint"),
-                F.ceil(F.lit(0.6) * F.sqrt(F.col("k").cast("double"))),
+                F.ceil(
+                    F.lit(KNN_NP_COEF) * F.sqrt(F.col("k").cast("double"))
+                ),
             ).alias("np"),
             "mn",
         )
