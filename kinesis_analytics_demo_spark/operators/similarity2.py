@@ -405,7 +405,8 @@ _MNN_COS = V.sql_cosine("a.embedding", "b.embedding", DIM)
     "order. This is the labeled exact O(|A| x |B|) baseline, same "
     "contract as dedup_embedding_cosine — the scale-path DEFAULT is "
     "mutual_nearest_neighbors_bucketed (IVF coarse lists, measured "
-    "recall 0.85-0.96); the mutual check itself is two "
+    "recall 0.86 at 10x / 0.97 at 100x at the frontier-knee default, "
+    "0.98-1.0 at test SFs); the mutual check itself is two "
     "WindowGroupLimit row_number passes + one hash self-join, "
     "shuffle-keyed by vector id.",
 )

@@ -1,0 +1,83 @@
+"""Unit tests for the driver-vs-driver bench calibration tool and the
+probe-dial bit-stability invariant (round 10).
+
+The dial invariant is the load-bearing one: the MNN/kNN adaptive
+nprobe coefficients are configurable, and the documented contract is
+that ANY value inside the stated range leaves every test SF's result
+bit-identical because the nprobe FLOOR binds there. This test
+recomputes the binding condition from the actual test-SF corpus
+sizes, so a regenerated testdata drop or a changed K formula that
+silently broke the contract would fail here, not in a driver row.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import duckdb
+import pytest
+
+from tools.bench_compare import tail_queries
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def test_tail_queries_prefers_parsed_detail(tmp_path):
+    p = tmp_path / "bench_old.json"
+    p.write_text(json.dumps({
+        "parsed": {"queries": {"q1": 1.0, "q2": 2.0}},
+        # the tail fragment disagrees on q1 and leaks a meta key —
+        # the parsed detail must win and meta keys must be dropped
+        "tail": '"q1": 9.0, "q3": 3.0, "sf": 0.1, "reps": 2',
+    }))
+    q = tail_queries(str(p))
+    assert q == {"q1": 1.0, "q2": 2.0, "q3": 3.0}
+
+
+def test_tail_queries_falls_back_to_tail_fragment(tmp_path):
+    p = tmp_path / "bench_new.json"
+    p.write_text(json.dumps({
+        "tail": 'lineitem\\": 1.1, \\"q_a\\": 0.5, \\"value\\": 64.9',
+    }))
+    q = tail_queries(str(p))
+    # truncated leading fragment ("lineitem) is a query-name artifact
+    # of the 2000-char window — harmless as long as real names parse
+    assert q["q_a"] == 0.5
+    assert "value" not in q
+
+
+def _n_embeddings(sf_dir: str) -> int:
+    return duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()[0][0]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_mnn_dial_range_floor_binds_at_test_sfs(sf_dir):
+    """Any MNN_NP_COEF in the documented [0.69, 1.38] keeps np at the
+    floor (5) for every test SF — the bit-stability contract."""
+    n = _n_embeddings(sf_dir)
+    k = max(1, math.floor(math.sqrt((n * 9) // 100)))
+    for coef in (0.69, 0.86, 1.2, 1.38):
+        assert math.ceil(coef * math.sqrt(k)) <= 5, (sf_dir, n, k, coef)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_knn_dial_range_floor_binds_at_test_sfs(sf_dir):
+    """Any KNN_NP_COEF in the documented (0, 0.61] keeps np at the
+    floor (3) for every test SF."""
+    n = _n_embeddings(sf_dir)
+    k = max(1, math.floor(math.sqrt((n * 3) // 10)))
+    for coef in (0.38, 0.51, 0.6, 0.61):
+        assert math.ceil(coef * math.sqrt(k)) <= 3, (sf_dir, n, k, coef)
+
+
+def test_dial_defaults_match_documented_operating_points():
+    from kinesis_analytics_demo_spark.operators.curation2 import KNN_NP_COEF
+    from kinesis_analytics_demo_spark.operators.similarity2 import MNN_NP_COEF
+
+    # 100x corpus: n=200k -> K_mnn=134, K_knn=244; the defaults must
+    # land the measured frontier points (np=10 both)
+    assert math.ceil(MNN_NP_COEF * math.sqrt(134)) == 10
+    assert math.ceil(KNN_NP_COEF * math.sqrt(244)) == 10
