@@ -549,14 +549,23 @@ _MNN_BCOS = V.sql_cosine("ea.embedding", "eb.embedding", DIM)
     "5/8/10/12/14 -> recall 0.688/0.907/0.965/0.988/0.997 at wall "
     "263/445/604/830/1198s, so the default 0.86 -> np=10 buys "
     "0.965 recall at HALF the maximal-recall wall, and the bucketed "
-    "path is now ~2x cheaper than the exact twin already at 200k "
-    "vectors — the crossover moved below the measured range; np^2/K "
-    "is constant in n so the O(n^1.5) asymptote holds; the dial is "
-    "SPARK_GRAFT_MNN_NP_COEF, 1.2 restores maximal recall); "
-    "candidate pairs must share a probed list, and "
-    "the mutual top-1 check runs only on candidates, so total work "
-    "is O(n^1.5) up to the sqrt-log-free coef*sqrt(K) probe factor, "
-    "never O(|A| x |B|). Centroids are drawn "
+    "path is ~2x cheaper than the exact twin already at 200k "
+    "vectors; the dial is "
+    "SPARK_GRAFT_MNN_NP_COEF, 1.2 restores maximal recall). "
+    "SCALING LAW, measured not claimed (round 10): the assign stage "
+    "is O(nK) = O(n^1.5); the candidate stage evaluates exactly "
+    "npa*npb/K of |A|x|B| (verified to 1-2 percent against the "
+    "uniform-collision model at 10x AND 100x), so at a FIXED probe "
+    "count it is O(n^1.5) but at CONSTANT RECALL the required "
+    "collision budget q(r) shrinks only ~2x per corpus decade "
+    "(q at recall~0.97: 1.9 -> 1.3 -> 0.7 across sf0.1/10x/100x) — "
+    "net pair work ~n^1.75 on this near-isotropic worst case, "
+    "NOT n^1.5; the probe split (symmetric vs query-side-only) is "
+    "efficiency-neutral at equal q (measured 0.966@q0.69 sym vs "
+    "0.958@q0.63 asym at 100x), so recall is bought with q alone. "
+    "Above ~10^6 vectors at high recall the right registry tool is "
+    "the trained IVF-PQ rerank ladder, whose per-query probe cost "
+    "is corpus-size-independent. Centroids are drawn "
     "deterministically on both engines (vec_id md5 mod "
     f"{MNN_SEL_GRID} under ceil(grid*K/n) — no global sort, no "
     "trained state; IVF-flat seeding), and the n x K assign frame "
