@@ -386,8 +386,14 @@ KNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
     "readout runs on probed-list candidates only. The centroid "
     "count ADAPTS to corpus size: K = floor(sqrt((3n) div 10)) "
     "centroids, the argmin of total work assign(nK) + "
-    "probe(sample*nprobe*n/K) at sample=10%, nprobe=3 — so both "
-    "stages scale O(n^1.5), never O(n^2) (a fixed centroid set "
+    "probe(sample*nprobe*n/K) at sample=10%. At a FIXED nprobe "
+    "both stages scale O(n^1.5), never O(n^2); the ADAPTIVE "
+    "np = c*sqrt(K) spends the saved exponent on accuracy — probe "
+    "work becomes ~n^1.75 (the round-10 collision law measured on "
+    "the MNN sibling: candidate rows are exactly sample*np*n/K, "
+    "and holding precision flat costs ~half the collision budget "
+    "per corpus decade) — still strictly below the exact twin's "
+    "n^2 (a fixed centroid set "
     "would put the whole growth into list size: the first cut of "
     "this query used the 10 per-label centroids and measured "
     "SLOWER than the exact twin at 10x, 91.8s vs ~71s). Centroids "
