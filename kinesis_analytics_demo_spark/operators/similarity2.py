@@ -13,8 +13,10 @@ Sections:
   (Carbonell & Goldstein 1998) as JVM higher-order-function folds;
 - IVF list-balance audit over the trained k-means quantizer;
 - mutual nearest neighbors: the labeled exact O(|A| x |B|) baseline
-  and the IVF-bucketed O(n^1.5) scale twin (adaptive sqrt-n centroid
-  draw, deterministic md5-mod-grid selection on both engines).
+  and the IVF-bucketed scale twin (adaptive sqrt-n centroid draw,
+  deterministic md5-mod-grid selection on both engines; assign
+  O(n^1.5), candidate work ~n^1.75 at constant recall under the
+  round-10 measured collision law).
 """
 
 from __future__ import annotations
@@ -578,9 +580,10 @@ _MNN_BCOS = V.sql_cosine("ea.embedding", "eb.embedding", DIM)
     "fitted to. At these toy scales the exact "
     "broadcast cross join is still the FASTER plan (11.4s vs 25s "
     "at 10x — candidate work 2.7M rows vs 4M, but across more "
-    "stages); the bucketed path exists for the asymptotics, "
-    "projected ~4x less work at 100x and widening as n^1.5 vs "
-    "n^2. Candidate sims are computed once per (a,b) via DISTINCT "
+    "stages); the bucketed path exists for the asymptotics — "
+    "measured at 100x: 604s vs the exact twin's ~1200s projection, "
+    "a gap that widens as ~n^0.25 under the collision law above. "
+    "Candidate sims are computed once per (a,b) via DISTINCT "
     "(the cosine is deterministic, so multi-list duplicates are "
     "bit-identical on both engines); the mutual check is the exact "
     "twin's two WindowGroupLimit passes + hash join, shuffle-keyed "
