@@ -560,8 +560,10 @@ _MNN_BCOS = V.sql_cosine("ea.embedding", "eb.embedding", DIM)
     "uniform-collision model at 10x AND 100x), so at a FIXED probe "
     "count it is O(n^1.5) but at CONSTANT RECALL the required "
     "collision budget q(r) shrinks only ~2x per corpus decade "
-    "(q at recall~0.97: 1.9 -> 1.3 -> 0.7 across sf0.1/10x/100x) — "
-    "net pair work ~n^1.75 on this near-isotropic worst case, "
+    "(q at recall~0.97: 1.33 -> 0.69 -> 0.386 across 10x/100x/1000x "
+    "— three measured decades, the last in the faithful numpy "
+    "replica at 2M vectors) — net pair work ~n^1.73 on this "
+    "near-isotropic worst case, "
     "NOT n^1.5; the probe split (symmetric vs query-side-only) is "
     "efficiency-neutral at equal q (measured 0.966@q0.69 sym vs "
     "0.958@q0.63 asym at 100x), so recall is bought with q alone. "
