@@ -197,6 +197,19 @@ _DRIVER_PRIORITY: list[str] = [
 ]
 
 
+# ROUND-11 RECENCY SLATE (pre-computed at round-10 close so the next
+# rotation is a paste, assuming CORRECTNESS_r10 lands 50/50 green):
+# oldest cohorts after r10 = the 24 remaining r4-era rows
+# (bm25_search, inverted_index_postings — the two that yielded their
+# r10 slots to the sel-persist twins — then embedding_random_
+# projection, similarity_rp_topk_rerank, similarity_hard_negatives,
+# quantile_histogram_events, embedding_sq8_error, similarity_sq8_topk,
+# corr_matrix_lineitem, ols_discount_vs_quantity,
+# chisq_event_type_weekday, dedup_repeated_ngram_spans,
+# text_c4_filters, decontamination_minhash, and the ten r4-era
+# streaming replays) + the 26 oldest r5-era rows in registration
+# order, PLUS any query whose code changes in round 11 before the
+# driver runs (changed code always leads the slate).
 #: ROUND-11 STAGING: queries registered during round 10 (none — the
 #: registry is frozen at 302 per VERDICT r8 item 8). NEW queries MUST
 #: be APPENDED here when registered (test_registry enforces that
