@@ -167,3 +167,57 @@ class AppConfig:
         # 'sink.producer.collection-max-count' analog (reference
         # flink/tumbling_window.py:128)
         return int(self.producer.get("sink.batch.size", "100"))
+
+
+def env_coef(
+    name: str,
+    default: float,
+    stable_lo: float,
+    stable_hi: float,
+) -> float:
+    """Parse a tuning-coefficient environment variable defensively.
+
+    The adaptive-nprobe dials (``SPARK_GRAFT_MNN_NP_COEF``,
+    ``SPARK_GRAFT_KNN_NP_COEF``) are read at module import inside
+    ``registry._load_all_modules``, so a bare ``float(...)`` on a
+    malformed value would take down the ENTIRE query registry — not
+    just the two bucketed twins (ADVICE r10). Policy:
+
+    - unparsable or non-finite -> warn and fall back to ``default``
+      (nan/inf would otherwise be interpolated into oracle SQL);
+    - finite but outside the documented test-SF bit-stable range
+      ``[stable_lo, stable_hi]`` -> warn and HONOR it: out-of-range
+      is a legitimate operating point at production corpus sizes
+      (the oracle embeds the same value at import so both engines
+      still agree), it merely changes results vs the default at
+      some scale — the warning makes that explicit.
+    """
+    import math
+    import warnings
+
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        val = float(raw)
+    except ValueError:
+        warnings.warn(
+            f"{name}={raw!r} is not a number; using default {default}",
+            stacklevel=2,
+        )
+        return default
+    if not math.isfinite(val):
+        warnings.warn(
+            f"{name}={raw!r} is not finite; using default {default}",
+            stacklevel=2,
+        )
+        return default
+    if not (stable_lo <= val <= stable_hi):
+        warnings.warn(
+            f"{name}={val} is outside the documented test-SF "
+            f"bit-stable range [{stable_lo}, {stable_hi}]; honoring "
+            "it, but results may differ from the default at some "
+            "corpus scales",
+            stacklevel=2,
+        )
+    return val

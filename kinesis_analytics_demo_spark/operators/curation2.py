@@ -40,11 +40,10 @@ with order-insensitive aggregates.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_analytics_demo_spark.config import env_coef
 from kinesis_analytics_demo_spark.functions import hashing as H
 from kinesis_analytics_demo_spark.functions import vectors as V
 from kinesis_analytics_demo_spark.plans.registry import register
@@ -317,7 +316,12 @@ KNN_NPROBE = 3
 #: value at import, so both engines always agree). Any coefficient in
 #: (0, 0.61] keeps np=3 at every test SF (the KNN_NPROBE floor binds
 #: for K <= 24) — driver rows bit-identical across the dial range.
-KNN_NP_COEF = float(os.environ.get("SPARK_GRAFT_KNN_NP_COEF", "0.6"))
+#: Parsed defensively (ADVICE r10): a malformed value falls back to
+#: the default instead of crashing registry import; an out-of-range
+#: finite value is honored with a warning (see ``config.env_coef``).
+#: The bit-stable range is (0, 0.61]; env_coef's closed lower bound
+#: uses the smallest positive float as a stand-in for "> 0".
+KNN_NP_COEF = env_coef("SPARK_GRAFT_KNN_NP_COEF", 0.6, 5e-324, 0.61)
 KNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
 
 

@@ -458,8 +458,13 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_aggregates",
     oracle=None,
     doc="Approximate aggregates (HLL count-distinct + quantile "
-    "sketches) — engine-specific sketches, rows-only check; exact "
-    "twins are oracle-checked in distinct_aggregates/window queries.",
+    "sketches) — engine-specific sketches, so the driver row is "
+    "rows-only; the VALUE check is the pinned bounds oracle in "
+    "tests/test_approx_bounds.py (each approx column asserted within "
+    "its documented error — 3*rsd for HLL++, n/accuracy rank error "
+    "for percentile_approx — against DuckDB exact values at sf0.001 "
+    "and sf0.01). Exact twins are oracle-checked in "
+    "distinct_aggregates/exact_percentiles.",
 )
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")

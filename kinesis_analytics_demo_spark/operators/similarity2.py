@@ -21,11 +21,10 @@ Sections:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_analytics_demo_spark.config import env_coef
 from kinesis_analytics_demo_spark.functions import hashing as H
 from kinesis_analytics_demo_spark.functions import vectors as V
 from kinesis_analytics_demo_spark.operators.similarity import (
@@ -478,7 +477,10 @@ MNN_NPROBE = 5
 #: K <= 13), so driver rows are bit-identical across the whole dial
 #: range; the oracle SQL embeds the same value at import, so both
 #: engines always agree.
-MNN_NP_COEF = float(os.environ.get("SPARK_GRAFT_MNN_NP_COEF", "0.86"))
+#: Parsed defensively (ADVICE r10): a malformed value falls back to
+#: the default instead of crashing registry import; an out-of-range
+#: finite value is honored with a warning (see ``config.env_coef``).
+MNN_NP_COEF = env_coef("SPARK_GRAFT_MNN_NP_COEF", 0.86, 0.69, 1.38)
 MNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
 
 _MNN_BCOS = V.sql_cosine("ea.embedding", "eb.embedding", DIM)

@@ -114,102 +114,103 @@ def _load_all_modules() -> None:
 # items 1-2), minus the 10 lowest-value relational variants that wait
 # for round 4.
 #
-# ROUND-10 ROTATION (active; VERDICT r9 item 1): changed code gets a
+# ROUND-11 ROTATION (active; VERDICT r10 item 1): changed code gets a
 # fresh driver row, then the oldest recency cohort.  50 slots =
-#   (a) the 3 queries whose implementing code changed in round 9
-#       AFTER their last driver row: winnowing_fingerprint_matches
-#       (r7 row; text4.py absolute df<=200 veto),
-#       multimodal_audio_fingerprint_pairs (r6 row; multimodal.py
-#       same veto), dedup_embedding_cosine_bucketed (r8 row; dedup.py
-#       ANSI/persist/k-floor hardening) — all three changes are
-#       corpus-size-gated and provably inert at sf0.01 (pre-flight df
-#       distributions in README round-10 notes),
-#   (a2) the 2 bucketed twins whose 1-row stats frame gained a
-#       tracked_persist THIS round (ADVICE r9: sel fed two
-#       independent broadcasts, re-running the corpus count scan) —
-#       plan-only, parity re-verified at sf0.001/0.01, but changed
-#       code gets a fresh row,
-#   (b) all 29 r3-era rows (the oldest driver recency left after the
-#       r9 rotation re-certified the r2 cohort): relational variants,
-#       the similarity_cosine/IVF/LSH heads, KMV family, corpus-prep
-#       ops, and the five r3-era streaming replays,
-#   (c) the 16 oldest r4-era rows in registration order (CDC/SCD2,
-#       CEP, market basket, PQ codes, retrieval heads); bm25_search
-#       and inverted_index_postings yield their slots to (a2) and
-#       lead the r11 slate.
+#   (a) the 2 bucketed twins whose nprobe-coefficient parse hardened
+#       THIS round (ADVICE r10: defensive env_coef in config.py
+#       replaces the bare float(os.environ...) at module import) —
+#       value-inert under default env (same 0.86 / 0.6 coefficients,
+#       verified identical results at sf0.001/0.01 pre-flight), but
+#       changed code always gets a fresh row,
+#   (b) the 24 r4-era rows (the oldest driver recency after r10):
+#       bm25_search and inverted_index_postings (which yielded their
+#       r10 slots to the sel-persist twins) lead, then the RP/SQ8
+#       similarity variants, the stats heads (corr/OLS/chi-square),
+#       C4/decontamination, quantile histogram, and the nine r4-era
+#       streaming replays plus the batch cumulate_window_revenue,
+#   (c) the 24 oldest r5-era rows in registration order (DSIR/BPE/
+#       privacy audits, containment/cross-source dedup, pareto
+#       frontier, phash, winsorize, outliers); file_provenance_audit
+#       and sessionize_dynamic_gap yield their slots to (a) and lead
+#       the r12 slate.
 # All 50 get the all-50 vanilla driver-sim pre-flight before the
 # driver runs (sf0.001 AND sf0.01, per the round-6/7 staple).
 _DRIVER_PRIORITY: list[str] = [
-    # -- (a) code changed in r9 after the last driver row
-    "winnowing_fingerprint_matches",
-    "multimodal_audio_fingerprint_pairs",
-    "dedup_embedding_cosine_bucketed",
-    # -- (a2) code changed in r10 (sel persist, ADVICE r9)
+    # -- (a) code changed in r11 (env_coef parse hardening, ADVICE r10)
     "mutual_nearest_neighbors_bucketed",
     "label_knn_disagreement_bucketed",
-    # -- (b) r3-era recency (oldest driver rows in the registry)
-    "unpivot_part_metrics",
-    "nation_pair_volume",
-    "market_share",
-    "promo_revenue_pct",
-    "skewed_agg_salted",
-    "skewed_join_salted",
-    "grouping_sets_revenue",
-    "range_frame_trailing_revenue",
-    "similarity_cosine_topk",
-    "similarity_ivf",
-    "similarity_ann_lsh_multiprobe",
-    "similarity_ann_lsh",
-    "similarity_incremental_assign",
-    "approx_distinct_kmv",
-    "kmv_source_overlap",
-    "text_repetition_gopher",
-    "doc_chunks_fixed",
-    "vocab_top_tokens",
-    "length_quantile_filter",
-    "vocab_oov_rate",
-    "decontamination_ngram_overlap",
-    "corpus_mix_temperature",
-    "shuffle_deterministic",
-    "pack_sequences",
-    "streaming_candlestick_replay",
-    "streaming_sliding_replay",
-    "streaming_interval_join_replay",
-    "streaming_sessionize_replay",
-    "streaming_ema_replay",
-    # -- (c) oldest r4-era rows, registration order
-    "cdc_upsert_latest",
-    "scd2_event_type_intervals",
-    "streaming_cdc_upsert_replay",
-    "scd2_incremental_apply",
-    "cep_click_error_no_purchase",
-    "cep_rising_streaks",
-    "event_transition_matrix",
-    "market_basket_part_pairs",
-    "dedup_hybrid_clusters",
-    "data_quality_expectations",
-    "zorder_key_events",
-    "doc_lm_cross_entropy",
-    "embedding_pq_codes",
-    "similarity_pq_adc_rerank",
-    "window_rank_battery",
-    "tfidf_top_terms",
+    # -- (b) r4-era recency (oldest driver rows in the registry)
+    "bm25_search",
+    "inverted_index_postings",
+    "embedding_random_projection",
+    "similarity_rp_topk_rerank",
+    "similarity_hard_negatives",
+    "quantile_histogram_events",
+    "embedding_sq8_error",
+    "similarity_sq8_topk",
+    "corr_matrix_lineitem",
+    "ols_discount_vs_quantity",
+    "chisq_event_type_weekday",
+    "dedup_repeated_ngram_spans",
+    "text_c4_filters",
+    "decontamination_minhash",
+    "streaming_corpus_prep_replay",
+    "streaming_enrich_join_replay",
+    "streaming_left_join_replay",
+    "cumulate_window_revenue",
+    "streaming_cumulate_replay",
+    "streaming_full_outer_join_replay",
+    "streaming_quantile_replay",
+    "streaming_session_timeout_replay",
+    "streaming_kmv_replay",
+    "streaming_cms_replay",
+    # -- (c) the 24 oldest r5-era rows, registration order
+    "funnel_time_to_convert",
+    "dedup_lsh_recall_audit",
+    "corpus_token_budget_select",
+    "corpus_soft_dedup_weights",
+    "source_quality_report",
+    "corpus_dsir_weights",
+    "bpe_pair_counts",
+    "k_anonymity_audit",
+    "label_knn_disagreement",
+    "l_diversity_audit",
+    "bpe_train_merges",
+    "corpus_rebalance_shards",
+    "dp_noisy_counts",
+    "fuzzy_match_entity_names",
+    "pareto_quality_frontier",
+    "cluster_topic_terms",
+    "dedup_containment_pairs",
+    "dedup_cross_source_matrix",
+    "winsorize_event_values",
+    "user_feature_vector",
+    "embedding_outliers_centroid",
+    "dedup_image_phash",
+    "multimodal_scene_changes",
+    "corpus_sample_weighted",
 ]
 
 
-# ROUND-11 RECENCY SLATE (pre-computed at round-10 close so the next
-# rotation is a paste, assuming CORRECTNESS_r10 lands 50/50 green):
-# oldest cohorts after r10 = the 24 remaining r4-era rows
-# (bm25_search, inverted_index_postings — the two that yielded their
-# r10 slots to the sel-persist twins — then embedding_random_
-# projection, similarity_rp_topk_rerank, similarity_hard_negatives,
-# quantile_histogram_events, embedding_sq8_error, similarity_sq8_topk,
-# corr_matrix_lineitem, ols_discount_vs_quantity,
-# chisq_event_type_weekday, dedup_repeated_ngram_spans,
-# text_c4_filters, decontamination_minhash, and the ten r4-era
-# streaming replays) + the 26 oldest r5-era rows in registration
-# order, PLUS any query whose code changes in round 11 before the
-# driver runs (changed code always leads the slate).
+# ROUND-12 RECENCY SLATE (pre-computed at round-11 close so the next
+# rotation is a paste, assuming CORRECTNESS_r11 lands 50/50 green):
+# oldest cohorts after r11 = the 20 remaining r5-era rows
+# (file_provenance_audit and sessionize_dynamic_gap — the two that
+# yielded their r11 slots to the env_coef twins — then
+# variant_props_extraction, late_lines_by_status,
+# inverted_index_incremental_merge, embedding_drift_by_label,
+# skew_profile_lineitem, bootstrap_ci_event_values,
+# ab_test_welch_events, cusum_changepoint_events, anomaly_mad_events,
+# text_token_entropy, source_token_kl, corpus_zipf_alpha,
+# dedup_chunk_exact, corpus_split_leakage_safe, temporal_split_embargo,
+# timeseries_similarity_topk, and the two r5-era streaming replays
+# streaming_cusum_replay + streaming_attribution_replay) + the 30
+# oldest r6-era rows in registration order, PLUS any query whose code
+# changes in round 12 before the driver runs (changed code always
+# leads the slate).  Carried watch item (VERDICT r10 item 7):
+# similarity_ivfpq_adc_rerank is r9-recency — when its rotation slot
+# comes up (r15 by the slate math), pair the driver row with one
+# ordered min-of-3.
 #: ROUND-11 STAGING: queries registered during round 10 (none — the
 #: registry is frozen at 302 per VERDICT r8 item 8). NEW queries MUST
 #: be APPENDED here when registered (test_registry enforces that

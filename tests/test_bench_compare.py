@@ -81,3 +81,28 @@ def test_dial_defaults_match_documented_operating_points():
     # land the measured frontier points (np=10 both)
     assert math.ceil(MNN_NP_COEF * math.sqrt(134)) == 10
     assert math.ceil(KNN_NP_COEF * math.sqrt(244)) == 10
+
+
+def test_tail_queries_drops_window_start_and_mid_string_artifacts(tmp_path):
+    """ADVICE r10: a key at the arbitrary window start may be
+    truncated and must be dropped; a '": N' shape inside a quoted
+    string value (not preceded by '{' or ',') must not parse."""
+    p = tmp_path / "bench.json"
+    p.write_text(json.dumps({
+        # "_ann_lsh" is "similarity_ann_lsh" cut at the window start —
+        # the quote survived the cut, the name prefix did not
+        "tail": '"_ann_lsh": 7.7, \\"q_a\\": 0.5, '
+                'junk \\"not_a_key\\": 9.9, \\"q_b\\": 1.5e-2',
+    }))
+    q = tail_queries(str(p))
+    assert "_ann_lsh" not in q          # window-start artifact dropped
+    assert "not_a_key" not in q         # no '{'/',' boundary before it
+    assert q == {"q_a": 0.5, "q_b": 0.015}  # scientific notation parses
+
+
+def test_main_usage_on_missing_args(monkeypatch, capsys):
+    import tools.bench_compare as bc
+
+    monkeypatch.setattr("sys.argv", ["bench_compare.py"])
+    with pytest.raises(SystemExit, match="usage"):
+        bc.main()

@@ -77,3 +77,49 @@ def test_app_config_defaults_and_reference_values():
     assert cfg.window_alias == "eight_hour_window"
     assert cfg.timestamp_format == "SQL"
     assert cfg.sink_batch_size == 100
+
+
+# ---- env_coef: defensive parse of the adaptive-nprobe dials
+# (ADVICE r10: a malformed env var must not take down registry import)
+
+def test_env_coef_unset_returns_default(monkeypatch):
+    from kinesis_analytics_demo_spark.config import env_coef
+
+    monkeypatch.delenv("X_COEF", raising=False)
+    assert env_coef("X_COEF", 0.86, 0.69, 1.38) == 0.86
+
+
+def test_env_coef_malformed_falls_back_with_warning(monkeypatch):
+    from kinesis_analytics_demo_spark.config import env_coef
+
+    monkeypatch.setenv("X_COEF", "fast")
+    with pytest.warns(UserWarning, match="not a number"):
+        assert env_coef("X_COEF", 0.86, 0.69, 1.38) == 0.86
+
+
+@pytest.mark.parametrize("raw", ["nan", "inf", "-inf"])
+def test_env_coef_non_finite_falls_back_with_warning(monkeypatch, raw):
+    from kinesis_analytics_demo_spark.config import env_coef
+
+    monkeypatch.setenv("X_COEF", raw)
+    with pytest.warns(UserWarning, match="not finite"):
+        assert env_coef("X_COEF", 0.6, 5e-324, 0.61) == 0.6
+
+
+def test_env_coef_out_of_range_warns_but_honors(monkeypatch):
+    # out-of-range is a legitimate production operating point — the
+    # oracle embeds the same value at import so both engines agree;
+    # the warning flags that test-SF bit-stability no longer holds
+    from kinesis_analytics_demo_spark.config import env_coef
+
+    monkeypatch.setenv("X_COEF", "2.0")
+    with pytest.warns(UserWarning, match="bit-stable range"):
+        assert env_coef("X_COEF", 0.86, 0.69, 1.38) == 2.0
+
+
+def test_env_coef_in_range_is_silent(monkeypatch, recwarn):
+    from kinesis_analytics_demo_spark.config import env_coef
+
+    monkeypatch.setenv("X_COEF", "1.2")
+    assert env_coef("X_COEF", 0.86, 0.69, 1.38) == 1.2
+    assert not recwarn.list

@@ -38,12 +38,31 @@ def tail_queries(path: str) -> dict[str, float]:
         out = dict(parsed["queries"])
     else:
         out = {}
-    for m in re.finditer(r'\\?"([a-z0-9_]+)\\?": ([0-9.]+)', d.get("tail", "")):
+    tail = d.get("tail", "")
+    # Value pattern covers scientific notation (a 5e-05s timing must
+    # not be silently skipped); each match must sit at a key boundary
+    # — preceded (ignoring whitespace/backslash escapes) by '{' or
+    # ',' — so a name cut at the arbitrary 2000-char window start
+    # (e.g. the documented 'lineitem' artifact) can never contaminate
+    # the shared-query subtotal (ADVICE r10).
+    for m in re.finditer(
+        r'\\?"([a-z0-9_]+)\\?": ([0-9.]+(?:[eE][-+]?[0-9]+)?)', tail
+    ):
+        before = tail[: m.start()].rstrip("\\ \t\n")
+        if before and before[-1] not in "{,":
+            continue
+        if not before:  # window start: the key may itself be truncated
+            continue
         out.setdefault(m.group(1), float(m.group(2)))
     return {k: v for k, v in out.items() if k not in _META_KEYS}
 
 
 def main() -> None:
+    if len(sys.argv) != 3:
+        raise SystemExit(
+            "usage: python tools/bench_compare.py "
+            "BENCH_r{OLD}.json BENCH_r{NEW}.json"
+        )
     old_path, new_path = sys.argv[1], sys.argv[2]
     old, new = tail_queries(old_path), tail_queries(new_path)
     shared = sorted(set(old) & set(new))
