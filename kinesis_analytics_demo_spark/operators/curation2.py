@@ -323,6 +323,30 @@ KNN_NPROBE = 3
 #: uses the smallest positive float as a stand-in for "> 0".
 KNN_NP_COEF = env_coef("SPARK_GRAFT_KNN_NP_COEF", 0.6, 5e-324, 0.61)
 KNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
+#: List-side assignment rank (IVF multi-assignment): every vector
+#: sits in its top-KNN_CRANK centroid lists. Round 10 proved probes
+#: are NOT the audit's accuracy bottleneck (recall flat 0.880-0.885
+#: across np 6-10 at 100x, ceilinged by the crank=1 lists); round 11
+#: measured the crank frontier on the same exact-numpy ground truth
+#: (200k vectors, 12,513 true suspects, np=10) with a replica
+#: faithful to 4 decimals at crank=1 (recall/precision/mad
+#: 0.8849/0.7979/1.507 = the r10 real-operator figures exactly):
+#: crank 1/2/3 -> recall 0.885/0.907/0.922, precision
+#: 0.798/0.852/0.888, mean abs n_disagree error 1.51/1.11/0.85, at
+#: exactly 1x/2x/3x candidate-pair work (165M/330M/495M joined rows)
+#: — crank, not np, is the dial that buys accuracy here, linearly
+#: and with no knee. Default stays 1 (the audit is a screening pass;
+#: doubling its wall is a policy choice, not an obvious win), and
+#: any other value warns via env_coef: crank > 1 changes results at
+#: EVERY scale factor, so the bit-stable range is exactly [1, 1].
+#: With crank > 1 a neighbor can reach a query through several
+#: probed lists, so the candidate stage dedups (qid, vec_id) pairs
+#: before ranking — bit-deterministic because duplicate rows carry
+#: identical values; the default plan gains no such stage.
+KNN_CRANK = int(env_coef("SPARK_GRAFT_KNN_CRANK", 1.0, 1.0, 1.0))
+#: oracle fragment: dedup duplicated candidate pairs only when
+#: multi-assignment can produce them (keeps the default oracle lean)
+_KNN_DISTINCT = "DISTINCT " if KNN_CRANK > 1 else ""
 
 
 @register(
@@ -355,16 +379,20 @@ KNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
         FROM embeddings e, cent c
     ),
     lists AS (SELECT vec_id, label, embedding, cid FROM assign
-              WHERE crank = 1),
+              WHERE crank <= {KNN_CRANK}),
     q AS (SELECT vec_id, embedding, label, cid FROM assign, sel
           WHERE vec_id % {KNN_SAMPLE_MOD} = 0 AND crank <= sel.np),
-    nn AS (
-        SELECT q.vec_id, q.label, e.label AS nlabel,
-               row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY {V.sql_cosine('e.embedding', 'q.embedding', _EMB_DIM)} DESC,
-                            e.vec_id) AS rnk
+    cand AS (
+        SELECT {_KNN_DISTINCT}q.vec_id, q.label, e.label AS nlabel,
+               e.vec_id AS nid,
+               {V.sql_cosine('e.embedding', 'q.embedding', _EMB_DIM)} AS sim
         FROM q JOIN lists e ON e.cid = q.cid AND e.vec_id != q.vec_id),
+    nn AS (
+        SELECT vec_id, label, nlabel,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY sim DESC, nid) AS rnk
+        FROM cand),
     top AS (SELECT vec_id, label, nlabel FROM nn WHERE rnk <= {KNN_K})
     SELECT vec_id, label,
            CAST(sum(CASE WHEN nlabel != label THEN 1 ELSE 0 END)
@@ -411,10 +439,13 @@ KNN_SEL_GRID = 4096  #: md5 grid for the deterministic centroid draw
     "contract). The candidate stage is a PLAIN cid equi-join — the "
     "probe set is 10% of the corpus and may never carry a broadcast "
     "hint (it grows linearly with n); AQE upgrades it to a broadcast "
-    "at runtime only when the measured sample is small. Candidate "
-    "dedup-free by construction: lists are "
-    "crank=1 (disjoint), so a neighbor appears at most once per "
-    "probed query. Measured: oracle parity green at "
+    "at runtime only when the measured sample is small. At the "
+    "default KNN_CRANK=1 the lists are disjoint and the candidate "
+    "stage is dedup-free by construction; the round-11 measured "
+    "crank frontier (see KNN_CRANK) exposes IVF multi-assignment as "
+    "the audit's accuracy dial (SPARK_GRAFT_KNN_CRANK, "
+    "oracle-mirrored; crank>1 adds a value-deterministic pair "
+    "dedup). Measured: oracle parity green at "
     "sf0.001/0.01/0.1 AND the 10x corpus; suspect-set agreement vs "
     "the exact twin recall 0.935/0.935/0.957, precision "
     "0.956/0.935/0.952 (at 10x both engines agree the replica "
@@ -503,7 +534,7 @@ def label_knn_disagreement_bucketed(
             ),
         )
     )
-    lists = assign.filter(F.col("crank") == 1).select(
+    lists = assign.filter(F.col("crank") <= KNN_CRANK).select(
         "vec_id", "label", "embedding", "cid"
     )
     q = assign.filter(
@@ -522,18 +553,26 @@ def label_knn_disagreement_bucketed(
     # AQE is still free to pick a broadcast at runtime when the actual
     # sample is small, which is the size-gate the scale contract wants
     # (VERDICT r8 item 2).
-    cand = lists.join(q, "cid").filter(F.col("vec_id") != F.col("qid"))
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("vec_id"))
-    top = (
-        cand.select(
+    cand = (
+        lists.join(q, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
             "qid",
             "qlabel",
             F.col("label").alias("nlabel"),
             "vec_id",
             V.cosine(F.col("embedding"), F.col("qe")).alias("sim"),
         )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KNN_K)
+    )
+    if KNN_CRANK > 1:
+        # multi-assignment can route one neighbor to a query through
+        # several probed lists; duplicate rows are bit-identical
+        # (same deterministic cosine of the same vectors), so the
+        # pair-key dedup is value-deterministic
+        cand = cand.dropDuplicates(["qid", "vec_id"])
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("vec_id"))
+    top = cand.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= KNN_K
     )
     dis = F.sum(F.when(F.col("nlabel") != F.col("qlabel"), 1).otherwise(0))
     return top.groupBy(

@@ -116,12 +116,15 @@ def _load_all_modules() -> None:
 #
 # ROUND-11 ROTATION (active; VERDICT r10 item 1): changed code gets a
 # fresh driver row, then the oldest recency cohort.  50 slots =
-#   (a) the 2 bucketed twins whose nprobe-coefficient parse hardened
-#       THIS round (ADVICE r10: defensive env_coef in config.py
-#       replaces the bare float(os.environ...) at module import) —
-#       value-inert under default env (same 0.86 / 0.6 coefficients,
-#       verified identical results at sf0.001/0.01 pre-flight), but
-#       changed code always gets a fresh row,
+#   (a) the 2 bucketed twins whose code changed THIS round: both got
+#       the defensive env_coef parse (ADVICE r10: replaces the bare
+#       float(os.environ...) at module import), and the kNN twin
+#       additionally gained the measured KNN_CRANK multi-assignment
+#       dial (VERDICT r10 item 5) — value-inert under default env
+#       (same 0.86 / 0.6 coefficients, crank=1; results proven
+#       bit-identical to the PRE-DIAL oracle at sf0.001/0.01, and
+#       dial parity re-verified at crank=2/3), but changed code
+#       always gets a fresh row,
 #   (b) the 24 r4-era rows (the oldest driver recency after r10):
 #       bm25_search and inverted_index_postings (which yielded their
 #       r10 slots to the sel-persist twins) lead, then the RP/SQ8
@@ -211,7 +214,7 @@ _DRIVER_PRIORITY: list[str] = [
 # similarity_ivfpq_adc_rerank is r9-recency — when its rotation slot
 # comes up (r15 by the slate math), pair the driver row with one
 # ordered min-of-3.
-#: ROUND-11 STAGING: queries registered during round 10 (none — the
+#: ROUND-12 STAGING: queries registered during round 11 (none — the
 #: registry is frozen at 302 per VERDICT r8 item 8). NEW queries MUST
 #: be APPENDED here when registered (test_registry enforces that
 #: active + staged + driver-checked covers the whole registry, and

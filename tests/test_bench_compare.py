@@ -106,3 +106,19 @@ def test_main_usage_on_missing_args(monkeypatch, capsys):
     monkeypatch.setattr("sys.argv", ["bench_compare.py"])
     with pytest.raises(SystemExit, match="usage"):
         bc.main()
+
+
+def test_knn_crank_dial_contract():
+    """The crank dial's bit-stability contract: default 1 (disjoint
+    lists, no dedup stage, results bit-identical to the pre-dial
+    code — proven vs the pre-dial oracle at sf0.001/0.01), and the
+    oracle SQL embeds the SAME value so both engines agree at any
+    setting (parity re-verified at crank=2 and 3 both small SFs)."""
+    from kinesis_analytics_demo_spark.operators import curation2 as c2
+    from kinesis_analytics_demo_spark.plans.registry import get_query
+
+    assert c2.KNN_CRANK == 1
+    assert isinstance(c2.KNN_CRANK, int)
+    assert c2._KNN_DISTINCT == ""
+    oracle = get_query("label_knn_disagreement_bucketed").oracle
+    assert f"crank <= {c2.KNN_CRANK}" in oracle  # oracle mirrors the dial
