@@ -122,3 +122,29 @@ def test_knn_crank_dial_contract():
     assert c2._KNN_DISTINCT == ""
     oracle = get_query("label_knn_disagreement_bucketed").oracle
     assert f"crank <= {c2.KNN_CRANK}" in oracle  # oracle mirrors the dial
+
+
+def test_recency_slate_matches_active_rotation():
+    """tools/recency_slate.py codifies the per-round slate math: the
+    ACTIVE _DRIVER_PRIORITY must equal (changed-code leads) + (the
+    stalest cohort in registration order). Pins the r11 composition:
+    2 changed-code twins + the 24 r4-era rows + the 24 oldest r5-era
+    rows."""
+    from tools.recency_slate import stalest
+
+    from kinesis_analytics_demo_spark.plans.registry import (
+        _DRIVER_PRIORITY,
+        all_queries,
+    )
+
+    all_queries()  # force module load
+    leads = _DRIVER_PRIORITY[:2]
+    assert leads == [
+        "mutual_nearest_neighbors_bucketed",
+        "label_knn_disagreement_bucketed",
+    ]
+    tail = _DRIVER_PRIORITY[2:]
+    # the stalest 48 EXCLUDING the leads (they hold r10 rows and sit
+    # in the slate only because their code changed this round)
+    stale = [n for n, _ in stalest(48 + len(leads)) if n not in leads][:48]
+    assert tail == stale
