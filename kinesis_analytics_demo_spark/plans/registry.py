@@ -59,6 +59,9 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.curation2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.curation3  # noqa: F401
     import kinesis_analytics_demo_spark.operators.dedup  # noqa: F401
+    # dedup_embedding is imported BY dedup mid-module (the round-11
+    # split), so it is already loaded here; listed for completeness.
+    import kinesis_analytics_demo_spark.operators.dedup_embedding  # noqa: F401
     import kinesis_analytics_demo_spark.operators.dedup2  # noqa: F401
     import kinesis_analytics_demo_spark.operators.evaluation  # noqa: F401
     import kinesis_analytics_demo_spark.operators.expectations  # noqa: F401
@@ -197,6 +200,17 @@ _DRIVER_PRIORITY: list[str] = [
 
 # ROUND-12 RECENCY SLATE (pre-computed at round-11 close so the next
 # rotation is a paste, assuming CORRECTNESS_r11 lands 50/50 green):
+# CHANGED-CODE LEADS for r12 — the round-11 dedup.py split (embedding
+# family moved to dedup_embedding.py AFTER the r11 rotation was locked
+# and pre-flighted): every dedup.py/dedup_embedding.py query whose r11
+# slate slot does not already give it a post-split driver row must
+# lead the r12 slate (dedup_lsh_recall_audit is IN the r11 slate so it
+# re-certifies post-split this round; the other 14 — dedup_exact, the
+# minhash four (pairs/keep/clusters/signature), simhash two,
+# ngram_jaccard, the embedding three,
+# dedup_incremental_minhash, dedup_keep_best_quality,
+# dedup_hybrid_clusters — lead r12; split proven value-inert by the
+# 15/15 two-SF driver-sim recorded in README round-11 notes).  Then
 # oldest cohorts after r11 = the 20 remaining r5-era rows
 # (file_provenance_audit and sessionize_dynamic_gap — the two that
 # yielded their r11 slots to the env_coef twins — then

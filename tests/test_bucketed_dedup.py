@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from kinesis_analytics_demo_spark.operators.dedup import (
     EMBEDDING_NEAR_DUP_COSINE,
+)
+from kinesis_analytics_demo_spark.operators.dedup_embedding import (
     embedding_near_dup_bucketed,
 )
 from kinesis_analytics_demo_spark.plans.registry import all_queries
@@ -160,9 +162,11 @@ def test_hybrid_clusters_coarsen_both_graphs(spark):
     actually merge something (the planted near-dups overlap the two
     signals only partially)."""
     from kinesis_analytics_demo_spark.operators.dedup import (
-        dedup_embedding_clusters,
         dedup_hybrid_clusters,
         dedup_minhash_clusters,
+    )
+    from kinesis_analytics_demo_spark.operators.dedup_embedding import (
+        dedup_embedding_clusters,
     )
     from tests.conftest import SF_MEDIUM
 

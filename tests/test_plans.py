@@ -5,6 +5,8 @@ carry hashes (not text)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from kinesis_analytics_demo_spark.plans.registry import all_queries
@@ -202,6 +204,15 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         if name in INTENDED_BROADCAST_CROSS:
             # even these must never fall back to a non-broadcast form
             assert "CartesianProduct" not in plan, name
+        # Row-at-a-time Python UDFs (BatchEvalPython nodes) are banned
+        # engine-wide: every Python hot path must be Arrow-batched
+        # (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
+        # This makes the per-round "zero row-at-a-time F.udf" claim an
+        # executable invariant, not a grep.  \b excludes
+        # BatchEvalPythonUDTF — the UDTF exec node is row-based by
+        # design (its Arrow variant is config-gated upstream) and the
+        # lone UDTF demo is a bounded LATERAL, not a hot path.
+        assert not re.search(r"BatchEvalPython\b", plan), name
         # free any tracked_persist intermediates before the next plan:
         # 219 queries' cached tables in one session OOM the audit
         from kinesis_analytics_demo_spark.caching import release_tracked
