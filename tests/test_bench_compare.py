@@ -148,3 +148,20 @@ def test_recency_slate_matches_active_rotation():
     # in the slate only because their code changed this round)
     stale = [n for n, _ in stalest(48 + len(leads)) if n not in leads][:48]
     assert tail == stale
+
+
+def test_tail_queries_reads_solo_bench_capture(tmp_path):
+    """A solo `python bench.py > f` capture has the full-detail JSON on
+    line 1 (top-level `queries`) and a driver-style top-15 line after
+    it — tail_queries must read the detail line so round-end solo
+    brackets need no hand-wrapping into the driver shape."""
+    p = tmp_path / "bench_solo.json"
+    p.write_text(
+        json.dumps({"metric": "headline_queries_wall_sec", "value": 3.0,
+                    "queries": {"q1": 1.0, "q2": 2.0}, "sf": 0.1})
+        + "\n"
+        + json.dumps({"value": 3.0, "queries": {"q1": 1.0},
+                      "queries_shown": "top15_by_sec"})
+        + "\n"
+    )
+    assert tail_queries(str(p)) == {"q1": 1.0, "q2": 2.0}

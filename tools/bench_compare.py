@@ -32,10 +32,20 @@ def tail_queries(path: str) -> dict[str, float]:
     falls back to scanning the truncated ``tail`` fragment (the
     driver's 2000-char window), which still holds 38+ queries.
     """
-    d = json.load(open(path))
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        # a solo `python bench.py` capture holds the full-detail JSON
+        # on line 1 and a driver-style top-15 line after it — fall
+        # back to the first line so solo captures work too
+        d = json.loads(text.splitlines()[0])
     parsed = d.get("parsed") or {}
     if isinstance(parsed, dict) and parsed.get("queries"):
         out = dict(parsed["queries"])
+    elif isinstance(d.get("queries"), dict):
+        # solo bench.py detail line: queries sit at the top level
+        out = dict(d["queries"])
     else:
         out = {}
     tail = d.get("tail", "")
