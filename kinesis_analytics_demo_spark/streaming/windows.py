@@ -46,7 +46,11 @@ Scale notes:
   stalls window emission the same way. Mitigations on Spark: keep
   source partitions fed (rate-limited test sources), or relax with
   ``spark.sql.streaming.multipleWatermarkPolicy=max`` when combining
-  multiple watermarked inputs. Config note, not a code path.
+  multiple watermarked inputs. Both halves are TESTED: tests/
+  test_streaming.py::test_idle_input_watermark_stall_and_max_policy_
+  mitigation proves the min-policy stall (stale union input => zero
+  emission) and that policy=max emits the closed window with the
+  stale input's rows merged in.
 """
 
 from __future__ import annotations

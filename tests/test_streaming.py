@@ -1216,3 +1216,74 @@ def test_stateful_hll_rolling_two_batch_equals_batch(spark, tmp_path):
     finally:
         release_tracked()
     assert got == exp
+
+
+def test_idle_input_watermark_stall_and_max_policy_mitigation(spark, tmp_path):
+    """Reference W5 (flink/tumbling_window.py:50-60): the reference
+    pins parallelism=1 because an idle Kinesis shard stalls Flink's
+    watermark (global watermark = MIN over sources). Spark has the
+    same hazard across multiple watermarked inputs — this test PROVES
+    both halves of the streaming/windows.py module-doc note:
+
+    - default ``multipleWatermarkPolicy=min``: a union with a stale
+      input emits NOTHING (the stale input's watermark pins the
+      global one before the first window's end);
+    - the documented mitigation ``multipleWatermarkPolicy=max``: the
+      same data emits the closed window, WITH the stale input's row
+      merged in (only the watermark stalled, never the data).
+    """
+    import os
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    def write_file(d, name, records):
+        tmp = str(d / name) + ".tmp"
+        with open(tmp, "w") as fh:
+            for r in records:
+                fh.write(json.dumps(r) + "\n")
+        os.rename(tmp, str(d / name))
+
+    def tick(ts, price):
+        return {"utc": ts.isoformat(), "ticker": "AAPL", "price": price}
+
+    t0 = BASE
+    fresh = tmp_path / "fresh"
+    stale = tmp_path / "stale"
+    fresh.mkdir()
+    stale.mkdir()
+    # fresh input: window-0 data, then an event 10 minutes on that
+    # advances THIS input's watermark far past window 0's end
+    write_file(fresh, "a1.json", [tick(t0, 10.0),
+                                  tick(t0 + timedelta(seconds=30), 20.0)])
+    write_file(fresh, "a2.json", [tick(t0 + timedelta(minutes=10), 50.0)])
+    # stale input: one event at t0, then idle forever — its watermark
+    # never passes t0 - 20s
+    write_file(stale, "b1.json", [tick(t0, 99.0)])
+
+    def run(name):
+        a = create_stream_source(spark, "file-json", path=str(fresh))
+        b = create_stream_source(spark, "file-json", path=str(stale))
+        u = a.withWatermark("utc", "20 seconds").unionByName(
+            b.withWatermark("utc", "20 seconds")
+        )
+        agg = u.groupBy(F.window("utc", "1 minute")).agg(
+            F.max("price").alias("max_price")
+        ).select(F.col("window.start").alias("window_start"), "max_price")
+        _run_available_now(agg, name, tmp_path)
+        return spark.table(name).collect()
+
+    policy_key = "spark.sql.streaming.multipleWatermarkPolicy"
+    # default policy (min): the stale input stalls the global
+    # watermark at t0 - 20s — no window closes, nothing emits
+    assert run("wm_stall") == []
+    try:
+        spark.conf.set(policy_key, "max")
+        rows = run("wm_max")
+        assert len(rows) == 1
+        assert rows[0]["window_start"] == t0
+        # 99.0: the stale input's row IS in the result — the hazard
+        # only ever stalled emission, never dropped data
+        assert rows[0]["max_price"] == 99.0
+    finally:
+        spark.conf.unset(policy_key)
