@@ -258,7 +258,7 @@ _HU_SQL = (
 )
 
 
-#: shared with streaming_hll_rolling_replay (reference_queries.py):
+#: shared with streaming_hll_rolling_replay (reference_queries2.py):
 #: the streaming sliding-window register merge must equal this batch
 #: range-join merge exactly.
 HLL_ROLL_ORACLE = f"""

@@ -105,6 +105,11 @@ def _load_all_modules() -> None:
     import kinesis_analytics_demo_spark.operators.training  # noqa: F401
     import kinesis_analytics_demo_spark.operators.tsearch  # noqa: F401
     import kinesis_analytics_demo_spark.plans.reference_queries  # noqa: F401
+    # reference_queries2 MUST import immediately after
+    # reference_queries: it holds the tail of the round-11 split
+    # (streaming-replay battery part 2), so this position preserves
+    # the exact pre-split registration order.
+    import kinesis_analytics_demo_spark.plans.reference_queries2  # noqa: F401
 
 
 # The verify driver samples the FIRST 50 entries of ``queries()`` in
@@ -210,7 +215,15 @@ _DRIVER_PRIORITY: list[str] = [
 # ngram_jaccard, the embedding three,
 # dedup_incremental_minhash, dedup_keep_best_quality,
 # dedup_hybrid_clusters — lead r12; split proven value-inert by the
-# 15/15 two-SF driver-sim recorded in README round-11 notes).  Then
+# 15/15 two-SF driver-sim recorded in README round-11 notes).  The
+# same round-11 surgery split reference_queries.py (1,445 lines) at
+# its replay-battery tail into reference_queries2.py: 9 of the 12
+# moved queries re-certify via their r11 slate slots and
+# streaming_attribution_replay is below by recency; the other two —
+# streaming_dedup_replay and streaming_spacesaving_replay, plus
+# streaming_hll_rolling_replay (r8-recency) — also lead r12 as
+# changed code (12/12 two-SF driver-sim green, README round-11
+# notes).  Then
 # oldest cohorts after r11 = the 20 remaining r5-era rows
 # (file_provenance_audit and sessionize_dynamic_gap — the two that
 # yielded their r11 slots to the env_coef twins — then
