@@ -165,3 +165,12 @@ def test_tail_queries_reads_solo_bench_capture(tmp_path):
         + "\n"
     )
     assert tail_queries(str(p)) == {"q1": 1.0, "q2": 2.0}
+
+
+def test_tail_queries_empty_file_exits_cleanly(tmp_path):
+    """A crashed bench run leaves a 0-byte capture; the tool must say
+    so instead of dying with a JSON/IndexError traceback."""
+    p = tmp_path / "empty.json"
+    p.write_text("")
+    with pytest.raises(SystemExit, match="empty"):
+        tail_queries(str(p))

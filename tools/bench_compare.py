@@ -33,6 +33,10 @@ def tail_queries(path: str) -> dict[str, float]:
     driver's 2000-char window), which still holds 38+ queries.
     """
     text = open(path).read()
+    if not text.strip():
+        # a crashed bench run leaves a 0-byte capture — surface that
+        # instead of a raw JSON/IndexError traceback
+        raise SystemExit(f"{path} is empty (did the bench run fail?)")
     try:
         d = json.loads(text)
     except json.JSONDecodeError:
