@@ -17,6 +17,8 @@ import math
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from tools.bench_compare import tail_queries
 
@@ -174,3 +176,63 @@ def test_tail_queries_empty_file_exits_cleanly(tmp_path):
     p.write_text("")
     with pytest.raises(SystemExit, match="empty"):
         tail_queries(str(p))
+
+
+def test_split_modules_import_first_in_fresh_process():
+    """Round-11 split contract: the split-out modules must be
+    importable FIRST in a fresh interpreter (dedup_embedding's cycle
+    with dedup resolves because dedup accesses no dedup_embedding
+    attribute at import time; reference_queries2 simply imports its
+    head). A future edit that binds e.g.
+    `dedup_embedding._list_pair_sims` at dedup import time would pass
+    every normal-order test and break only here."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import kinesis_analytics_demo_spark.operators.dedup_embedding as de\n"
+        "import kinesis_analytics_demo_spark.operators.dedup as d\n"
+        "assert de.NEAR_DUP_NPROBE == d.NEAR_DUP_NPROBE\n"
+        "import kinesis_analytics_demo_spark.plans.reference_queries2 as r2\n"
+        "from kinesis_analytics_demo_spark.plans import registry as R\n"
+        "R._load_all_modules()\n"
+        "assert len(R._REGISTRY) == 302\n"
+        "print('ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip() == "ok"
+
+
+@given(
+    queries=st.dictionaries(
+        st.from_regex(r"[a-z][a-z0-9_]{0,30}", fullmatch=True),
+        st.floats(min_value=1e-6, max_value=1e4, allow_nan=False,
+                  allow_infinity=False).map(lambda v: round(v, 6)),
+        min_size=1,
+        max_size=20,
+    ),
+    cut=st.integers(min_value=0, max_value=400),
+)
+@settings(max_examples=60, deadline=None)
+def test_tail_queries_truncated_window_property(queries, cut, tmp_path_factory):
+    """Property pin for the driver-tail fallback parser: for ANY query
+    dict serialized the way the driver's 2000-char window does
+    (backslash-escaped quotes, truncated at an arbitrary offset), every
+    parsed entry must be a true (name, value) pair from the source —
+    truncation may DROP entries (the window is lossy by design) but
+    must never invent a name or corrupt a value (the round-10
+    'lineitem' artifact class)."""
+    tail_full = ", ".join(
+        f'\\"{k}\\": {v!r}' for k, v in queries.items()
+    )
+    tail = tail_full[cut:]
+    p = tmp_path_factory.mktemp("prop") / "bench.json"
+    p.write_text(json.dumps({"tail": tail}))
+    parsed = tail_queries(str(p))
+    for name, val in parsed.items():
+        assert name in queries, (name, tail[:80])
+        assert val == queries[name], (name, val, queries[name])
