@@ -237,7 +237,38 @@ _DRIVER_PRIORITY: list[str] = [
 # streaming_cusum_replay + streaming_attribution_replay) + the 30
 # oldest r6-era rows in registration order, PLUS any query whose code
 # changes in round 12 before the driver runs (changed code always
-# leads the slate).  Carried watch item (VERDICT r10 item 7):
+# leads the slate).
+#
+# LITERAL r12 paste (computed at round-11 close via
+# tools/recency_slate.py with CORRECTNESS_r11 simulated 50/50 green —
+# re-verify with the tool once the real file lands; 17 changed-code
+# leads + 20 r5-era + 13 oldest r6-era):
+#   dedup_exact, dedup_minhash_pairs, dedup_minhash_keep,
+#   dedup_minhash_clusters, dedup_minhash_signature,
+#   dedup_simhash_fingerprints, dedup_simhash_pairs,
+#   dedup_ngram_jaccard, dedup_embedding_cosine,
+#   dedup_embedding_cosine_bucketed, dedup_embedding_clusters,
+#   dedup_incremental_minhash, dedup_keep_best_quality,
+#   dedup_hybrid_clusters, streaming_dedup_replay,
+#   streaming_hll_rolling_replay, streaming_spacesaving_replay,
+#   -- recency tail --
+#   file_provenance_audit, sessionize_dynamic_gap,
+#   variant_props_extraction, late_lines_by_status,
+#   inverted_index_incremental_merge, embedding_drift_by_label,
+#   skew_profile_lineitem, bootstrap_ci_event_values,
+#   ab_test_welch_events, cusum_changepoint_events, anomaly_mad_events,
+#   text_token_entropy, source_token_kl, corpus_zipf_alpha,
+#   dedup_chunk_exact, corpus_split_leakage_safe,
+#   temporal_split_embargo, timeseries_similarity_topk,
+#   streaming_cusum_replay, streaming_attribution_replay,
+#   top_session_paths, bpe_encode_tokens,
+#   roc_auc_purchase_propensity, lift_gains_deciles,
+#   survival_km_conversion, benford_first_digit_values,
+#   reconcile_partition_checksums, quantile_normalize_sources,
+#   zone_map_pruning_audit, embedding_pq_quantization_error,
+#   similarity_pq_adc, profile_lineitem, large_orders.
+#
+# Carried watch item (VERDICT r10 item 7):
 # similarity_ivfpq_adc_rerank is r9-recency — when its rotation slot
 # comes up (r15 by the slate math), pair the driver row with one
 # ordered min-of-3.
