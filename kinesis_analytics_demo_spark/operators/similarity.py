@@ -623,32 +623,35 @@ def _mt_codes(spark: SparkSession, emb: DataFrame) -> DataFrame:
             )
         ).alias("pos", "qval"),
     )
+    # Build each 64-literal weight array as ONE parsed SQL expression:
+    # the Column-API form (F.array over 64 F.lit().cast() calls, x 72
+    # projections, x 2 _mt_codes call sites) cost ~9,000 py4j
+    # round-trips and measured ~48 s of DRIVER-side plan construction
+    # per query build (r11 optimization round) — pure serial driver
+    # overhead (guide §5) that no executor ever sees. The parsed
+    # `array(<w0>L, ...)` yields the identical long-typed literal
+    # array, so the Catalyst plan and results are unchanged; build
+    # time drops to well under a second.
     aggs = []
     for t in range(N_TABLES):
         for p in range(PLANES_PER_TABLE):
             w = [wt for (pos, tt, pp, wt) in MT_PLANES if tt == t and pp == p]
-            warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+            warr = ", ".join(f"{int(x)}L" for x in w)
             aggs.append(
-                F.sum(
-                    F.col("qval") * F.element_at(warr, F.col("pos") + 1)
+                F.expr(
+                    f"sum(qval * element_at(array({warr}), pos + 1))"
                 ).alias(f"pr_{t}_{p}")
             )
     proj = ex.groupBy("vec_id").agg(*aggs)
     tables = F.array(
         *[
-            F.struct(
-                F.lit(t).alias("t"),
-                sum(
-                    (
-                        F.when(F.col(f"pr_{t}_{p}") > 0, F.lit(1 << p)).otherwise(
-                            F.lit(0)
-                        )
-                        for p in range(PLANES_PER_TABLE)
-                    ),
-                    start=F.lit(0),
+            F.expr(
+                f"struct({t} AS t, CAST("
+                + " + ".join(
+                    f"(CASE WHEN pr_{t}_{p} > 0 THEN {1 << p} ELSE 0 END)"
+                    for p in range(PLANES_PER_TABLE)
                 )
-                .cast("long")
-                .alias("code"),
+                + " AS BIGINT) AS code)"
             )
             for t in range(N_TABLES)
         ]
