@@ -106,23 +106,34 @@ _SQL_CONTAIN_SH = f"""
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     dsh = tracked_persist(_distinct_shingles(docs))
-    dfreq = dsh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # Document frequency as a window count over the SAME h-shuffle the
+    # join would have needed: the earlier groupBy(h)+join formulation
+    # shuffled dsh by h twice (partial-agg df, then the equi-join) and
+    # paid a join build; count() over partitionBy(h) computes the
+    # identical df with one exchange and no join (r11 optimization
+    # round: 48 -> 35 plan exchanges with the sizes change below).
     cap = tracked_persist(
-        dsh.join(dfreq, "h")
+        dsh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .filter(F.lit(DF_CAP_INV) * F.col("df") <= F.col("n_docs"))
         .select("doc_id", "h", "df")
     )
-    sizes = cap.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     # Rarest-prefix candidate generation (Spark-side only — the oracle
     # is exhaustive): rank each doc's shingles by global rarity and
     # keep floor(n/5)+1; any containing pair must share one of these.
+    # The per-doc capped size n rides the same doc_id window partition
+    # as the rank (unordered count over the whole partition) instead
+    # of a separate groupBy+join — one fewer shuffle and join.
     w = Window.partitionBy("doc_id").orderBy("df", "h")
     prefix = (
         cap.withColumn("rk", F.row_number().over(w))
-        .join(sizes, "doc_id")
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
         .filter(F.col("rk") <= F.floor(F.col("n") / CONTAIN_DEN * 2) + 1)
         .select(F.col("doc_id").alias("src_doc"), "h")
     )
