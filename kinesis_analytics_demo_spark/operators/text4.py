@@ -128,13 +128,20 @@ def winnowing_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame
             lambda i: F.array_min(F.slice(F.col("hs"), i, WIN_W)),
         )
     )
-    e = tracked_persist(
-        g.select("doc_id", F.explode(fps).alias("fp"))
-    )
-    dfreq = e.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    e = g.select("doc_id", F.explode(fps).alias("fp"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # Document frequency as a window count over one fp-exchange: the
+    # earlier groupBy(fp) + equi-join shuffled the fingerprint stream
+    # twice and paid a join build (the containment-pair df-cap shape,
+    # optimized the same way in r11). The persisted e intermediate is
+    # no longer needed — cap is the single consumer of the exploded
+    # stream and is itself persisted for the pair join + sz branches.
     cap = tracked_persist(
-        e.join(dfreq, "fp")
+        e.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .filter(
             (F.lit(WIN_DF_CAP_INV) * F.col("df") <= F.col("n_docs"))
