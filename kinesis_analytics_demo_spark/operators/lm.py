@@ -100,26 +100,24 @@ def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("w").alias("v"))
     )
     # ONE explode-scan: aggregate to per-doc term frequencies first,
-    # then derive both model-count tables from the (persisted) compact
-    # tf table — c12 = sum tf by bigram, c1 = sum tf by context.
-    # Without this, Spark plans three independent corpus scans (it
-    # will not reuse the exploded stream across aggregations); with
-    # it, the model counts are two cheap shuffles over O(doc x
-    # distinct-bigram) rows that already fit the dedup-family
-    # shuffle-width discipline. At sf0.1/local[32] the persist costs
-    # ~0.4s more than letting three scans run concurrently — the
-    # trade flips hard at scale, where each saved scan is a full
-    # corpus read.
-    from kinesis_analytics_demo_spark.caching import tracked_persist
+    # then attach both model counts as WINDOW sums over the compact tf
+    # stream — c12 = sum(tf) over partitionBy(bh), c1 = sum(tf) over
+    # partitionBy(w1h). The earlier formulation persisted tf and ran
+    # two groupBy aggregates joined back onto it (5 exchanges + 2
+    # joins + a persist); the window form is the same single tf
+    # derivation flowing through exactly two exchanges, no joins, no
+    # cache (r11 optimization round: 16 jobs -> 11, min-of-5 wall
+    # 2.04s -> 1.56s at sf0.1). Still one corpus scan for the bigram
+    # stream, and the shuffles carry only O(doc x distinct-bigram)
+    # hash-keyed rows (the dedup-family shuffle-width discipline).
+    from pyspark.sql import Window
 
-    tf = tracked_persist(
-        bg.groupBy("doc_id", "bh", "w1h").agg(F.count(F.lit(1)).alias("tf"))
+    tf = bg.groupBy("doc_id", "bh", "w1h").agg(
+        F.count(F.lit(1)).alias("tf")
     )
-    c12 = tf.groupBy("bh").agg(F.sum("tf").alias("c12"))
-    c1 = tf.groupBy("w1h").agg(F.sum("tf").alias("c1"))
     terms = (
-        tf.join(c12, "bh")
-        .join(c1, "w1h")
+        tf.withColumn("c12", F.sum("tf").over(Window.partitionBy("bh")))
+        .withColumn("c1", F.sum("tf").over(Window.partitionBy("w1h")))
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
