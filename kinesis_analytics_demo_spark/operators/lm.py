@@ -205,7 +205,22 @@ def kneser_ney_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("b"), " ").getItem(0).alias("w1"),
         F.split(F.col("b"), " ").getItem(1).alias("w2"),
     )
-    c12 = sp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # FOUR DataFrames derive from c12 (itself, c1, r2, tt) and Spark
+    # will not ReusedExchange across them — their pruned projections
+    # differ — so without a persist the corpus is scanned and shingled
+    # four times (r11 before-plan: 4 Scan parquet, 0 ReusedExchange).
+    # Persisting the compact bigram-type table collapses that to ONE
+    # scan; c1/r2/tt are then cheap map-side-combined aggregates over
+    # the cache and re-attach as broadcasts, so the big table itself
+    # never shuffles again (vs window-sum attachment, which would move
+    # the full c12 stream through two more exchanges — the opposite
+    # trade from doc_lm_cross_entropy above, where the "aggregates"
+    # were the same width as the stream).
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    c12 = tracked_persist(
+        sp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    )
     c1 = c12.groupBy("w1").agg(
         F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1p")
     )
