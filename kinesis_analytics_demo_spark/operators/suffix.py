@@ -142,18 +142,35 @@ def repeated_substring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("sfx", "doc_id", "pos")
     w = s.select(
         "doc_id",
+        "pos",
+        "sfx",
         F.coalesce(F.lag("sfx").over(win), F.lit("")).alias("psfx"),
         F.lag("doc_id").over(win).alias("pdoc"),
-        F.coalesce(F.lead("sfx").over(win), F.lit("")).alias("nsfx"),
         F.lead("doc_id").over(win).alias("ndoc"),
-        "sfx",
     )
-    l = w.select(
+    # LCP is symmetric, so row i's next-neighbour LCP equals row i+1's
+    # previous-neighbour LCP: ln_ = lead(lp) over the same window. That
+    # halves the interpreted 6-step binary-lifting folds (the per-row
+    # compute hotspot) — one fold per row instead of two — and the
+    # second Window reuses the first one's exchange AND sort (the spec
+    # is identical and the sort columns survive the projection). Last
+    # row per partition: lead(lp) is NULL where lcp(sfx, '') was 0 —
+    # coalesce restores the 0; the (sfx, doc_id, pos) order is total,
+    # so the neighbour pairing is deterministic.
+    lp_once = w.select(
         "doc_id",
+        "pos",
+        "sfx",
         "pdoc",
         "ndoc",
         _lcp_col(F.col("sfx"), F.col("psfx")).alias("lp"),
-        _lcp_col(F.col("sfx"), F.col("nsfx")).alias("ln_"),
+    )
+    l = lp_once.select(
+        "doc_id",
+        "pdoc",
+        "ndoc",
+        "lp",
+        F.coalesce(F.lead("lp").over(win), F.lit(0)).alias("ln_"),
     )
     best = F.greatest(F.col("lp"), F.col("ln_"))
     cross = (

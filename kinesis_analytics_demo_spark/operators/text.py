@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_analytics_demo_spark.caching import tracked_persist
 from kinesis_analytics_demo_spark.functions import hashing as H
 from kinesis_analytics_demo_spark.plans.registry import register
 from kinesis_analytics_demo_spark.session import read_table as _t
@@ -405,30 +404,32 @@ BOILERPLATE_MAX_FRAC = 0.2
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_analytics_demo_spark.operators.dedup import _distinct_shingles
 
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents")
-    # distinct (doc_id, gram-hash) rows feed three aggregates below;
-    # persisted for the same one-corpus-scan reason as minhash dedup.
-    dsh = tracked_persist(_distinct_shingles(docs))
-    dfq = dsh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    tot = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    com = (
-        dsh.join(dfq.filter(F.col("df") >= BOILERPLATE_MIN_DF), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    # Per-gram document frequency as a window count over the gram hash,
+    # folded straight into ONE per-doc aggregate: count(*) is n_grams
+    # and sum(df >= MIN_DF) is n_boilerplate, so the df table, both
+    # joins, the left-join NULL patch, and the persist of the shingle
+    # rows all disappear (the before-plan ran dfq + the dfq-join as two
+    # gram-table passes over the cache). Every doc has >= 1 gram row,
+    # so the conditional sum is 0 (never NULL) where the old left join
+    # produced the coalesced 0 — identical results.
+    dsh = _distinct_shingles(docs)
+    dfd = dsh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    agg = dfd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("df") >= BOILERPLATE_MIN_DF, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boilerplate"),
     )
     frac = F.col("n_boilerplate") / F.col("n_grams")
-    return (
-        tot.join(com, "doc_id", "left")
-        .withColumn(
-            "n_boilerplate", F.coalesce(F.col("n_boilerplate"), F.lit(0).cast("bigint"))
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_boilerplate",
-            frac.alias("boilerplate_frac"),
-            (frac < BOILERPLATE_MAX_FRAC).alias("keep"),
-        )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_boilerplate",
+        frac.alias("boilerplate_frac"),
+        (frac < BOILERPLATE_MAX_FRAC).alias("keep"),
     )
 
 

@@ -392,8 +392,16 @@ def collocation_lift_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cab"))
         .filter(F.col("cab") >= COLL_MIN_COUNT)
     )
-    uni = ws.select(F.explode("ws").alias("word")).groupBy("word").agg(
-        F.count(F.lit(1)).alias("c")
+    # THREE frames derive from uni (ua, ub, tot) and each F.broadcast
+    # collect re-runs its full lineage — without a persist the cached
+    # word arrays are exploded and re-aggregated three times (r11
+    # before-plan: the unigram HashAggregate appears 3x with no
+    # ReusedExchange). Persisting the vocabulary-sized count table
+    # collapses that to one explode pass.
+    uni = tracked_persist(
+        ws.select(F.explode("ws").alias("word")).groupBy("word").agg(
+            F.count(F.lit(1)).alias("c")
+        )
     )
     tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
     ua = uni.select(F.col("word").alias("a"), F.col("c").alias("ca"))

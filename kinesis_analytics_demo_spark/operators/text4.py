@@ -233,13 +233,23 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(batch.alias("batch"), F.explode(sh).alias("gh"))
         .distinct()
     )
-    g = tracked_persist(g)
-    fb = g.groupBy("gh").agg(F.min("batch").alias("first_batch"))
+    # first_batch as a window min instead of a groupBy(gh) aggregate
+    # joined back: the join shape shuffled the gram table by gh TWICE
+    # (once into the aggregate, once into the join) on top of the
+    # distinct's own exchange, and needed the table persisted to avoid
+    # recomputing the explode. The window needs ONE gh exchange, the
+    # table is consumed once (no persist), and the distinct keeps its
+    # map-side partial dedupe — the property that matters at 100 TB,
+    # where gram occurrences >> distinct (batch, gram) pairs.
+    from pyspark.sql import Window
+
     nb = docs.select(batch.alias("batch")).groupBy("batch").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
     return (
-        g.join(fb, "gh")
+        g.withColumn(
+            "first_batch", F.min("batch").over(Window.partitionBy("gh"))
+        )
         .groupBy("batch")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"),
