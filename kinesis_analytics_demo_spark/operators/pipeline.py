@@ -110,7 +110,7 @@ def _sql_pipeline_ctes() -> str:
     "shuffles.",
 )
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    uniq = corpus_prep_kept_docs(spark, sf_dir)
+    uniq = _prep_uniq_small(spark, sf_dir)
     return uniq.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -119,13 +119,22 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def corpus_prep_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc-level output of the prep pipeline (library surface — the
-    registered query aggregates this to a per-source summary; callers
-    like ``examples/corpus_prep.py`` write these rows out as the
-    training corpus): documents surviving quality filter -> language
-    filter -> exact dedup -> minhash near-dedup, with their token
-    count and quality score."""
+def _prep_uniq_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving documents as SMALL rows (doc_id, source, n_tokens,
+    quality, en_score) — the whole filter -> exact-dedup -> near-dedup
+    decision chain runs on hashes and per-doc scalars, never moving
+    text through an exchange.
+
+    The pre-r11 shape shuffled full document rows three times (the
+    exact-dedup window keyed on md5(text), the signature join keyed on
+    doc_id, the near-dup window keyed on sig) and, with two unpersisted
+    consumers of the exact frame, ran the md5 window twice. Here both
+    dedup stages are min_by aggregates over narrow frames (doc_id is
+    unique, so "lowest doc_id per key" is the same winner row_number
+    picked), the signature pass runs on the FILTERED corpus before
+    exact dedup (identical signatures for the surviving docs; losers
+    drop in the join), and text's only uses are the one scan computing
+    md5/shingles — the guide-§8 'decide with small rows' shape."""
     docs = _t(spark, sf_dir, "documents")
     toks = H.words(F.col("text"))
     stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
@@ -154,14 +163,8 @@ def corpus_prep_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("en_score") >= LANG_ID_THRESHOLD)
     )
 
-    # exact dedup: keep lowest doc_id per md5(text)
-    from pyspark.sql import Window
-
-    w_exact = F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
-    exact = kept.withColumn("__rn", w_exact).filter(F.col("__rn") == 1).drop("__rn")
-
-    # near-dup dedup: minhash signature; <3-word docs fall back to
-    # exact text identity (their shingle set is empty).
+    # near-dup signatures; <3-word docs fall back to exact text
+    # identity (their shingle set is empty -> left-join miss below).
     # Signatures use the explode -> codegen'd-min-aggregate shape
     # (dedup.py::_minhash_banded): per-row higher-order array
     # transforms are interpreted per element and re-derive the
@@ -170,7 +173,7 @@ def corpus_prep_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-JVM and pre-partitioned by doc_id for the groupBy below.
     from kinesis_analytics_demo_spark.operators.dedup import _shingle_hash_rows
 
-    sh_rows = _shingle_hash_rows(exact)
+    sh_rows = _shingle_hash_rows(kept)
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % H.MERSENNE_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(H.MINHASH_PERMS)
@@ -182,17 +185,39 @@ def corpus_prep_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sig_by_doc = sig16.select("doc_id", mh_sig.alias("mh_sig"))
+
+    # exact dedup on (md5, small scalars) only: winner = lowest doc_id
+    meta = kept.select(
+        "doc_id", "source", "n_tokens", "quality", "en_score",
+        F.md5("text").alias("h"),
+    )
+    winner = F.min_by(
+        F.struct("doc_id", "source", "n_tokens", "quality", "en_score"),
+        F.col("doc_id"),
+    )
+    exact = (
+        meta.groupBy("h").agg(winner.alias("s")).select("h", "s.*")
+    )
+
     sigs = exact.join(sig_by_doc, "doc_id", "left").withColumn(
-        "sig", F.coalesce(F.col("mh_sig"), F.md5("text"))
+        "sig", F.coalesce(F.col("mh_sig"), F.col("h"))
     )
-    uniq = (
-        sigs.withColumn(
-            "__rn", F.row_number().over(Window.partitionBy("sig").orderBy("doc_id"))
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    return (
+        sigs.groupBy("sig").agg(winner.alias("s")).select("s.*")
     )
-    return uniq.select(
+
+
+def corpus_prep_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level output of the prep pipeline (library surface — the
+    registered query aggregates the small rows directly; callers like
+    ``examples/corpus_prep.py`` write these rows out as the training
+    corpus): documents surviving quality filter -> language filter ->
+    exact dedup -> minhash near-dedup, with their token count and
+    quality score. Text is re-attached by ONE doc_id join at the end —
+    the single payload move of the guide-§8 shape."""
+    small = _prep_uniq_small(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return small.join(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", "text", "source", "n_tokens", "quality", "en_score"
     )
 
