@@ -62,6 +62,8 @@ _LABELED_SQL = f"""
 
 
 def _user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
     ev = _t(spark, sf_dir, "events")
     cnts = ev.groupBy("user_id").agg(
         F.coalesce(
@@ -77,6 +79,13 @@ def _user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1)
         ).alias("np"),
     )
+    # The median broadcast and the returned frame are two consumers of
+    # the per-user rollup, and downstream callers add their own 1-row
+    # broadcasts (n for the rank windows) — every F.broadcast collect
+    # re-runs the full events scan + aggregate without this persist
+    # (calibration_bins' before-plan: 4 events scans). The cached frame
+    # is one narrow row per user.
+    cnts = tracked_persist(cnts)
     med = cnts.agg(F.percentile("np", 0.5).alias("m"))
     return cnts.crossJoin(F.broadcast(med)).select(
         "user_id",

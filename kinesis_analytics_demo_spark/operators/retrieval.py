@@ -182,12 +182,20 @@ def _bm25_oracle() -> str:
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = _doc_tokens(docs)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Doc length is size(words(text)) — split() never yields an empty
+    # array (split('') = ['']), so this equals the exploded per-doc
+    # count row-for-row while skipping the full-corpus explode + hash
+    # aggregate the before-plan paid for dl (its one real shuffle of
+    # unfiltered tokens). n_docs = count of dl rows for the same
+    # reason, dropping the separate corpus-count scan and cross join.
+    dl = docs.select(
+        "doc_id", F.size(H.words(F.col("text"))).cast("bigint").alias("dl")
+    )
     g = dl.agg(
         F.count(F.lit(1)).alias("n_len_docs"),
         F.sum("dl").alias("sum_dl"),
-    ).crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))).select(
-        "n_docs",
+    ).select(
+        F.col("n_len_docs").alias("n_docs"),
         (F.col("sum_dl").cast("double") / F.col("n_len_docs")).alias("avgdl"),
     )
     tfq = (
