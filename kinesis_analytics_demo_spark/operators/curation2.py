@@ -102,15 +102,30 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang", (H.md5_long(F.col("w")) % DSIR_BUCKETS).alias("b")
     )
-    tgt = (
-        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b").agg(F.count(F.lit(1)).alias("tb"))
+    # FOUR frames derived from the token stream (tgt, corp, tot, tf)
+    # ran scan + explode + md5 four times (r11 before-plan: 4 corpus
+    # scans, no reuse). All four are exact integer rollups of ONE
+    # compact (doc_id, lang, bucket, tf) aggregate — lang is
+    # functionally dependent on doc_id, so the grain equals tf's, and
+    # count-of-instances = sum-of-tf at every coarser level. Persist
+    # that table (<= docs x 256 rows) and derive the rest as cheap
+    # map-side-combined sums over the cache.
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    base = tracked_persist(
+        tok.groupBy("doc_id", "lang", "b").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
     )
-    corp = tok.groupBy("b").agg(F.count(F.lit(1)).alias("rb"))
-    tot = tok.agg(
-        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
+    tgt = (
+        base.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b").agg(F.sum("tf").alias("tb"))
+    )
+    corp = base.groupBy("b").agg(F.sum("tf").alias("rb"))
+    tot = base.agg(
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(0))
         .alias("t"),
-        F.count(F.lit(1)).alias("r"),
+        F.sum("tf").alias("r"),
     )
     lam = (
         corp.join(tgt, "b", "left")
@@ -126,7 +141,7 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lam"),
         )
     )
-    tf = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    tf = base.select("doc_id", "b", "tf")
     l = (
         tf.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
