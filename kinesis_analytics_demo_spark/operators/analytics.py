@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_analytics_demo_spark.caching import tracked_persist
 from kinesis_analytics_demo_spark.functions import hashing as H
 from kinesis_analytics_demo_spark.plans.registry import register
 from kinesis_analytics_demo_spark.session import read_table as _t
@@ -315,65 +316,48 @@ def _bloom_pos(d: int, key) -> F.Column:
     "fact-fact shuffle's probe side before the real join.",
 )
 def bloom_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    keys = (
+    # The filter itself is D sets of <= BLOOM_W positions — collect
+    # each as a sorted array in ONE 1-row aggregate over the key scan
+    # and test membership map-side with array_contains, instead of
+    # exploding every order into D probe rows, semi-joining, counting
+    # hits by order key and joining the misses back (the r11
+    # before-plan paid 4 scans / 14 Exchanges; the probe side
+    # shuffled 3x the order rows twice). The probe now touches each
+    # order row once with zero exchanges — exactly the map-side
+    # membership test the doc promises at 100 TB. keys feeds both the
+    # filter build and the exact audit, so it is persisted.
+    keys = tracked_persist(
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > HIGH_BALANCE)
         .select("c_custkey")
     )
-    bloom = (
-        keys.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(d).alias("d"),
-                            _bloom_pos(d, F.col("c_custkey")).alias("pos"),
-                        )
-                        for d in range(BLOOM_D)
-                    ]
-                )
-            ).alias("s")
-        )
-        .select("s.d", "s.pos")
-        .distinct()
+    bloom = keys.agg(
+        *[
+            F.sort_array(
+                F.collect_set(_bloom_pos(d, F.col("c_custkey")))
+            ).alias(f"s{d}")
+            for d in range(BLOOM_D)
+        ]
     )
     orders = _t(spark, sf_dir, "orders")
-    probes = orders.select(
-        "o_orderkey",
-        "o_custkey",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        _bloom_pos(d, F.col("o_custkey")).alias("pos"),
-                    )
-                    for d in range(BLOOM_D)
-                ]
-            )
-        ).alias("s"),
-    ).select("o_orderkey", "o_custkey", "s.d", "s.pos")
-    hits = (
-        probes.join(F.broadcast(bloom), ["d", "pos"], "left_semi")
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    hit = lambda d: F.array_contains(  # noqa: E731
+        F.col(f"s{d}"), _bloom_pos(d, F.col("o_custkey"))
     )
-    # orders whose probe rows all missed drop out of the semi-join —
-    # restore them with hits=0 via a left join from the full order set
-    probe = (
+    all_hit = hit(0)
+    for d in range(1, BLOOM_D):
+        all_hit = all_hit & hit(d)
+    audit = (
         orders.select("o_orderkey", "o_custkey")
-        .join(hits, ["o_orderkey", "o_custkey"], "left")
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+        .crossJoin(F.broadcast(bloom))
+        .join(
+            F.broadcast(keys),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
         )
-    )
-    audit = probe.join(
-        F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"), "left"
-    ).select(
-        (F.col("hits") == BLOOM_D).alias("pass_bloom"),
-        F.col("c_custkey").isNotNull().alias("true_member"),
+        .select(
+            all_hit.alias("pass_bloom"),
+            F.col("c_custkey").isNotNull().alias("true_member"),
+        )
     )
     return audit.agg(
         F.count(F.lit(1)).alias("n_orders"),

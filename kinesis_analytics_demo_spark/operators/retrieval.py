@@ -315,26 +315,6 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 POSTINGS_SHARD_FRAC = 0.8  #: base = doc_id below this fraction of max
 
 
-def _capped_posting_lists(docs: DataFrame) -> DataFrame:
-    """(w, df_docs, plist): UNFILTERED per-token df counts + sorted
-    doc-id lists capped to POSTINGS_LIST_CAP — the stored shape of an
-    index segment (df metadata for every token, truncated lists).
-    Memory is bounded for stopwords too: a row_number-per-token filter
-    (Spark's WindowGroupLimit — per-partition top-k state, no full
-    list) runs BEFORE collect_list, so no stopword posting list ever
-    materializes beyond the cap."""
-    d = _doc_tokens(docs).select("doc_id", "w").distinct()
-    dfq = d.groupBy("w").agg(F.count(F.lit(1)).alias("df_docs"))
-    rn = Window.partitionBy("w").orderBy("doc_id")
-    capped = (
-        d.withColumn("rn", F.row_number().over(rn))
-        .filter(F.col("rn") <= POSTINGS_LIST_CAP)
-        .groupBy("w")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("plist"))
-    )
-    return dfq.join(capped, "w")
-
-
 @register(
     "inverted_index_incremental_merge",
     oracle=f"""
@@ -358,43 +338,67 @@ def _capped_posting_lists(docs: DataFrame) -> DataFrame:
     "df-band stopword filter applies at read time against the full "
     "corpus size. The oracle is the FULL-corpus recompute, so the "
     "gate proves incremental == from-scratch. Per-token memory stays "
-    "bounded via a WindowGroupLimit top-cap filter before any "
-    "collect_list.",
+    "bounded: the window buffer over (term, segment) spills, and the "
+    "top-cap filter runs before any collect_list, so no posting list "
+    "materializes beyond the cap.",
 )
 def inverted_index_incremental_merge(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # One corpus pass: tag each distinct (doc_id, w) row with its
+    # segment (0 = frozen base, 1 = new shard) and run BOTH segments'
+    # index builds on a single (w, seg) exchange — the per-segment df
+    # rides an unordered window count and the per-segment capped list
+    # a row_number cap over the same partition, exactly the two
+    # values `_capped_posting_lists` computed per side with its own
+    # scan + distinct + groupBy + window + join (the r11 before-plan
+    # ran 9 scans / 44 Exchanges for this query). The merge is then a
+    # tiny <=2-rows-per-term groupBy instead of a full-outer join.
+    # Window buffers spill per (w, seg) partition; the cap filter
+    # still runs BEFORE collect_list, so no posting list ever
+    # materializes beyond POSTINGS_LIST_CAP.
     docs = _t(spark, sf_dir, "documents")
     mx = docs.agg(
         (F.floor(F.lit(POSTINGS_SHARD_FRAC) * F.max("doc_id")) + 1)
         .alias("split"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    base = _capped_posting_lists(
-        docs.join(F.broadcast(mx), F.col("doc_id") < F.col("split"))
-        .select(docs["*"])
-    ).select(
-        F.col("w"),
-        F.col("df_docs").alias("df_a"),
-        F.col("plist").alias("pl_a"),
+    d = (
+        _doc_tokens(docs)
+        .select("doc_id", "w")
+        .distinct()
+        .crossJoin(F.broadcast(mx))
+        .withColumn("seg", (F.col("doc_id") >= F.col("split")).cast("int"))
     )
-    shard = _capped_posting_lists(
-        docs.join(F.broadcast(mx), F.col("doc_id") >= F.col("split"))
-        .select(docs["*"])
-    ).select(
-        F.col("w"),
-        F.col("df_docs").alias("df_b"),
-        F.col("plist").alias("pl_b"),
+    ws = Window.partitionBy("w", "seg")
+    rn = Window.partitionBy("w", "seg").orderBy("doc_id")
+    seg_lists = (
+        d.withColumn("df_seg", F.count(F.lit(1)).over(ws))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= POSTINGS_LIST_CAP)
+        .groupBy("w", "seg")
+        .agg(
+            F.first("df_seg").alias("df_seg"),
+            F.first("n_docs").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("plist"),
+        )
     )
     empty = F.array().cast("array<bigint>")
+    pl = lambda s: F.first(  # noqa: E731
+        F.when(F.col("seg") == s, F.col("plist")), ignorenulls=True
+    )
     merged = (
-        base.join(shard, "w", "full_outer")
+        seg_lists.groupBy("w")
+        .agg(
+            F.sum("df_seg").alias("df_docs"),
+            F.first("n_docs").alias("n_docs"),
+            pl(0).alias("pl_a"),
+            pl(1).alias("pl_b"),
+        )
         .select(
             F.col("w").alias("term"),
-            (
-                F.coalesce(F.col("df_a"), F.lit(0))
-                + F.coalesce(F.col("df_b"), F.lit(0))
-            ).alias("df_docs"),
+            "df_docs",
+            "n_docs",
             F.slice(
                 F.concat(
                     F.coalesce(F.col("pl_a"), empty),
@@ -405,17 +409,13 @@ def inverted_index_incremental_merge(
             ).alias("plist"),
         )
     )
-    return (
-        merged.crossJoin(F.broadcast(mx.select("n_docs")))
-        .filter(
-            (F.col("df_docs") >= F.lit(POSTINGS_MIN_DF_FRAC) * F.col("n_docs"))
-            & (F.col("df_docs") <= F.lit(POSTINGS_MAX_DF_FRAC) * F.col("n_docs"))
-        )
-        .select(
-            "term",
-            "df_docs",
-            F.array_join(F.col("plist"), ",").alias("postings"),
-        )
+    return merged.filter(
+        (F.col("df_docs") >= F.lit(POSTINGS_MIN_DF_FRAC) * F.col("n_docs"))
+        & (F.col("df_docs") <= F.lit(POSTINGS_MAX_DF_FRAC) * F.col("n_docs"))
+    ).select(
+        "term",
+        "df_docs",
+        F.array_join(F.col("plist"), ",").alias("postings"),
     )
 
 

@@ -134,6 +134,7 @@ def test_no_unintended_cartesian_or_nested_loop_anywhere(spark):
         "timeseries_similarity_topk",  # 1-row day0 + 5 query profiles
         # round-4 additions, same intended shapes
         "corpus_dsir_weights",  # 1-row token-totals broadcast
+        "bloom_filter_semijoin",  # 1-row D-position-set broadcast (r11)
         "label_knn_disagreement",  # 10% audit sample broadcast x corpus
         "inverted_index_incremental_merge",  # 1-row split/corpus-size bc
         "cluster_topic_terms",  # broadcast centroids + 1-row corpus total
