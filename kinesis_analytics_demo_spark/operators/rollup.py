@@ -20,6 +20,8 @@ tests/test_rollup.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,6 +31,14 @@ from kinesis_analytics_demo_spark.session import read_table as _t
 
 #: cascade, finest first: (grain label, date_trunc unit)
 GRAINS = [("minute", "minute"), ("hour", "hour"), ("day", "day")]
+
+#: partition count for the persisted cascade levels (see the comment
+#: at the persist site). Values >= 1 are all result-identical — the
+#: repartition feeds a key-based re-aggregation.
+try:
+    _LEVEL_PARTS = max(1, int(os.environ.get("SPARK_GRAFT_ROLLUP_PARTS", "8")))
+except ValueError:
+    _LEVEL_PARTS = 8
 
 
 def hierarchical_rollup(
@@ -46,30 +56,49 @@ def hierarchical_rollup(
     round/cast at the edge).
     """
     ts = F.col(ts_col).cast("timestamp")
-    finest_label, finest_unit = grains[0]
-    level = df.groupBy(
-        F.date_trunc(finest_unit, ts).alias("bucket_start"), *key_cols
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_value"),
-        F.min(value_col).alias("min_value"),
-        F.max(value_col).alias("max_value"),
-    )
-    out = [level.select(F.lit(finest_label).alias("grain"), "*")]
-    for label, unit in grains[1:]:
-        # each coarser level re-aggregates the previous level's
-        # partials — never the raw rows. Persist the finer level so
-        # the cascade provably shares one raw scan.
-        level = tracked_persist(level)
-        level = level.groupBy(
-            F.date_trunc(unit, F.col("bucket_start")).alias("bucket_start"),
-            *key_cols,
-        ).agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("sum_value").alias("sum_value"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
-        )
+    out: list[DataFrame] = []
+    level = df
+    for i, (label, unit) in enumerate(grains):
+        if i == 0:
+            level = level.groupBy(
+                F.date_trunc(unit, ts).alias("bucket_start"), *key_cols
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.col(value_col).cast("decimal(18,6)")
+                ).alias("sum_value"),
+                F.min(value_col).alias("min_value"),
+                F.max(value_col).alias("max_value"),
+            )
+        else:
+            # each coarser level re-aggregates the previous level's
+            # partials — never the raw rows.
+            level = level.groupBy(
+                F.date_trunc(
+                    unit, F.col("bucket_start")
+                ).alias("bucket_start"),
+                *key_cols,
+            ).agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        if i < len(grains) - 1:
+            # Persist the level the next grain re-aggregates, so the
+            # cascade provably shares one raw scan. The repartition
+            # matters: a cached plan keeps its static shuffle
+            # partitioning (AQE cannot re-coalesce a cache read), so
+            # without it every consumer of the cached level schedules
+            # one task per shuffle partition for a bucket-count-sized
+            # aggregate (measured r11: 585 tasks for the 3-level
+            # events rollup, ~200 of them near-empty). The persisted
+            # object is the SAME one every union branch selects from,
+            # keeping the single-raw-scan plan audit intact. Level
+            # rows are O(keys x buckets) — a few k–100k at any scale
+            # — so a small fixed partition count is size-appropriate,
+            # not a local-mode tune (dial: SPARK_GRAFT_ROLLUP_PARTS).
+            level = tracked_persist(level.repartition(_LEVEL_PARTS))
         out.append(level.select(F.lit(label).alias("grain"), "*"))
     result = out[0]
     for lvl in out[1:]:
