@@ -267,21 +267,20 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = cids.join(emb, F.col("cid") == F.col("vec_id")).select(
         "cid", F.col("embedding").alias("cv")
     )
-    assign = (
+    # argmax assignment as a max_by aggregate (struct(csim, -cid) max
+    # == row_number's csim DESC, cid ASC): map-side partial
+    # aggregation sends one reduced row per vec_id to the exchange
+    # instead of shuffling+sorting the N x K centroid cross product.
+    members = (
         emb.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             "cid",
             V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
         )
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cid"))
-            ),
-        )
+        .groupBy("vec_id")
+        .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cid"))
     )
-    members = assign.filter(F.col("crank") == 1).select("vec_id", "cid")
     tok = (
         members.join(docs, members.vec_id == docs.doc_id)
         .select("cid", F.explode(H.words(F.col("text"))).alias("term"))

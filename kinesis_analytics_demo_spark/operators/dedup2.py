@@ -46,6 +46,8 @@ LLM-curation mandate alongside operators/dedup.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -65,6 +67,20 @@ CONTAIN_NUM = 8
 CONTAIN_DEN = 10
 #: boilerplate veto: keep shingles present in <= 1/DF_CAP_INV of docs
 DF_CAP_INV = 50
+
+#: partition count for the persisted per-doc shingle-array table (see
+#: the persist site in dedup_containment_pairs). Values >= 1 are all
+#: result-identical — the repartition feeds two doc_id equi-joins. At
+#: production scale size this by corpus bytes / target partition size
+#: (the table is one row per doc); the default right-sizes the test
+#: SFs, where a cached plan would otherwise keep ~200 near-empty
+#: static shuffle partitions through both verify joins.
+try:
+    _SETS_PARTS = max(
+        1, int(os.environ.get("SPARK_GRAFT_CONTAIN_SETS_PARTS", "8"))
+    )
+except ValueError:
+    _SETS_PARTS = 8
 
 _SQL_CONTAIN_SH = f"""
     w AS (SELECT doc_id, {H.sql_word_shingles('text')} AS sh_list
@@ -152,8 +168,15 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-shingle rows, no countDistinct shuffle. Array size is
     # bounded by document length, so a candidate row stays O(doc)
     # bytes at any corpus scale; skewed dst fan-out splits under AQE.
-    sets_ = cap.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("h")).alias("hs")
+    # Persist the per-doc array table: both verify joins re-ran the
+    # full collect_set lineage before (r11 A/B: 3.3s vs 3.7-4.4s
+    # min-of-5 alternating). The repartition right-sizes the cached
+    # static partitioning (AQE cannot re-coalesce a cache read);
+    # dial SPARK_GRAFT_CONTAIN_SETS_PARTS, see comment at definition.
+    sets_ = tracked_persist(
+        cap.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("h")).alias("hs"))
+        .repartition(_SETS_PARTS)
     )
     return (
         cand.distinct()

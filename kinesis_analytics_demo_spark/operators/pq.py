@@ -92,23 +92,23 @@ def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, subspace, code): nearest codeword per subspace,
-    tiebroken by code id — the PQ encoding."""
+    tiebroken by code id — the PQ encoding.
+
+    The argmin is a ``min_by`` over struct(d, code) — lexicographic
+    struct ordering IS the row_number ordering (d ASC, code ASC), and
+    a hash aggregate partial-combines map-side, so only one pre-
+    reduced row per (vec_id, subspace) reaches the exchange. The
+    row_number formulation shuffled and sorted the full N x (codes)
+    cross product (N x 640 rows here; corpus x codebook at scale)."""
     emb = _t(spark, sf_dir, "embeddings")
     cb = _codebook(spark, sf_dir)
     d = _subdist(F.col("embedding"), F.col("cw"), F.col("subspace"))
-    ranked = emb.crossJoin(F.broadcast(cb)).select(
-        "vec_id",
-        "subspace",
-        "code",
-        F.row_number()
-        .over(
-            Window.partitionBy("vec_id", "subspace").orderBy(
-                d.asc(), F.col("code").asc()
-            )
-        )
-        .alias("crank"),
+    return (
+        emb.crossJoin(F.broadcast(cb))
+        .select("vec_id", "subspace", "code", d.alias("d"))
+        .groupBy("vec_id", "subspace")
+        .agg(F.min_by("code", F.struct("d", "code")).alias("code"))
     )
-    return ranked.filter(F.col("crank") == 1).select("vec_id", "subspace", "code")
 
 
 _SQL_CODES = f"""
@@ -475,8 +475,29 @@ def similarity_ivfpq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb, F.col("cid") == F.col("vec_id"))
         .select("cid", F.col("embedding").alias("cv"))
     )
-    assign = (
+    # Nearest-list assignment as a max_by aggregate: struct(csim,
+    # -cid) max IS the row_number ordering (csim DESC, cid ASC), and
+    # the hash aggregate partial-combines map-side — one reduced row
+    # per vec_id reaches the exchange instead of the full N x K
+    # centroid cross product the window formulation shuffled+sorted.
+    lists = (
         emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cid"))
+    )
+    # The query probe ranks nprobe lists for the N_QUERIES vectors
+    # ONLY: the crank filter rides a window partitioned by vec_id, so
+    # pre-filtering to query rows is semantics-preserving — and turns
+    # a second corpus-wide assignment pass into a Q-row job (pushed
+    # vec_id filter at the scan).
+    qprobe = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             "cid",
@@ -490,11 +511,9 @@ def similarity_ivfpq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
+        .filter(F.col("crank") <= IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
     )
-    lists = assign.filter(F.col("crank") == 1).select("vec_id", "cid")
-    qprobe = assign.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= IVFPQ_NPROBE)
-    ).select(F.col("vec_id").alias("query_id"), "cid")
     cand = (
         lists.join(F.broadcast(qprobe), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))

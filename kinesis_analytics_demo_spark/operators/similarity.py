@@ -199,8 +199,36 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = cids.join(emb, F.col("cid") == F.col("vec_id")).select(
         "cid", F.col("embedding").alias("cv")
     )
-    assign = (
+    # Nearest-list assignment as a max_by aggregate: struct(csim,
+    # -cid) max IS the row_number ordering (csim DESC, cid ASC), and
+    # the hash aggregate partial-combines map-side — one reduced row
+    # per vec_id reaches the exchange instead of the full N x K
+    # centroid cross product the window formulation shuffled+sorted.
+    lists = (
         emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "embedding"),
+                F.struct(F.col("csim"), -F.col("cid")),
+            ).alias("s")
+        )
+        .select("vec_id", F.col("s.embedding").alias("embedding"), F.col("s.cid").alias("cid"))
+    )
+    # Query probe ranks nprobe lists for the N_QUERIES vectors ONLY:
+    # the crank filter rides a window partitioned by vec_id, so pre-
+    # filtering to query rows is semantics-preserving — a second
+    # corpus-wide assignment pass becomes a Q-row job (pushed vec_id
+    # filter at the scan).
+    qprobe = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             "embedding",
@@ -213,12 +241,10 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cid"))
             ),
         )
-    )
-    lists = assign.filter(F.col("crank") == 1).select("vec_id", "embedding", "cid")
-    qprobe = assign.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= NPROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
+        .filter(F.col("crank") <= NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid"
+        )
     )
     sims = (
         lists.join(F.broadcast(qprobe), "cid")
@@ -326,6 +352,11 @@ def kmeans_centroids(
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     )
     for _ in range(iters):
+        # argmax-cosine assignment as a max_by aggregate: struct(csim,
+        # -cid) max == row_number's (csim DESC, cid ASC) pick, with
+        # map-side partial aggregation — N reduced rows cross the
+        # exchange instead of the N x k cross product the window
+        # shuffled+sorted (once per Lloyd iteration).
         assign = (
             emb.crossJoin(F.broadcast(cent))
             .select(
@@ -334,13 +365,14 @@ def kmeans_centroids(
                 "cid",
                 V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
             )
-            .withColumn(
-                "crank",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cid"))
-                ),
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("cid", "embedding"),
+                    F.struct(F.col("csim"), -F.col("cid")),
+                ).alias("s")
             )
-            .filter(F.col("crank") == 1)
+            .select(F.col("s.cid").alias("cid"), F.col("s.embedding").alias("embedding"))
         )
         ex = assign.select("cid", F.posexplode("embedding").alias("pos", "val"))
         # mean = (exact decimal sum -> double) / count, ONE IEEE
@@ -454,8 +486,31 @@ _KM_TRAIN_SQL = f"""
 def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cent = kmeans_centroids(emb)
-    assign = (
+    # Same restructure as similarity_ivf: argmax assignment as a
+    # map-side-combining max_by aggregate (struct(csim, -cid) max ==
+    # row_number's csim DESC, cid ASC), and the nprobe query ranking
+    # pre-filtered to the N_QUERIES rows before the window — the
+    # second corpus-wide assignment pass becomes a Q-row job.
+    lists = (
         emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "embedding"),
+                F.struct(F.col("csim"), -F.col("cid")),
+            ).alias("s")
+        )
+        .select("vec_id", F.col("s.embedding").alias("embedding"), F.col("s.cid").alias("cid"))
+    )
+    qprobe = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             "embedding",
@@ -468,11 +523,9 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cid"))
             ),
         )
+        .filter(F.col("crank") <= KMEANS_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid")
     )
-    lists = assign.filter(F.col("crank") == 1).select("vec_id", "embedding", "cid")
-    qprobe = assign.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= KMEANS_NPROBE)
-    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cid")
     sims = (
         lists.join(F.broadcast(qprobe), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -814,7 +867,10 @@ def similarity_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("cid", F.col("embedding").alias("cv"))
     )
     new = emb.filter(is_new).select("vec_id", "embedding")
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    # argmax as max_by aggregate (struct(sim, -cid) max == sim DESC,
+    # cid ASC): map-side partial aggregation reduces the shard x k
+    # cross product to one row per vec_id before the exchange, where
+    # the row_number window shuffled+sorted every cross-product row.
     return (
         new.crossJoin(F.broadcast(cent))
         .select(
@@ -822,9 +878,13 @@ def similarity_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame
             "cid",
             V.cosine(F.col("embedding"), F.col("cv")).alias("sim"),
         )
-        .withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", F.col("cid").alias("assigned_list"), "sim")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "sim"), F.struct(F.col("sim"), -F.col("cid"))
+            ).alias("s")
+        )
+        .select("vec_id", F.col("s.cid").alias("assigned_list"), F.col("s.sim").alias("sim"))
     )
 
 

@@ -331,6 +331,10 @@ def similarity_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_kmeans_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cent = kmeans_centroids(emb)
+    # argmax assignment as a max_by aggregate (struct(csim, -cid) max
+    # == row_number's csim DESC, cid ASC): map-side partial
+    # aggregation sends one reduced row per vec_id to the exchange
+    # instead of shuffling+sorting the N x K centroid cross product.
     assign = (
         emb.crossJoin(F.broadcast(cent))
         .select(
@@ -338,15 +342,8 @@ def ivf_kmeans_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             V.cosine(F.col("embedding"), F.col("cv")).alias("csim"),
         )
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.desc("csim"), F.col("cid")
-                )
-            ),
-        )
-        .filter(F.col("crank") == 1)
+        .groupBy("vec_id")
+        .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cid"))
     )
     sz = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
     nd = F.col("n").cast("decimal(19,0)")
