@@ -52,6 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_analytics_demo_spark.caching import tracked_persist
 from kinesis_analytics_demo_spark.functions import hashing as H
 from kinesis_analytics_demo_spark.functions import vectors as V
 from kinesis_analytics_demo_spark.operators.text import sql_quality_score
@@ -285,7 +286,19 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         members.join(docs, members.vec_id == docs.doc_id)
         .select("cid", F.explode(H.words(F.col("text"))).alias("term"))
     )
-    cnts = tok.groupBy("cid", "term").agg(F.count("*").alias("cnt"))
+    # Persist the compact (cid, term, cnt) aggregate: it feeds FOUR
+    # consumers (tot, g, n, and the ranked join), each of which
+    # otherwise re-runs the whole centroid-assign + doc-join +
+    # token-explode lineage (before-plan: 16 embeddings/documents
+    # scans, 64 exchanges). The cache is cluster-count x vocab rows —
+    # tiny next to the token stream it summarizes at any corpus size.
+    # The repartition right-sizes the cached static partitioning (a
+    # cache read cannot be AQE-coalesced): without it each of the four
+    # consumer passes schedules one task per near-empty shuffle
+    # partition. Size by rows/partition at production scale.
+    cnts = tracked_persist(
+        tok.groupBy("cid", "term").agg(F.count("*").alias("cnt")).repartition(8)
+    )
     tot = cnts.groupBy("cid").agg(F.sum("cnt").alias("tok_c"))
     g = cnts.groupBy("term").agg(F.sum("cnt").alias("cnt_all"))
     n = cnts.agg(F.sum("cnt").alias("n_total"))

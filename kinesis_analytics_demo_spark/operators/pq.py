@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_analytics_demo_spark.caching import tracked_persist
 from kinesis_analytics_demo_spark.functions import vectors as V
 from kinesis_analytics_demo_spark.plans.registry import register
 from kinesis_analytics_demo_spark.session import read_table as _t
@@ -75,13 +76,37 @@ _SQL_CODEBOOK = """
 """.format(mmax=M_SUBSPACES - 1)
 
 
-def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(subspace, code, cw) — one deterministic codeword per label per
-    subspace; cw keeps the representative's FULL vector and distances
-    index into the subspace's absolute range, so no slicing copies."""
+def _reps(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
+    """(label, cid, embedding): one deterministic representative per
+    label — the shared seed of BOTH the coarse-quantizer centroid
+    table and every per-subspace codebook. Persisted by default
+    (K rows, a trivial cache): the ADC / IVF-PQ queries otherwise
+    rebuild this corpus-wide groupBy(label) + self-join lineage once
+    per reference (up to 3 builds / 6 extra scans in
+    similarity_ivfpq_adc_rerank's before-plan) — at scale each build
+    is a full corpus aggregation. ``persist=False`` for single-use
+    callers (embedding_pq_codes), where a cache is pure barrier cost."""
     emb = _t(spark, sf_dir, "embeddings")
     reps = emb.groupBy("label").agg(F.min("vec_id").alias("cid")).select("cid")
     cw = reps.join(emb, F.col("cid") == F.col("vec_id")).select(
+        "label", "cid", "embedding"
+    )
+    if not persist:
+        return cw
+    # A cached plan keeps its static shuffle partitioning (AQE cannot
+    # re-coalesce a cache read), so without the repartition every
+    # consumer pass schedules one task per near-empty aggregate
+    # partition. K rows fit one partition at any sane K.
+    return tracked_persist(cw.repartition(1))
+
+
+def _codebook(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> DataFrame:
+    """(subspace, code, cw) — one deterministic codeword per label per
+    subspace; cw keeps the representative's FULL vector and distances
+    index into the subspace's absolute range, so no slicing copies."""
+    cw = _reps(spark, sf_dir, persist=persist).select(
         F.col("label").alias("code"), F.col("embedding").alias("cw")
     )
     subspaces = spark.range(M_SUBSPACES).select(
@@ -90,7 +115,9 @@ def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cw.crossJoin(subspaces).select("subspace", "code", "cw")
 
 
-def _codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _codes(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> DataFrame:
     """(vec_id, subspace, code): nearest codeword per subspace,
     tiebroken by code id — the PQ encoding.
 
@@ -101,7 +128,7 @@ def _codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number formulation shuffled and sorted the full N x (codes)
     cross product (N x 640 rows here; corpus x codebook at scale)."""
     emb = _t(spark, sf_dir, "embeddings")
-    cb = _codebook(spark, sf_dir)
+    cb = _codebook(spark, sf_dir, persist=persist)
     d = _subdist(F.col("embedding"), F.col("cw"), F.col("subspace"))
     return (
         emb.crossJoin(F.broadcast(cb))
@@ -139,7 +166,9 @@ _SQL_CODES = f"""
     "encoded table is ~32x smaller than the float embeddings.",
 )
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _codes(spark, sf_dir).select(
+    # persist=False: this query references the codebook lineage exactly
+    # once, so the reps cache would be a pure materialization barrier.
+    return _codes(spark, sf_dir, persist=False).select(
         "vec_id",
         F.col("subspace").cast("int").alias("subspace"),
         F.col("code").cast("int").alias("code"),
@@ -469,11 +498,11 @@ def similarity_ivfpq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cb = _codebook(spark, sf_dir)
     codes = _codes(spark, sf_dir)
-    cent = (
-        emb.groupBy("label")
-        .agg(F.min("vec_id").alias("cid"))
-        .join(emb, F.col("cid") == F.col("vec_id"))
-        .select("cid", F.col("embedding").alias("cv"))
+    # The coarse-quantizer centroids are the SAME label representatives
+    # the codebook is built from — read the persisted reps frame
+    # instead of rebuilding the corpus-wide aggregate a third time.
+    cent = _reps(spark, sf_dir).select(
+        "cid", F.col("embedding").alias("cv")
     )
     # Nearest-list assignment as a max_by aggregate: struct(csim,
     # -cid) max IS the row_number ordering (csim DESC, cid ASC), and

@@ -303,13 +303,19 @@ def in_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
+    # Latest-row pick as a plain struct max: (o_orderdate DESC,
+    # o_orderkey DESC) is max(struct(o_orderdate, o_orderkey)), which
+    # partial-combines map-side — one row per customer reaches the
+    # exchange instead of the window formulation's full shuffle+sort
+    # of every order row.
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_orderdate")
+        orders.groupBy("o_custkey")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("s"))
+        .select(
+            "o_custkey",
+            F.col("s.o_orderkey").alias("o_orderkey"),
+            F.col("s.o_orderdate").alias("o_orderdate"),
+        )
     )
 
 

@@ -369,6 +369,40 @@ MNN_LABEL_B = 1  #: "target space" partition
 _MNN_COS = V.sql_cosine("a.embedding", "b.embedding", DIM)
 
 
+def _mutual_top1(sim: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Per-side top-1 of an (a_id, b_id, sim) stream as max_by
+    aggregates: max over struct(sim, -id) IS the row_number
+    (sim DESC, id ASC) pick, and the aggregates partial-combine
+    map-side — one reduced row per a_id (resp. b_id) reaches each
+    exchange instead of the full candidate cross product the two
+    window formulations shuffled AND sorted. Returns (ab, ba): a's
+    top b with the sim value, and b's top a."""
+    ab = (
+        sim.groupBy("a_id")
+        .agg(
+            F.max_by(
+                F.struct("b_id", "sim"),
+                F.struct(F.col("sim"), -F.col("b_id")),
+            ).alias("s")
+        )
+        .select(
+            "a_id",
+            F.col("s.b_id").alias("b_id"),
+            F.col("s.sim").alias("sim"),
+        )
+    )
+    ba = (
+        sim.groupBy("b_id")
+        .agg(
+            F.max_by(
+                "a_id", F.struct(F.col("sim"), -F.col("a_id"))
+            ).alias("a_id")
+        )
+        .select("a_id", "b_id")
+    )
+    return ab, ba
+
+
 @register(
     "mutual_nearest_neighbors",
     oracle=f"""
@@ -404,8 +438,8 @@ _MNN_COS = V.sql_cosine("a.embedding", "b.embedding", DIM)
     "contract as dedup_embedding_cosine — the scale-path DEFAULT is "
     "mutual_nearest_neighbors_bucketed (IVF coarse lists, measured "
     "recall 0.86 at 10x / 0.97 at 100x at the frontier-knee default, "
-    "0.98-1.0 at test SFs); the mutual check itself is two "
-    "WindowGroupLimit row_number passes + one hash self-join, "
+    "0.98-1.0 at test SFs); the mutual check itself is two map-side-"
+    "combining max_by top-1 aggregates + one hash self-join, "
     "shuffle-keyed by vector id.",
 )
 def mutual_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,26 +455,7 @@ def mutual_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_id",
         V.cosine(F.col("ea"), F.col("eb")).alias("sim"),
     )
-    ab = (
-        sim.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("a_id").orderBy(F.desc("sim"), "b_id")
-            ),
-        )
-        .where(F.col("rk") == 1)
-        .select("a_id", "b_id", "sim")
-    )
-    ba = (
-        sim.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("b_id").orderBy(F.desc("sim"), "a_id")
-            ),
-        )
-        .where(F.col("rk") == 1)
-        .select("a_id", "b_id")
-    )
+    ab, ba = _mutual_top1(sim)
     return ab.join(ba, ["a_id", "b_id"]).select(
         "a_id",
         "b_id",
@@ -587,7 +602,7 @@ _MNN_BCOS = V.sql_cosine("ea.embedding", "eb.embedding", DIM)
     "Candidate sims are computed once per (a,b) via DISTINCT "
     "(the cosine is deterministic, so multi-list duplicates are "
     "bit-identical on both engines); the mutual check is the exact "
-    "twin's two WindowGroupLimit passes + hash join, shuffle-keyed "
+    "twin's two max_by top-1 aggregates + hash join, shuffle-keyed "
     "by vector id. The exact mutual_nearest_neighbors stays "
     "registered as the labeled quadratic oracle baseline (the "
     "dedup_embedding_cosine / _bucketed contract).",
@@ -683,26 +698,7 @@ def mutual_nearest_neighbors_bucketed(
         )
         .distinct()
     )
-    ab = (
-        sim.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("a_id").orderBy(F.desc("sim"), "b_id")
-            ),
-        )
-        .where(F.col("rk") == 1)
-        .select("a_id", "b_id", "sim")
-    )
-    ba = (
-        sim.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("b_id").orderBy(F.desc("sim"), "a_id")
-            ),
-        )
-        .where(F.col("rk") == 1)
-        .select("a_id", "b_id")
-    )
+    ab, ba = _mutual_top1(sim)
     return ab.join(ba, ["a_id", "b_id"]).select(
         "a_id",
         "b_id",

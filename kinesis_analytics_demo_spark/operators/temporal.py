@@ -389,6 +389,25 @@ CONCURRENCY_WINDOW_SEC = 300
 CONCURRENCY_BUCKET_SEC = 3600
 
 
+def _boundaries(ev: DataFrame) -> DataFrame:
+    """(event_type, t, d) sweep-line boundary stream from ONE pass over
+    the events projection: each event row explodes into its +1 start
+    and -1 end (ts + activity window) boundary — semantically the
+    UNION ALL of the two per-arm projections, but with a single scan
+    (and, under the local single-file fixture, a single round-robin
+    spread) instead of one per arm."""
+    end_t = F.col("ts") + F.expr(f"INTERVAL {CONCURRENCY_WINDOW_SEC} SECONDS")
+    return ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("d")),
+                F.struct(end_t.alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("bd"),
+    ).select("event_type", F.col("bd.t").alias("t"), F.col("bd.d").alias("d"))
+
+
 @register(
     "concurrent_sessions_peak",
     oracle=f"""
@@ -429,20 +448,11 @@ CONCURRENCY_BUCKET_SEC = 3600
     "sweep — different execution, same semantics.",
 )
 def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kinesis_analytics_demo_spark.caching import tracked_persist
-
     ev = _t(spark, sf_dir, "events").select("event_type", "ts")
-    starts = ev.select(
-        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
-    )
-    ends = ev.select(
-        "event_type",
-        (
-            F.col("ts") + F.expr(f"INTERVAL {CONCURRENCY_WINDOW_SEC} SECONDS")
-        ).alias("t"),
-        F.lit(-1).alias("d"),
-    )
-    b = starts.unionByName(ends).withColumn(
+    # ONE events pass: each row explodes into its +1 start / -1 end
+    # boundary. The union-of-two-projections formulation scanned (and
+    # round-robin-repartitioned) the table once per arm, per consumer.
+    b = _boundaries(ev).withColumn(
         "bkt",
         F.floor(
             F.col("t").cast("timestamp").cast("long")
@@ -466,19 +476,26 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     # peers at the same (t, d) share the peer-inclusive RANGE sum, so
     # the result is order-deterministic
     wi = Window.partitionBy("event_type", "bkt").orderBy("t", "d")
-    r = tracked_persist(
-        b.join(carry, ["event_type", "bkt"]).select(
-            "event_type",
-            "t",
-            (F.col("carry_in") + F.sum("d").over(wi)).alias("conc"),
-        )
+    r = b.join(carry, ["event_type", "bkt"]).select(
+        "event_type",
+        "t",
+        (F.col("carry_in") + F.sum("d").over(wi)).alias("conc"),
     )
-    pk = r.groupBy("event_type").agg(F.max("conc").alias("peak_concurrent"))
+    # Peak AND its first instant in ONE partial-aggregating pass:
+    # min(struct(-conc, t)) is lexicographically the (max conc,
+    # min t at that conc) pick — exactly the old
+    # join-on-max + filter + re-aggregate readout, without
+    # persisting r, without the peak self-join, and with map-side
+    # combine so one row per key reaches the final exchange.
+    s = F.min(F.struct((-F.col("conc")).alias("nc"), F.col("t").alias("t")))
     return (
-        r.join(pk, "event_type")
-        .filter(F.col("conc") == F.col("peak_concurrent"))
-        .groupBy("event_type", "peak_concurrent")
-        .agg(F.min("t").alias("first_peak_ts"))
+        r.groupBy("event_type")
+        .agg(s.alias("s"))
+        .select(
+            "event_type",
+            (-F.col("s.nc")).alias("peak_concurrent"),
+            F.col("s.t").alias("first_peak_ts"),
+        )
     )
 
 
@@ -535,18 +552,8 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def interval_coverage_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_type", "ts")
-    starts = ev.select(
-        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
-    )
-    ends = ev.select(
-        "event_type",
-        (
-            F.col("ts") + F.expr(f"INTERVAL {CONCURRENCY_WINDOW_SEC} SECONDS")
-        ).alias("t"),
-        F.lit(-1).alias("d"),
-    )
     g = (
-        starts.unionByName(ends)
+        _boundaries(ev)
         .groupBy("event_type", "t")
         .agg(F.sum("d").alias("dt"))
         .withColumn(
