@@ -259,6 +259,13 @@ MIN_PAIR_SUPPORT = 2
 )
 def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # NOT persisted (r11 measured revert): caching the distinct
+    # basket-item table for its five consumers (self-join x2, margins,
+    # basket count) measured +4..+12% across 3 same-window
+    # alternations, with or without join-key cache partitioning — the
+    # parallel duplicate distincts are cheaper locally than the cache
+    # barrier. At production scale the basket table is a stored
+    # intermediate (materialized upstream), not an in-query cache.
     b = li.select("l_orderkey", "l_partkey").distinct()
     nb = b.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
     item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))

@@ -623,6 +623,13 @@ IV_SMOOTH = 0.5  #: Laplace half-count per cell (zero-cell guard)
 )
 def woe_iv_feature_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # NOT persisted (r11 measured revert): caching this user-grain
+    # rollup for the median broadcast + main path re-run measured
+    # +10..+30% across 3 same-window alternations — the two global
+    # ntile sorts dominate and the cache barrier serializes them
+    # behind the rollup, while the duplicate aggregation is parallel
+    # slack at local[32]. At production scale the rollup is a stored
+    # feature table (persisted upstream), not an in-query cache.
     cnts = ev.groupBy("user_id").agg(
         F.coalesce(
             F.sum(

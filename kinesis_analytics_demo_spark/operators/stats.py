@@ -331,11 +331,21 @@ def daily_p95_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "combines; everything after is O(r x c) cells.",
 )
 def cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
     ev = _t(spark, sf_dir, "events")
-    o = ev.groupBy(
-        "event_type",
-        (F.dayofweek(F.col("ts").cast("timestamp")) - 1).alias("dow"),
-    ).agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("obs"))
+    # Persist the contingency table (types x 7 rows, one partition):
+    # its four direct consumers (grand total, row/col margins, the
+    # cell pass) plus the margin re-counts in `dims` otherwise re-run
+    # the full events aggregation six times (before-plan: 7 scans).
+    o = tracked_persist(
+        ev.groupBy(
+            "event_type",
+            (F.dayofweek(F.col("ts").cast("timestamp")) - 1).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("obs"))
+        .repartition(1)
+    )
     tot = o.agg(F.sum("obs").cast("double").alias("n"))
     rt = o.groupBy("event_type").agg(F.sum("obs").cast("double").alias("r"))
     ct = o.groupBy("dow").agg(F.sum("obs").cast("double").alias("c"))
