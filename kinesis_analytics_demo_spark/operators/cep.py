@@ -654,6 +654,12 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(uw).alias("rn"),
     )
     conv_map = lambda c: F.when(c == "purchase", "CONV").otherwise(c)
+    # NOT fused into an explode (r11 measured revert): rewriting the
+    # mid/start union as one explode-of-conditional-structs pass kept
+    # the identical job/stage/task schedule (the union arms already
+    # share the window exchange at runtime) and measured +27% from
+    # the per-row array/struct overhead. The static plan's duplicate
+    # Window nodes are plan-text, not executed work.
     mid = seq.filter(F.col("event_type") != "purchase").select(
         F.col("event_type").alias("f"),
         F.when(F.col("nxt").isNull(), "NULLSTATE")

@@ -97,13 +97,42 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     documents = _t(spark, sf_dir, "documents")
 
-    nn = orders.agg(
-        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("v")
-    ).select(*_row("orders", "not_null", "o_custkey", F.col("v")))
+    def _explode_rows(aggdf, specs):
+        """One fused violation-count aggregate -> one report row per
+        check, exploded from the single result row (same trick as
+        corr_matrix: same-table checks share ONE scan instead of one
+        union arm each)."""
+        return aggdf.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table_name"),
+                            F.lit(ch).alias("check"),
+                            F.lit(c).alias("column_name"),
+                            F.col(v).cast("bigint").alias("n_violations"),
+                            (F.col(v) == 0).alias("passed"),
+                        )
+                        for (t, ch, c, v) in specs
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
 
-    uq = orders.agg(
-        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("v")
-    ).select(*_row("orders", "unique", "o_orderkey", F.col("v")))
+    nn_uq = _explode_rows(
+        orders.agg(
+            F.sum(
+                F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+            ).alias("v_nn"),
+            (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+                "v_uq"
+            ),
+        ),
+        [
+            ("orders", "not_null", "o_custkey", "v_nn"),
+            ("orders", "unique", "o_orderkey", "v_uq"),
+        ],
+    )
 
     fk1 = (
         orders.join(
@@ -125,15 +154,20 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*_row("lineitem", "foreign_key", "l_orderkey", F.col("v")))
     )
 
-    av = events.agg(
-        F.sum(
-            F.when(~F.col("event_type").isin(EVENT_TYPES), 1).otherwise(0)
-        ).alias("v")
-    ).select(*_row("events", "accepted_values", "event_type", F.col("v")))
-
-    rg = events.agg(
-        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("v")
-    ).select(*_row("events", "value_range", "value", F.col("v")))
+    av_rg = _explode_rows(
+        events.agg(
+            F.sum(
+                F.when(
+                    ~F.col("event_type").isin(EVENT_TYPES), 1
+                ).otherwise(0)
+            ).alias("v_av"),
+            F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("v_rg"),
+        ),
+        [
+            ("events", "accepted_values", "event_type", "v_av"),
+            ("events", "value_range", "value", "v_rg"),
+        ],
+    )
 
     cc = documents.agg(
         F.sum(
@@ -141,8 +175,8 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v")
     ).select(*_row("documents", "consistent", "n_chars", F.col("v")))
 
-    out = nn
-    for part in (uq, fk1, fk2, av, rg, cc):
+    out = nn_uq
+    for part in (fk1, fk2, av_rg, cc):
         out = out.unionByName(part)
     return out
 
