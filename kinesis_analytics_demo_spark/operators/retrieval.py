@@ -489,13 +489,36 @@ def _rrf_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, bm25_rank, tfidf_rank, rrf) over the union of the two
     top pools — consumed by retrieval_rrf_fusion (fused top-15) and
     ranker_agreement_tau (tau/rho over the pool intersection)."""
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
     docs = _t(spark, sf_dir, "documents")
     toks = _doc_tokens(docs)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    nq = len(BM25_QUERY_TERMS)
+    # ONE fused token pass (the PRF doc_stats trick, #9): document
+    # length AND every query-term tf ride a single grouped scan — the
+    # previous shape ran the full token explode twice (dl, tfq) and
+    # then re-pivoted the per-(doc, term) score rows once per ranker.
+    stats = tracked_persist(
+        toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(
+                    f"tf{i}"
+                )
+                for i, t in enumerate(BM25_QUERY_TERMS)
+            ],
+        )
+    )
     g = (
-        dl.agg(
+        stats.agg(
             F.count(F.lit(1)).alias("n_len_docs"),
             F.sum("dl").alias("sum_dl"),
+            *[
+                F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(
+                    f"df{i}"
+                )
+                for i in range(nq)
+            ],
         )
         .crossJoin(
             F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
@@ -505,67 +528,62 @@ def _rrf_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_dl").cast("double") / F.col("n_len_docs")).alias(
                 "avgdl"
             ),
+            *[f"df{i}" for i in range(nq)],
         )
     )
-    tfq = (
-        toks.filter(F.col("w").isin(*BM25_QUERY_TERMS))
-        .groupBy("doc_id", F.col("w").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (
-            (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
-    )
-    norm = F.col("tf") + (
-        F.lit(BM25_K1)
-        * (
-            (F.lit(1.0) - F.lit(BM25_B))
-            + (F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
-        )
-    )
-    bm_score = idf * ((F.col("tf") * F.lit(BM25_K1 + 1.0)) / norm)
-    ti_score = F.col("tf") * F.log(
-        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
-    )
-    s = (
-        tfq.join(dl, "doc_id")
-        .crossJoin(F.broadcast(g))
-        .join(F.broadcast(dfq), "term")
-        .select(
-            "doc_id",
-            "term",
-            bm_score.alias("score"),
-            ti_score.alias("score2"),
-        )
-    )
-    from kinesis_analytics_demo_spark.caching import tracked_persist
 
-    s = tracked_persist(s)
+    # Per-term scores from the pivoted columns — the SAME expression
+    # shapes as the row form (IEEE-identical doubles), NULL when the
+    # doc lacks the term, summed in fixed term order.
+    def bm_i(i: int):
+        idf = F.log(
+            F.lit(1.0)
+            + (
+                (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+                / (F.col(f"df{i}") + F.lit(0.5))
+            )
+        )
+        norm = F.col(f"tf{i}") + (
+            F.lit(BM25_K1)
+            * (
+                (F.lit(1.0) - F.lit(BM25_B))
+                + (F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+        return idf * ((F.col(f"tf{i}") * F.lit(BM25_K1 + 1.0)) / norm)
 
-    def _ranked(col: str) -> DataFrame:
-        pivots = [
-            F.max(F.when(F.col("term") == t, F.col(col))).alias(f"p{i}")
-            for i, t in enumerate(BM25_QUERY_TERMS)
-        ]
-        p = s.groupBy("doc_id").agg(*pivots)
+    def ti_i(i: int):
+        return F.col(f"tf{i}") * F.log(
+            (F.col("n_docs") + F.lit(1.0)) / (F.col(f"df{i}") + F.lit(1.0))
+        )
+
+    # Pool membership = docs holding at least one query term (the old
+    # tfq-row presence); without this filter zero-score docs would
+    # pad short pools.
+    has_term = None
+    for i in range(nq):
+        cond = F.col(f"tf{i}") > 0
+        has_term = cond if has_term is None else (has_term | cond)
+
+    def _ranked(score_fn) -> DataFrame:
         total = None
-        for i in range(len(BM25_QUERY_TERMS)):
-            piece = F.coalesce(F.col(f"p{i}"), F.lit(0.0))
+        for i in range(nq):
+            piece = F.coalesce(
+                F.when(F.col(f"tf{i}") > 0, score_fn(i)), F.lit(0.0)
+            )
             total = piece if total is None else (total + piece)
         w = Window.orderBy(F.desc("tot"), "doc_id")
         return (
-            p.select("doc_id", total.alias("tot"))
+            stats.filter(has_term)
+            .crossJoin(F.broadcast(g))
+            .select("doc_id", total.alias("tot"))
             .withColumn("r", F.row_number().over(w))
             .filter(F.col("r") <= RRF_POOL)
             .select("doc_id", "r")
         )
 
-    bmr = _ranked("score")
-    tir = _ranked("score2").withColumnRenamed("r", "r2")
+    bmr = _ranked(bm_i)
+    tir = _ranked(ti_i).withColumnRenamed("r", "r2")
     fused = (
         bmr.join(tir, "doc_id", "full_outer")
         .select(

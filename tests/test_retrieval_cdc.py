@@ -186,3 +186,38 @@ def test_winsorize_broadcasts_bounds(spark):
     plan = _formatted_plan(spark, winsorize_event_values(spark, SF_MEDIUM))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rrf_pool_excludes_termless_docs(spark, tmp_path):
+    """Short-pool guard for the fused-stats RRF rewrite (r11): when
+    fewer than RRF_POOL documents contain any query term, the pools
+    must hold ONLY matching documents — a doc with zero query terms
+    must never pad a pool with a zero score (the per-(doc, term) row
+    formulation excluded them by construction; the pivoted per-doc
+    formulation needs the explicit membership filter)."""
+    from kinesis_analytics_demo_spark.operators.retrieval import (
+        BM25_QUERY_TERMS,
+        retrieval_rrf_fusion,
+    )
+
+    rows = [
+        # three docs holding query terms, many filler docs without
+        (1, f"{BM25_QUERY_TERMS[0]} alpha beta", "en", "s0", 10),
+        (2, f"{BM25_QUERY_TERMS[1]} gamma", "en", "s0", 9),
+        (3, f"{BM25_QUERY_TERMS[0]} {BM25_QUERY_TERMS[2]}", "en", "s0", 8),
+    ] + [
+        (100 + i, "filler words only here", "en", "s1", 22)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(path + "/documents.parquet")
+    out = retrieval_rrf_fusion(spark, path).collect()
+    got = {r.doc_id for r in out}
+    assert got <= {1, 2, 3}, got
+    assert len(got) == 3
+    for r in out:
+        assert r.rrf_score > 0.0
