@@ -484,20 +484,19 @@ def _rrf_oracle() -> str:
     """
 
 
-def _rrf_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared BM25 + TF-IDF pool rankings with the RRF sum: returns
-    (doc_id, bm25_rank, tfidf_rank, rrf) over the union of the two
-    top pools — consumed by retrieval_rrf_fusion (fused top-15) and
-    ranker_agreement_tau (tau/rho over the pool intersection)."""
+def _fused_query_stats(spark: SparkSession, sf_dir: str):
+    """ONE fused token pass (the PRF doc_stats trick, #9): document
+    length AND every query-term tf ride a single grouped scan, plus
+    the 1-row globals frame (n_docs, avgdl, per-term df). The
+    previous shapes ran the full token explode twice (dl, tfq) and
+    re-pivoted per-(doc, term) score rows per consumer. Returns
+    (stats persisted, g) — shared by the RRF rankers and the NDCG
+    audit."""
     from kinesis_analytics_demo_spark.caching import tracked_persist
 
     docs = _t(spark, sf_dir, "documents")
     toks = _doc_tokens(docs)
     nq = len(BM25_QUERY_TERMS)
-    # ONE fused token pass (the PRF doc_stats trick, #9): document
-    # length AND every query-term tf ride a single grouped scan — the
-    # previous shape ran the full token explode twice (dl, tfq) and
-    # then re-pivoted the per-(doc, term) score rows once per ranker.
     stats = tracked_persist(
         toks.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("dl"),
@@ -531,50 +530,70 @@ def _rrf_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"df{i}" for i in range(nq)],
         )
     )
+    return stats, g
 
-    # Per-term scores from the pivoted columns — the SAME expression
-    # shapes as the row form (IEEE-identical doubles), NULL when the
-    # doc lacks the term, summed in fixed term order.
-    def bm_i(i: int):
-        idf = F.log(
-            F.lit(1.0)
-            + (
-                (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
-                / (F.col(f"df{i}") + F.lit(0.5))
-            )
-        )
-        norm = F.col(f"tf{i}") + (
-            F.lit(BM25_K1)
-            * (
-                (F.lit(1.0) - F.lit(BM25_B))
-                + (F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
-            )
-        )
-        return idf * ((F.col(f"tf{i}") * F.lit(BM25_K1 + 1.0)) / norm)
 
-    def ti_i(i: int):
-        return F.col(f"tf{i}") * F.log(
-            (F.col("n_docs") + F.lit(1.0)) / (F.col(f"df{i}") + F.lit(1.0))
+# Per-term scores from the pivoted stat columns — the SAME expression
+# shapes as the per-(doc, term) row form (IEEE-identical doubles),
+# guarded to NULL when the doc lacks the term, summed in fixed term
+# order by _query_total.
+def _bm_score_i(i: int):
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
         )
+    )
+    norm = F.col(f"tf{i}") + (
+        F.lit(BM25_K1)
+        * (
+            (F.lit(1.0) - F.lit(BM25_B))
+            + (F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    return idf * ((F.col(f"tf{i}") * F.lit(BM25_K1 + 1.0)) / norm)
 
-    # Pool membership = docs holding at least one query term (the old
-    # tfq-row presence); without this filter zero-score docs would
-    # pad short pools.
-    has_term = None
-    for i in range(nq):
-        cond = F.col(f"tf{i}") > 0
-        has_term = cond if has_term is None else (has_term | cond)
+
+def _ti_score_i(i: int):
+    return F.col(f"tf{i}") * F.log(
+        (F.col("n_docs") + F.lit(1.0)) / (F.col(f"df{i}") + F.lit(1.0))
+    )
+
+
+def _any_query_term():
+    """Pool/relevance membership = docs holding at least one query
+    term (the old per-(doc, term) row presence); without it zero-score
+    docs would pad pools shorter than the pool size."""
+    cond = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        c = F.col(f"tf{i}") > 0
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
+def _query_total(score_fn):
+    total = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        piece = F.coalesce(
+            F.when(F.col(f"tf{i}") > 0, score_fn(i)), F.lit(0.0)
+        )
+        total = piece if total is None else (total + piece)
+    return total
+
+
+def _rrf_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 + TF-IDF pool rankings with the RRF sum: returns
+    (doc_id, bm25_rank, tfidf_rank, rrf) over the union of the two
+    top pools — consumed by retrieval_rrf_fusion (fused top-15) and
+    ranker_agreement_tau (tau/rho over the pool intersection)."""
+    stats, g = _fused_query_stats(spark, sf_dir)
 
     def _ranked(score_fn) -> DataFrame:
-        total = None
-        for i in range(nq):
-            piece = F.coalesce(
-                F.when(F.col(f"tf{i}") > 0, score_fn(i)), F.lit(0.0)
-            )
-            total = piece if total is None else (total + piece)
+        total = _query_total(score_fn)
         w = Window.orderBy(F.desc("tot"), "doc_id")
         return (
-            stats.filter(has_term)
+            stats.filter(_any_query_term())
             .crossJoin(F.broadcast(g))
             .select("doc_id", total.alias("tot"))
             .withColumn("r", F.row_number().over(w))
@@ -582,8 +601,8 @@ def _rrf_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "r")
         )
 
-    bmr = _ranked(bm_i)
-    tir = _ranked(ti_i).withColumnRenamed("r", "r2")
+    bmr = _ranked(_bm_score_i)
+    tir = _ranked(_ti_score_i).withColumnRenamed("r", "r2")
     fused = (
         bmr.join(tir, "doc_id", "full_outer")
         .select(
@@ -1176,63 +1195,23 @@ def _ndcg_oracle() -> str:
     "plus one posting-list relevance rollup.",
 )
 def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    toks = _doc_tokens(docs)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    g = dl.agg(
-        F.count(F.lit(1)).alias("n_len_docs"),
-        F.sum("dl").alias("sum_dl"),
-    ).crossJoin(
-        F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
-    ).select(
-        "n_docs",
-        (F.col("sum_dl").cast("double") / F.col("n_len_docs")).alias(
-            "avgdl"
-        ),
-    )
-    tfq = (
-        toks.filter(F.col("w").isin(*BM25_QUERY_TERMS))
-        .groupBy("doc_id", F.col("w").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    from kinesis_analytics_demo_spark.caching import tracked_persist
-
-    rel = tracked_persist(
-        tfq.groupBy("doc_id").agg(F.count(F.lit(1)).alias("rel"))
-    )
-    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (
-            (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
-    )
-    norm = F.col("tf") + (
-        F.lit(BM25_K1)
-        * (
-            (F.lit(1.0) - F.lit(BM25_B))
-            + (F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
-        )
-    )
-    score = idf * ((F.col("tf") * F.lit(BM25_K1 + 1.0)) / norm)
-    s = (
-        tfq.join(dl, "doc_id")
-        .crossJoin(F.broadcast(g))
-        .join(F.broadcast(dfq), "term")
-        .select("doc_id", "term", score.alias("score"))
-    )
-    pivots = [
-        F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"s{i}")
-        for i, t in enumerate(BM25_QUERY_TERMS)
-    ]
-    p = s.groupBy("doc_id").agg(*pivots)
-    total = None
+    # Shared fused-stats shape (see _fused_query_stats): one token
+    # pass instead of two, scores from the pivoted columns instead of
+    # a per-(doc, term) row pivot.
+    stats, g = _fused_query_stats(spark, sf_dir)
+    # rel = number of distinct query terms present per doc (the old
+    # per-(doc, term) row count), derived map-side from the cache.
+    rel_expr = None
     for i in range(len(BM25_QUERY_TERMS)):
-        piece = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
-        total = piece if total is None else (total + piece)
+        c = F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+        rel_expr = c if rel_expr is None else (rel_expr + c)
+    rel = stats.filter(_any_query_term()).select(
+        "doc_id", rel_expr.cast("bigint").alias("rel")
+    )
     ranked = (
-        p.select("doc_id", total.alias("bm25"))
+        stats.filter(_any_query_term())
+        .crossJoin(F.broadcast(g))
+        .select("doc_id", _query_total(_bm_score_i).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(NDCG_K)
     )
