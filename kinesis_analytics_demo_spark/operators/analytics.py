@@ -785,24 +785,33 @@ def did_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("post_v"),
         )
     )
-    g = u.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        (F.sum("pre_v").cast("double") / F.count(F.lit(1))).alias("pre_mean"),
-        (F.sum("post_v").cast("double") / F.count(F.lit(1))).alias(
-            "post_mean"
-        ),
+    # Both cohorts' counts and means in ONE conditional aggregate over
+    # u — the grp-keyed groupBy + filter/filter + crossJoin readout
+    # re-ran the full per-user aggregation lineage once per cohort.
+    # Decimal sums are exact, so the conditional sums equal the
+    # per-group sums bit-for-bit; the (nt > 0 AND nc > 0) guard keeps
+    # the old empty-cohort behavior (empty result, not a NULL row).
+    one = u.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.when(F.col("grp") == 1, F.col("pre_v"))).alias("spt"),
+        F.sum(F.when(F.col("grp") == 1, F.col("post_v"))).alias("sqt"),
+        F.sum(F.when(F.col("grp") == 0, F.col("pre_v"))).alias("spc"),
+        F.sum(F.when(F.col("grp") == 0, F.col("post_v"))).alias("sqc"),
+    ).filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    t = one.select(
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_control"),
+        (F.col("spt").cast("double") / F.col("nt")).alias("pt"),
+        (F.col("sqt").cast("double") / F.col("nt")).alias("qt"),
+        (F.col("spc").cast("double") / F.col("nc")).alias("pc"),
+        (F.col("sqc").cast("double") / F.col("nc")).alias("qc"),
     )
-    t = g.filter(F.col("grp") == 1).select(
-        F.col("n").alias("n_treated"),
-        F.col("pre_mean").alias("pt"),
-        F.col("post_mean").alias("qt"),
-    )
-    c = g.filter(F.col("grp") == 0).select(
-        F.col("n").alias("n_control"),
-        F.col("pre_mean").alias("pc"),
-        F.col("post_mean").alias("qc"),
-    )
-    return t.crossJoin(F.broadcast(c)).select(
+    return t.select(
         "n_treated",
         "n_control",
         (F.round(F.col("pt"), 6) + F.lit(0.0)).alias("pre_treated"),

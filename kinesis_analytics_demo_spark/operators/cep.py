@@ -875,28 +875,26 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pred = (
+    # Prediction AND train totals in ONE pass over the train counts:
+    # min_by over struct(-n, t) IS the row_number (n DESC, t ASC)
+    # pick, map-side combining, and n_train = sum of the same counts
+    # — the previous shape ran two cache passes (pred window + tr
+    # aggregate) and re-joined pred a second time for the readout.
+    cnt = (
         split.filter(F.col("is_train") == 1)
         .groupBy("f", "t")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("f").orderBy(F.desc("n"), F.col("t"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("f", F.col("t").alias("predicted_next"))
     )
-    tr = (
-        split.filter(F.col("is_train") == 1)
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_train"))
+    pred_tr = cnt.groupBy("f").agg(
+        F.min_by("t", F.struct(-F.col("n"), F.col("t"))).alias(
+            "predicted_next"
+        ),
+        F.sum("n").cast("bigint").alias("n_train"),
     )
     te = (
         split.filter(F.col("is_train") == 0)
-        .join(F.broadcast(pred), "f")
-        .groupBy("f")
+        .join(F.broadcast(pred_tr), "f")
+        .groupBy("f", "predicted_next", "n_train")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_test"),
             F.sum(
@@ -906,21 +904,15 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_hit"),
         )
     )
-    return (
-        te.join(F.broadcast(tr), "f")
-        .join(F.broadcast(pred), "f")
-        .select(
-            F.col("f").alias("from_state"),
-            "n_train",
-            "n_test",
-            "predicted_next",
-            (
-                F.round(
-                    F.col("n_hit").cast("double") / F.col("n_test"), 6
-                )
-                + F.lit(0.0)
-            ).alias("top1_acc"),
-        )
+    return te.select(
+        F.col("f").alias("from_state"),
+        "n_train",
+        "n_test",
+        "predicted_next",
+        (
+            F.round(F.col("n_hit").cast("double") / F.col("n_test"), 6)
+            + F.lit(0.0)
+        ).alias("top1_acc"),
     )
 
 
