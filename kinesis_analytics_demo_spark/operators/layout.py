@@ -184,28 +184,35 @@ def zone_map_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         vb.alias("vb"),
         zorder_key(F.col("user_id"), vb).alias("zkey"),
     )
-    tagged = (
-        base.select(
+    # ONE events pass: each row explodes into its three (layout, zone)
+    # tags — the three-arm union scanned the table once per layout,
+    # per readout consumer.
+    layouts = F.array(
+        F.struct(
             F.lit("natural").alias("layout"),
             F.floor(F.col("event_id") / ZONE_ID_WIDTH).alias("z"),
-            "*",
-        )
-        .unionByName(
-            base.select(
-                F.lit("daily").alias("layout"),
-                F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
-                .cast("long")
-                .alias("z"),
-                "*",
+        ),
+        F.struct(
+            F.lit("daily").alias("layout"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
             )
-        )
-        .unionByName(
-            base.select(
-                F.lit("zorder").alias("layout"),
-                F.floor(F.col("zkey") / ZONE_Z_WIDTH).alias("z"),
-                "*",
-            )
-        )
+            .cast("long")
+            .alias("z"),
+        ),
+        F.struct(
+            F.lit("zorder").alias("layout"),
+            F.floor(F.col("zkey") / ZONE_Z_WIDTH).alias("z"),
+        ),
+    )
+    tagged = base.select(F.explode(layouts).alias("lz"), "*").select(
+        F.col("lz.layout").alias("layout"),
+        F.col("lz.z").alias("z"),
+        "event_id",
+        "user_id",
+        "ts",
+        "vb",
+        "zkey",
     )
     t_lo = F.to_timestamp(F.lit(PRED_T_LO))
     t_hi = F.to_timestamp(F.lit(PRED_T_HI))
@@ -233,21 +240,46 @@ def zone_map_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = (F.col("max_t") >= t_lo) & (F.col("min_t") < t_hi)
     flags = zones.select("*", sa.alias("sa"), sb.alias("sb"))
 
-    def _audit(flag: str, m: str, pred_name: str) -> DataFrame:
-        return flags.groupBy("layout").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_zones"),
-            F.count_if(F.col(flag)).cast("bigint").alias("n_zones_scanned"),
-            F.coalesce(
-                F.sum(F.when(F.col(flag), F.col("n"))), F.lit(0)
-            )
+    # Both predicates' readouts in ONE aggregate over the zone table,
+    # exploded into the two report rows — the per-predicate audits
+    # re-ran the whole scan + zone aggregation once each.
+    def _pred_cols(flag: str, m: str, tag: str):
+        return [
+            F.count_if(F.col(flag)).cast("bigint").alias(f"zs_{tag}"),
+            F.coalesce(F.sum(F.when(F.col(flag), F.col("n"))), F.lit(0))
             .cast("bigint")
-            .alias("n_rows_scanned"),
-            F.sum(m).cast("bigint").alias("n_rows_matching"),
-        ).select(
-            "layout", F.lit(pred_name).alias("pred"), "n_zones",
-            "n_zones_scanned", "n_rows_scanned", "n_rows_matching",
+            .alias(f"rs_{tag}"),
+            F.sum(m).cast("bigint").alias(f"rm_{tag}"),
+        ]
+
+    g = flags.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_zones"),
+        *_pred_cols("sa", "ma", "a"),
+        *_pred_cols("sb", "mb", "b"),
+    )
+
+    def _pred_struct(pred_name: str, tag: str):
+        return F.struct(
+            F.lit(pred_name).alias("pred"),
+            F.col(f"zs_{tag}").alias("n_zones_scanned"),
+            F.col(f"rs_{tag}").alias("n_rows_scanned"),
+            F.col(f"rm_{tag}").alias("n_rows_matching"),
         )
 
-    return _audit("sa", "ma", "box2d_user_value").unionByName(
-        _audit("sb", "mb", "time_range")
+    return g.select(
+        "layout",
+        "n_zones",
+        F.explode(
+            F.array(
+                _pred_struct("box2d_user_value", "a"),
+                _pred_struct("time_range", "b"),
+            )
+        ).alias("p"),
+    ).select(
+        "layout",
+        F.col("p.pred").alias("pred"),
+        "n_zones",
+        F.col("p.n_zones_scanned").alias("n_zones_scanned"),
+        F.col("p.n_rows_scanned").alias("n_rows_scanned"),
+        F.col("p.n_rows_matching").alias("n_rows_matching"),
     )
