@@ -236,6 +236,14 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # NOT persisted (r11 measured revert): caching the per-user stage
+    # frames for their two consumers each (next stage's join + the
+    # final union) measured +35% plain and +60% with right-sized cache
+    # partitioning (min-of-5, same-window alternations) — the pushed
+    # per-stage filters make the duplicate lineages cheap parallel
+    # branches, while each cache adds a barrier into the sequential
+    # funnel chain. At scale the per-stage scans are selective pushed
+    # reads of the SAME corpus, not extra full passes.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
