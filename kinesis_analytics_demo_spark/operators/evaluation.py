@@ -808,12 +808,20 @@ def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nb"), F.sum("pos").alias("pb"))
     )
     wo = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    pfx = bins.select(
-        "bin",
-        "nb",
-        "pb",
-        F.sum("nb").over(wo).alias("cn"),
-        F.sum("pb").over(wo).alias("cp"),
+    # Persist the CAL_BINS-row prefix table: three consumers (the
+    # pair grid, the k-side lookup, the final readout join) otherwise
+    # each re-run the whole ranked-binning lineage — including its
+    # global row_number sort over all users.
+    from kinesis_analytics_demo_spark.caching import tracked_persist
+
+    pfx = tracked_persist(
+        bins.select(
+            "bin",
+            "nb",
+            "pb",
+            F.sum("nb").over(wo).alias("cn"),
+            F.sum("pb").over(wo).alias("cp"),
+        ).repartition(1)
     )
     pairs = pfx.select(
         F.col("bin").alias("j"),
