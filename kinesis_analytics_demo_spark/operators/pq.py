@@ -101,12 +101,22 @@ def _reps(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
 
 
 def _codebook(
-    spark: SparkSession, sf_dir: str, persist: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    persist: bool = True,
+    reps: DataFrame | None = None,
 ) -> DataFrame:
     """(subspace, code, cw) — one deterministic codeword per label per
     subspace; cw keeps the representative's FULL vector and distances
-    index into the subspace's absolute range, so no slicing copies."""
-    cw = _reps(spark, sf_dir, persist=persist).select(
+    index into the subspace's absolute range, so no slicing copies.
+
+    Pass ``reps`` (from :func:`_reps`) when the operator also uses the
+    reps frame elsewhere, so the persist happens exactly once per
+    operator instead of relying on CacheManager plan-dedup across
+    logically-equal rebuilds (ADVICE r11)."""
+    if reps is None:
+        reps = _reps(spark, sf_dir, persist=persist)
+    cw = reps.select(
         F.col("label").alias("code"), F.col("embedding").alias("cw")
     )
     subspaces = spark.range(M_SUBSPACES).select(
@@ -116,7 +126,10 @@ def _codebook(
 
 
 def _codes(
-    spark: SparkSession, sf_dir: str, persist: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    persist: bool = True,
+    cb: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, subspace, code): nearest codeword per subspace,
     tiebroken by code id — the PQ encoding.
@@ -126,9 +139,14 @@ def _codes(
     a hash aggregate partial-combines map-side, so only one pre-
     reduced row per (vec_id, subspace) reaches the exchange. The
     row_number formulation shuffled and sorted the full N x (codes)
-    cross product (N x 640 rows here; corpus x codebook at scale)."""
+    cross product (N x 640 rows here; corpus x codebook at scale).
+
+    Pass ``cb`` (from :func:`_codebook`) when the operator also uses
+    the codebook elsewhere — one reps persist per operator, not one
+    per helper call (ADVICE r11)."""
     emb = _t(spark, sf_dir, "embeddings")
-    cb = _codebook(spark, sf_dir, persist=persist)
+    if cb is None:
+        cb = _codebook(spark, sf_dir, persist=persist)
     d = _subdist(F.col("embedding"), F.col("cw"), F.col("subspace"))
     return (
         emb.crossJoin(F.broadcast(cb))
@@ -201,7 +219,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cb = _codebook(spark, sf_dir)
-    codes = _codes(spark, sf_dir)
+    codes = _codes(spark, sf_dir, cb=cb)
     d = _subdist(F.col("embedding"), F.col("cw"), F.col("subspace"))
     err = (
         codes.join(emb, "vec_id")
@@ -256,7 +274,7 @@ def embedding_pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFra
 def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cb = _codebook(spark, sf_dir)
-    codes = _codes(spark, sf_dir)
+    codes = _codes(spark, sf_dir, cb=cb)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -349,7 +367,7 @@ SHORTLIST = 100  #: ADC candidates kept per query for exact re-rank
 def similarity_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cb = _codebook(spark, sf_dir)
-    codes = _codes(spark, sf_dir)
+    codes = _codes(spark, sf_dir, cb=cb)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -496,14 +514,16 @@ IVFPQ_NPROBE = 4
 )
 def similarity_ivfpq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    cb = _codebook(spark, sf_dir)
-    codes = _codes(spark, sf_dir)
+    # ONE reps build + persist, threaded explicitly into the codebook
+    # and the coarse-quantizer centroid table (ADVICE r11: the three
+    # independent _reps calls each stacked a tracked_persist handle and
+    # leaned on CacheManager plan-dedup to share the cache).
+    reps = _reps(spark, sf_dir)
+    cb = _codebook(spark, sf_dir, reps=reps)
+    codes = _codes(spark, sf_dir, cb=cb)
     # The coarse-quantizer centroids are the SAME label representatives
-    # the codebook is built from — read the persisted reps frame
-    # instead of rebuilding the corpus-wide aggregate a third time.
-    cent = _reps(spark, sf_dir).select(
-        "cid", F.col("embedding").alias("cv")
-    )
+    # the codebook is built from.
+    cent = reps.select("cid", F.col("embedding").alias("cv"))
     # Nearest-list assignment as a max_by aggregate: struct(csim,
     # -cid) max IS the row_number ordering (csim DESC, cid ASC), and
     # the hash aggregate partial-combines map-side — one reduced row

@@ -122,151 +122,88 @@ def _load_all_modules() -> None:
 # items 1-2), minus the 10 lowest-value relational variants that wait
 # for round 4.
 #
-# ROUND-11 ROTATION (active; VERDICT r10 item 1): changed code gets a
-# fresh driver row, then the oldest recency cohort.  50 slots =
-#   (a) the 2 bucketed twins whose code changed THIS round: both got
-#       the defensive env_coef parse (ADVICE r10: replaces the bare
-#       float(os.environ...) at module import), and the kNN twin
-#       additionally gained the measured KNN_CRANK multi-assignment
-#       dial (VERDICT r10 item 5) — value-inert under default env
-#       (same 0.86 / 0.6 coefficients, crank=1; results proven
-#       bit-identical to the PRE-DIAL oracle at sf0.001/0.01, and
-#       dial parity re-verified at crank=2/3), but changed code
-#       always gets a fresh row,
-#   (b) the 24 r4-era rows (the oldest driver recency after r10):
-#       bm25_search and inverted_index_postings (which yielded their
-#       r10 slots to the sel-persist twins) lead, then the RP/SQ8
-#       similarity variants, the stats heads (corr/OLS/chi-square),
-#       C4/decontamination, quantile histogram, and the nine r4-era
-#       streaming replays plus the batch cumulate_window_revenue,
-#   (c) the 24 oldest r5-era rows in registration order (DSIR/BPE/
-#       privacy audits, containment/cross-source dedup, pareto
-#       frontier, phash, winsorize, outliers); file_provenance_audit
-#       and sessionize_dynamic_gap yield their slots to (a) and lead
-#       the r12 slate.
+# ROUND-12 ROTATION (active): changed code gets a fresh driver row,
+# then the oldest recency cohort.  50 slots, exactly the literal paste
+# pre-computed at round-11 close (verified against
+# tools/recency_slate.py with the REAL CORRECTNESS_r11.json, which
+# landed 49/50 — the one non-pass is bpe_train_merges' documented
+# no_oracle row, which counts as recency) =
+#   (a) the 17 queries whose implementing module was SPLIT in r11
+#       after the r11 slate locked (dedup.py -> dedup_embedding.py and
+#       reference_queries.py -> reference_queries2.py): the 14
+#       dedup-family queries without a post-split driver row, plus
+#       streaming_dedup_replay, streaming_hll_rolling_replay,
+#       streaming_spacesaving_replay (split proven value-inert by the
+#       15/15 + 12/12 two-SF driver-sims in README round-11 notes),
+#   (b) the 20 remaining r5-era rows in registration order,
+#   (c) the 13 oldest r6-era rows in registration order.
+# Queries whose code changes during round 12 and that are not already
+# in this slate are prepended as further changed-code leads before the
+# driver runs (the (a)-rule; evictions come off the (c) tail).
 # All 50 get the all-50 vanilla driver-sim pre-flight before the
 # driver runs (sf0.001 AND sf0.01, per the round-6/7 staple).
 _DRIVER_PRIORITY: list[str] = [
-    # -- (a) code changed in r11 (env_coef parse hardening, ADVICE r10)
-    "mutual_nearest_neighbors_bucketed",
-    "label_knn_disagreement_bucketed",
-    # -- (b) r4-era recency (oldest driver rows in the registry)
-    "bm25_search",
-    "inverted_index_postings",
-    "embedding_random_projection",
-    "similarity_rp_topk_rerank",
-    "similarity_hard_negatives",
-    "quantile_histogram_events",
-    "embedding_sq8_error",
-    "similarity_sq8_topk",
-    "corr_matrix_lineitem",
-    "ols_discount_vs_quantity",
-    "chisq_event_type_weekday",
-    "dedup_repeated_ngram_spans",
-    "text_c4_filters",
-    "decontamination_minhash",
-    "streaming_corpus_prep_replay",
-    "streaming_enrich_join_replay",
-    "streaming_left_join_replay",
-    "cumulate_window_revenue",
-    "streaming_cumulate_replay",
-    "streaming_full_outer_join_replay",
-    "streaming_quantile_replay",
-    "streaming_session_timeout_replay",
-    "streaming_kmv_replay",
-    "streaming_cms_replay",
-    # -- (c) the 24 oldest r5-era rows, registration order
-    "funnel_time_to_convert",
-    "dedup_lsh_recall_audit",
-    "corpus_token_budget_select",
-    "corpus_soft_dedup_weights",
-    "source_quality_report",
-    "corpus_dsir_weights",
-    "bpe_pair_counts",
-    "k_anonymity_audit",
-    "label_knn_disagreement",
-    "l_diversity_audit",
-    "bpe_train_merges",
-    "corpus_rebalance_shards",
-    "dp_noisy_counts",
-    "fuzzy_match_entity_names",
-    "pareto_quality_frontier",
-    "cluster_topic_terms",
-    "dedup_containment_pairs",
-    "dedup_cross_source_matrix",
-    "winsorize_event_values",
-    "user_feature_vector",
-    "embedding_outliers_centroid",
-    "dedup_image_phash",
-    "multimodal_scene_changes",
-    "corpus_sample_weighted",
+    # -- (a) code moved in the r11 module splits (changed-code leads)
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_minhash_keep",
+    "dedup_minhash_clusters",
+    "dedup_minhash_signature",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_bucketed",
+    "dedup_embedding_clusters",
+    "dedup_incremental_minhash",
+    "dedup_keep_best_quality",
+    "dedup_hybrid_clusters",
+    "streaming_dedup_replay",
+    "streaming_hll_rolling_replay",
+    "streaming_spacesaving_replay",
+    # -- (b) the 20 remaining r5-era rows, registration order
+    "file_provenance_audit",
+    "sessionize_dynamic_gap",
+    "variant_props_extraction",
+    "late_lines_by_status",
+    "inverted_index_incremental_merge",
+    "embedding_drift_by_label",
+    "skew_profile_lineitem",
+    "bootstrap_ci_event_values",
+    "ab_test_welch_events",
+    "cusum_changepoint_events",
+    "anomaly_mad_events",
+    "text_token_entropy",
+    "source_token_kl",
+    "corpus_zipf_alpha",
+    "dedup_chunk_exact",
+    "corpus_split_leakage_safe",
+    "temporal_split_embargo",
+    "timeseries_similarity_topk",
+    "streaming_cusum_replay",
+    "streaming_attribution_replay",
+    # -- (c) the 13 oldest r6-era rows, registration order
+    "top_session_paths",
+    "bpe_encode_tokens",
+    "roc_auc_purchase_propensity",
+    "lift_gains_deciles",
+    "survival_km_conversion",
+    "benford_first_digit_values",
+    "reconcile_partition_checksums",
+    "quantile_normalize_sources",
+    "zone_map_pruning_audit",
+    "embedding_pq_quantization_error",
+    "similarity_pq_adc",
+    "profile_lineitem",
+    "large_orders",
 ]
 
 
-# ROUND-12 RECENCY SLATE (pre-computed at round-11 close so the next
-# rotation is a paste, assuming CORRECTNESS_r11 lands 50/50 green):
-# CHANGED-CODE LEADS for r12 — the round-11 dedup.py split (embedding
-# family moved to dedup_embedding.py AFTER the r11 rotation was locked
-# and pre-flighted): every dedup.py/dedup_embedding.py query whose r11
-# slate slot does not already give it a post-split driver row must
-# lead the r12 slate (dedup_lsh_recall_audit is IN the r11 slate so it
-# re-certifies post-split this round; the other 14 — dedup_exact, the
-# minhash four (pairs/keep/clusters/signature), simhash two,
-# ngram_jaccard, the embedding three,
-# dedup_incremental_minhash, dedup_keep_best_quality,
-# dedup_hybrid_clusters — lead r12; split proven value-inert by the
-# 15/15 two-SF driver-sim recorded in README round-11 notes).  The
-# same round-11 surgery split reference_queries.py (1,445 lines) at
-# its replay-battery tail into reference_queries2.py: 9 of the 12
-# moved queries re-certify via their r11 slate slots and
-# streaming_attribution_replay is below by recency; the other two —
-# streaming_dedup_replay and streaming_spacesaving_replay, plus
-# streaming_hll_rolling_replay (r8-recency) — also lead r12 as
-# changed code (12/12 two-SF driver-sim green, README round-11
-# notes).  Then
-# oldest cohorts after r11 = the 20 remaining r5-era rows
-# (file_provenance_audit and sessionize_dynamic_gap — the two that
-# yielded their r11 slots to the env_coef twins — then
-# variant_props_extraction, late_lines_by_status,
-# inverted_index_incremental_merge, embedding_drift_by_label,
-# skew_profile_lineitem, bootstrap_ci_event_values,
-# ab_test_welch_events, cusum_changepoint_events, anomaly_mad_events,
-# text_token_entropy, source_token_kl, corpus_zipf_alpha,
-# dedup_chunk_exact, corpus_split_leakage_safe, temporal_split_embargo,
-# timeseries_similarity_topk, and the two r5-era streaming replays
-# streaming_cusum_replay + streaming_attribution_replay) + the 30
-# oldest r6-era rows in registration order, PLUS any query whose code
-# changes in round 12 before the driver runs (changed code always
-# leads the slate).
-#
-# LITERAL r12 paste (computed at round-11 close via
-# tools/recency_slate.py with CORRECTNESS_r11 simulated 50/50 green —
-# re-verify with the tool once the real file lands; 17 changed-code
-# leads + 20 r5-era + 13 oldest r6-era):
-#   dedup_exact, dedup_minhash_pairs, dedup_minhash_keep,
-#   dedup_minhash_clusters, dedup_minhash_signature,
-#   dedup_simhash_fingerprints, dedup_simhash_pairs,
-#   dedup_ngram_jaccard, dedup_embedding_cosine,
-#   dedup_embedding_cosine_bucketed, dedup_embedding_clusters,
-#   dedup_incremental_minhash, dedup_keep_best_quality,
-#   dedup_hybrid_clusters, streaming_dedup_replay,
-#   streaming_hll_rolling_replay, streaming_spacesaving_replay,
-#   -- recency tail --
-#   file_provenance_audit, sessionize_dynamic_gap,
-#   variant_props_extraction, late_lines_by_status,
-#   inverted_index_incremental_merge, embedding_drift_by_label,
-#   skew_profile_lineitem, bootstrap_ci_event_values,
-#   ab_test_welch_events, cusum_changepoint_events, anomaly_mad_events,
-#   text_token_entropy, source_token_kl, corpus_zipf_alpha,
-#   dedup_chunk_exact, corpus_split_leakage_safe,
-#   temporal_split_embargo, timeseries_similarity_topk,
-#   streaming_cusum_replay, streaming_attribution_replay,
-#   top_session_paths, bpe_encode_tokens,
-#   roc_auc_purchase_propensity, lift_gains_deciles,
-#   survival_km_conversion, benford_first_digit_values,
-#   reconcile_partition_checksums, quantile_normalize_sources,
-#   zone_map_pruning_audit, embedding_pq_quantization_error,
-#   similarity_pq_adc, profile_lineitem, large_orders.
+# The ROUND-12 slate above IS the literal paste pre-computed at
+# round-11 close (the 17 changed-code leads + 33-name recency tail);
+# the rotation landed at round-12 open once the real CORRECTNESS_r11
+# confirmed the tool's recency math (49/50 green; the bpe_train_merges
+# no_oracle row still counts as driver recency).
 #
 # Carried watch item (VERDICT r10 item 7):
 # similarity_ivfpq_adc_rerank is r9-recency — when its rotation slot

@@ -129,9 +129,12 @@ def test_knn_crank_dial_contract():
 def test_recency_slate_matches_active_rotation():
     """tools/recency_slate.py codifies the per-round slate math: the
     ACTIVE _DRIVER_PRIORITY must equal (changed-code leads) + (the
-    stalest cohort in registration order). Pins the r11 composition:
-    2 changed-code twins + the 24 r4-era rows + the 24 oldest r5-era
-    rows."""
+    stalest cohort in registration order). Pins the r12 composition:
+    17 changed-code leads (the r11 module splits) + the 20 remaining
+    r5-era rows + the 13 oldest r6-era rows.  Queries whose code
+    changes during round 12 join the leads (prepended; evictions come
+    off the recency tail) — extend N_LEADS and the leads list when
+    that happens."""
     from tools.recency_slate import stalest
 
     from kinesis_analytics_demo_spark.plans.registry import (
@@ -140,15 +143,34 @@ def test_recency_slate_matches_active_rotation():
     )
 
     all_queries()  # force module load
-    leads = _DRIVER_PRIORITY[:2]
+    n_leads = 17
+    leads = _DRIVER_PRIORITY[:n_leads]
     assert leads == [
-        "mutual_nearest_neighbors_bucketed",
-        "label_knn_disagreement_bucketed",
+        "dedup_exact",
+        "dedup_minhash_pairs",
+        "dedup_minhash_keep",
+        "dedup_minhash_clusters",
+        "dedup_minhash_signature",
+        "dedup_simhash_fingerprints",
+        "dedup_simhash_pairs",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+        "dedup_embedding_cosine_bucketed",
+        "dedup_embedding_clusters",
+        "dedup_incremental_minhash",
+        "dedup_keep_best_quality",
+        "dedup_hybrid_clusters",
+        "streaming_dedup_replay",
+        "streaming_hll_rolling_replay",
+        "streaming_spacesaving_replay",
     ]
-    tail = _DRIVER_PRIORITY[2:]
-    # the stalest 48 EXCLUDING the leads (they hold r10 rows and sit
-    # in the slate only because their code changed this round)
-    stale = [n for n, _ in stalest(48 + len(leads)) if n not in leads][:48]
+    tail = _DRIVER_PRIORITY[n_leads:]
+    n_tail = 50 - n_leads
+    # the stalest 33 EXCLUDING the leads (they sit in the slate only
+    # because their module was split in r11)
+    stale = [
+        n for n, _ in stalest(n_tail + n_leads) if n not in leads
+    ][:n_tail]
     assert tail == stale
 
 
